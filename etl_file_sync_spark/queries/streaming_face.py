@@ -1,0 +1,198 @@
+"""Event-time streaming queries over the events table, plus their batch
+equivalents (sessionization, sliding windows).
+
+``stream_tumbling_counts`` genuinely runs Structured Streaming (parquet
+replay source → watermark → windowed agg → memory sink) and returns the
+final result as a batch frame, so the driver's oracle can check it.
+Windows are expressed on the epoch-second grid (floor(epoch/width)) in
+BOTH engines, which is exactly Spark's window() alignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from etl_file_sync_spark.queries.registry import register, t
+
+
+@register(
+    "stream_tumbling_counts",
+    """
+    SELECT CAST(to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / 300) * 300) AS TIMESTAMP) AS window_start,
+           event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    "streaming",
+    "tumbling-window",
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling windows computed by an actual streaming query.
+
+    Parquet replay → withWatermark(10 min) → window(5 min) agg → memory
+    sink in complete mode; processAllAvailable drives it to completion.
+    At scale the source is Kafka and the sink incremental — identical
+    plan, same state-store windows.
+    """
+    # stream source reads the raw file: ts is int64 nanos (see catalog);
+    # convert to a micros timestamp before the event-time operators.
+    raw_schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # FileStreamSource requires a directory; stage a symlink to the single
+    # events.parquet in a temp dir (a real deployment streams a directory
+    # or Kafka anyway).
+    import os
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="events_stream_")
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(stage)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+    qname = "stream_tumbling_counts_sink"
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(qname).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # materialize before the in-memory sink table goes away
+    out = spark.table(qname).localCheckpoint(eager=True)
+    return out
+
+
+@register(
+    "stream_sliding_windows",
+    """
+    WITH slid AS (
+      SELECT CAST(to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / 300) * 300 - i * 300) AS TIMESTAMP) AS window_start,
+             event_type, value
+      FROM events, UNNEST([0, 1]) AS u(i)
+    )
+    SELECT window_start, event_type, count(*) AS n_events
+    FROM slid GROUP BY 1, 2
+    """,
+    "streaming",
+    "sliding-window",
+)
+def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 minutes (batch window() — same
+    semantics as the streaming operator; each event lands in 2 windows)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+    ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                       > 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ev),
+    sess AS (
+      SELECT user_id, ts, event_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM ordered)
+    SELECT user_id, CAST(session_id AS INTEGER) AS session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    "streaming",
+    "session-window",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap (lag + running sum —
+    the batch equivalent of session_window(ts, '30 minutes'))."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # fractional-seconds epoch (cast double keeps micros) — matches the
+    # oracle's epoch() exactly; unix_timestamp() would truncate to seconds.
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    wsum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        e.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(wsum).cast("int"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@register(
+    "asof_purchase_prev_view",
+    """
+    WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+    purchases AS (
+      SELECT event_id, user_id, ts, value FROM ev WHERE event_type = 'purchase'),
+    views AS (
+      SELECT user_id, ts AS view_ts, max(value) AS view_value
+      FROM ev WHERE event_type = 'view' GROUP BY user_id, ts)
+    SELECT p.event_id, p.user_id, p.ts, round(p.value, 2) AS purchase_value,
+           v.view_ts AS prev_view_ts, round(v.view_value, 2) AS prev_view_value
+    FROM purchases p ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND v.view_ts <= p.ts
+    ORDER BY p.event_id
+    """,
+    "asof",
+    "join",
+)
+def asof_purchase_prev_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase paired with the user's latest prior view.
+
+    Spark lacks a native ASOF JOIN; operators.asof composes it from a
+    tagged union + last(ignorenulls) window — ONE shuffle on user_id.
+    The right side is pre-deduped per (user, ts) for determinism.
+    """
+    from etl_file_sync_spark.operators.asof import asof_join
+
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 2).alias("purchase_value")
+    )
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts").alias("view_ts"))
+        .agg(F.round(F.max("value"), 2).alias("view_value"))
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_time="ts",
+        right_time="view_ts",
+        right_vals=["view_ts", "view_value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "purchase_value",
+        F.col("view_ts").alias("prev_view_ts"),
+        F.col("view_value").alias("prev_view_value"),
+    ).orderBy("event_id")

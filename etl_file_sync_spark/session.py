@@ -1,0 +1,75 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode defaults mirror what we would set on a real cluster: AQE on
+(runtime skew-join/coalesce), UTC session timezone (oracle parity),
+shuffle partitions sized to cores rather than the 200 default, Arrow
+enabled for the Pandas-UDF paths.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import SparkSession
+
+_PYFILES_SHIPPED: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make etl_file_sync_spark importable on executor Python workers.
+
+    The driver process may import this repo via sys.path manipulation that
+    executors don't inherit; any Pandas-UDF/mapInPandas closure referencing
+    module-level symbols would then fail with ModuleNotFoundError on the
+    worker. Shipping a zip of the package via addPyFile fixes every such
+    path once per session.
+    """
+    key = id(spark.sparkContext)
+    if key in _PYFILES_SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    stage = tempfile.mkdtemp(prefix="etl_pkg_")
+    zip_base = os.path.join(stage, "etl_file_sync_spark")
+    zip_path = shutil.make_archive(zip_base, "zip", os.path.dirname(pkg_dir), "etl_file_sync_spark")
+    spark.sparkContext.addPyFile(zip_path)
+    _PYFILES_SHIPPED.add(key)
+
+
+def get_spark(app_name: str = "etl_file_sync_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` or all local cores.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def prep(spark: SparkSession) -> SparkSession:
+    """Apply runtime-mutable engine settings to an externally-built session.
+
+    The correctness driver supplies its own SparkSession; these settings are
+    the ones that affect result *values* (timezone) or plan quality (AQE)
+    and are safe to set per-session at runtime.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    _ship_package(spark)
+    return spark

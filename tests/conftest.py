@@ -1,0 +1,78 @@
+"""Shared fixtures: one local SparkSession per test session, DuckDB oracle
+connection with the testdata views pre-registered (mirrors the driver's
+harness), and a result-comparison helper."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from etl_file_sync_spark.catalog import TABLES  # noqa: E402
+from etl_file_sync_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("etl-file-sync-tests", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{SF_DIR}/{name}.parquet'")
+    yield con
+    con.close()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Canonicalize a result frame the way the driver compares: columns
+    sorted by name, rows sorted by all columns, floats rounded."""
+    df = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: float(v) if isinstance(v, (int,)) and abs(v) > 2**53 else v)
+    df = df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
+    return df
+
+
+def assert_frames_match(spark_df, duck_rel, float_tol: float = 1e-9) -> None:
+    """Compare a Spark DataFrame against a DuckDB relation result."""
+    sp = canon(spark_df.toPandas())
+    dk = canon(duck_rel.df())
+    assert list(sp.columns) == list(dk.columns), f"columns differ: {list(sp.columns)} vs {list(dk.columns)}"
+    assert len(sp) == len(dk), f"row counts differ: {len(sp)} vs {len(dk)}"
+    for c in sp.columns:
+        a, b = sp[c], dk[c]
+        if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+            a = pd.to_numeric(a, errors="coerce")
+            b = pd.to_numeric(b, errors="coerce")
+            for i, (x, y) in enumerate(zip(a, b)):
+                both_nan = (x is None or (isinstance(x, float) and math.isnan(x))) and (
+                    y is None or (isinstance(y, float) and math.isnan(y))
+                )
+                if both_nan:
+                    continue
+                assert x == pytest.approx(y, abs=float_tol, rel=1e-9), f"col {c} row {i}: {x} != {y}"
+        else:
+            a_n = a.where(pd.notna(a), None).tolist()
+            b_n = b.where(pd.notna(b), None).tolist()
+            assert a_n == b_n, f"col {c} differs; first mismatch: " + next(
+                (f"row {i}: {x!r} != {y!r}" for i, (x, y) in enumerate(zip(a_n, b_n)) if x != y), ""
+            )
