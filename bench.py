@@ -1,0 +1,126 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "pipeline_files_per_sec": N}
+
+pipeline_files_per_sec is the apples-to-apples number against the
+reference's bulk benchmark (21.73 files/sec over 1,000 files,
+/root/reference/README.md:478): 1,000 real local→local file transfers
+through the full parse→validate→enrich→transfer pipeline.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_file_sync_spark.queries import REGISTRY  # noqa: E402
+from etl_file_sync_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q09_nation_year_profit",
+    "q18_large_volume_customer",
+    "agg_cube",
+    "win_topk_per_group",
+    "sort_topn_global",
+    "sessionize_events",
+    "stream_sliding_windows",
+    "asof_purchase_prev_view",
+    "scalar_json_extract",
+    "dedup_exact_groups",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_pairs",
+    "sim_topk_bruteforce",
+    "text_quality_scores",
+    "multimodal_binary_meta",
+]
+
+
+def force(df) -> None:
+    """Fully execute the plan without driver-side collection."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_queries(spark) -> dict[str, float]:
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        q = REGISTRY[name]
+        t0 = time.perf_counter()
+        force(q.build(spark, SF_DIR))
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def bench_pipeline_files(spark, n_files: int = 1000) -> float:
+    """1,000-file local→local bulk transfer through the full pipeline —
+    mirrors the reference's bulk E2E benchmark shape (test_e2e.py:397-491)."""
+    from etl_file_sync_spark.pipeline.config import ServerConfig, servers_dataframe
+    from etl_file_sync_spark.pipeline.sink import run_manifest_batch
+
+    root = tempfile.mkdtemp(prefix="bench_files_")
+    src_dir, dst_dir = os.path.join(root, "src"), os.path.join(root, "dst")
+    os.makedirs(src_dir)
+    payload = b"x" * 1024
+    for i in range(n_files):
+        with open(os.path.join(src_dir, f"f{i:05d}.bin"), "wb") as fh:
+            fh.write(payload + str(i).encode())
+    jobs = [
+        json.dumps(
+            {
+                "job_id": f"bench-{i}",
+                "source": {"hostname": "BENCH_SRC", "path": f"{src_dir}/f{i:05d}.bin"},
+                "destination": {"hostname": "BENCH_DST", "path": f"{dst_dir}/f{i:05d}.bin"},
+            }
+        )
+        for i in range(n_files)
+    ]
+    servers = servers_dataframe(
+        spark, [ServerConfig(hostname="BENCH_SRC", type="local"), ServerConfig(hostname="BENCH_DST", type="local")]
+    )
+    raw = spark.createDataFrame([(j,) for j in jobs], "value string").repartition(
+        int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    t0 = time.perf_counter()
+    status, _dlq = run_manifest_batch(raw, servers, staging_dir=root)
+    n_ok = status.filter("status = 'ok'").count()
+    elapsed = time.perf_counter() - t0
+    shutil.rmtree(root, ignore_errors=True)
+    if n_ok != n_files:
+        raise RuntimeError(f"bulk transfer: only {n_ok}/{n_files} succeeded")
+    return round(n_files / elapsed, 2)
+
+
+def main() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("etl-file-sync-bench", cpus=cpus)
+    # warm the JVM/session once so per-query numbers measure the queries
+    force(REGISTRY["q06_forecast_revenue"].build(spark, SF_DIR))
+    times = bench_queries(spark)
+    files_per_sec = bench_pipeline_files(spark)
+    out = {
+        "metric": "headline query wall-clock at sf0.1 + bulk transfer throughput",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
+        "pipeline_files_per_sec": files_per_sec,
+        "reference_files_per_sec": 21.73,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
