@@ -1,0 +1,110 @@
+"""Operator-level correctness for the approximate/engine-seeded operators:
+MinHash recall vs exact Jaccard, SimHash determinism, IVF recall vs brute
+force, as-of join vs pandas merge_asof, multimodal feature determinism."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from etl_file_sync_spark.catalog import load_table
+from etl_file_sync_spark.operators import dedup as D
+from etl_file_sync_spark.operators import multimodal as M
+from etl_file_sync_spark.operators import similarity as S
+from etl_file_sync_spark.operators.asof import asof_join
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+def test_minhash_recall_vs_exact_jaccard(spark, docs):
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.jaccard_pairs(docs, threshold=0.7).collect()
+    }
+    est = {(r.id_a, r.id_b) for r in D.minhash_dedup_pairs(docs, threshold=0.5).collect()}
+    if not exact:
+        pytest.skip("no high-jaccard pairs at this SF")
+    recall = len(set(exact) & est) / len(exact)
+    assert recall >= 0.9, f"minhash recall {recall} over {len(exact)} true pairs"
+
+
+def test_minhash_estimate_accuracy(spark, docs):
+    exact = {(r.id_a, r.id_b): r.jaccard for r in D.jaccard_pairs(docs, threshold=0.6).collect()}
+    est = {(r.id_a, r.id_b): r.est_jaccard for r in D.minhash_dedup_pairs(docs, threshold=0.3).collect()}
+    errs = [abs(est[k] - v) for k, v in exact.items() if k in est]
+    if errs:
+        assert max(errs) < 0.25  # 64-perm signatures: ~1/sqrt(64) error
+
+
+def test_simhash_deterministic_and_near_pairs_symmetric(spark, docs):
+    s1 = {r.id: r.simhash for r in D.simhash(docs).collect()}
+    s2 = {r.id: r.simhash for r in D.simhash(docs).collect()}
+    assert s1 == s2
+    pairs = D.simhash_near_pairs(D.simhash(docs), max_hamming=3).collect()
+    for r in pairs:
+        assert r.id_a < r.id_b and r.hamming <= 3
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "doc_id long, text string"
+    )
+    kept = {r.doc_id for r in D.dedup_exact(df).collect()}
+    assert kept == {1, 3}
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    q = emb.filter(F.col("vec_id") % 40 == 0)
+    brute = {(r.query_id, r.neighbor_id) for r in S.cosine_topk(emb, q, k=5).collect()}
+    ivf = {(r.query_id, r.neighbor_id) for r in S.ivf_topk(emb, q, k=5, every=50, nprobe=3).collect()}
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.5, f"IVF recall@5 = {recall}"  # approximate, bounded probe
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    left = pd.DataFrame({"k": [1, 1, 1, 2, 2], "t": [5.0, 10.0, 3.0, 7.0, 1.0], "lv": list("abcde")})
+    right = pd.DataFrame({"k": [1, 1, 2], "rt": [4.0, 9.0, 7.0], "rv": [100, 200, 300]})
+    expected = pd.merge_asof(
+        left.sort_values("t"), right.sort_values("rt"), by="k", left_on="t", right_on="rt"
+    ).sort_values(["k", "t"])
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="k",
+            left_time="t",
+            right_time="rt",
+            right_vals=["rt", "rv"],
+        )
+        .orderBy("k", "t")
+        .toPandas()
+    )
+    exp = expected[["k", "t", "rv"]].reset_index(drop=True)
+    gt = got[["k", "t", "rv"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(gt, exp, check_dtype=False)
+
+
+def test_asof_strict_excludes_equal_timestamps(spark):
+    left = spark.createDataFrame([(1, 5.0)], "k long, t double")
+    right = spark.createDataFrame([(1, 5.0, 99)], "k long, rt double, rv long")
+    non_strict = asof_join(left, right, "k", "t", "rt", ["rv"]).collect()[0]
+    strict = asof_join(left, right, "k", "t", "rt", ["rv"], strict=True).collect()[0]
+    assert non_strict.rv == 99 and strict.rv is None
+
+
+def test_multimodal_features_deterministic(spark, docs):
+    media = M.attach_binary_payload(docs.limit(50))
+    f1 = {r.doc_id: r.feature for r in M.extract_features(media).collect()}
+    f2 = {r.doc_id: r.feature for r in M.extract_features(media).collect()}
+    assert f1 == f2
+    assert all(len(v) == 8 and all(0 <= x <= 1 for x in v) for v in f1.values())
+
+
+def test_multimodal_frame_sample_is_honest_stub(spark, docs):
+    with pytest.raises(NotImplementedError):
+        M.frame_sample(docs)

@@ -1,0 +1,97 @@
+"""Pipeline e2e: manifest batch and the streaming query, local→local with
+byte-compare verification — mirrors the reference's E2E contract
+(tests/test_e2e.py:354-394 local→local; golden content assertion :142)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from etl_file_sync_spark.pipeline.config import ServerConfig, servers_dataframe
+from etl_file_sync_spark.pipeline.sink import foreach_batch_factory, run_manifest_batch
+
+
+def _setup(tmp_path, n=8):
+    src = tmp_path / "src"
+    src.mkdir()
+    files = {}
+    for i in range(n):
+        payload = os.urandom(256) + bytes([i])
+        (src / f"f{i}.bin").write_bytes(payload)
+        files[f"f{i}.bin"] = payload
+    servers = [
+        ServerConfig(hostname="S", type="local"),
+        ServerConfig(hostname="D", type="local"),
+    ]
+    jobs = [
+        json.dumps(
+            {
+                "job_id": f"j{i}",
+                "source": {"hostname": "S", "path": str(src / f"f{i}.bin")},
+                "destination": {"hostname": "D", "path": str(tmp_path / "dst" / f"f{i}.bin")},
+            }
+        )
+        for i in range(n)
+    ]
+    return files, servers, jobs
+
+
+def test_manifest_batch_byte_identical(spark, tmp_path):
+    files, servers, jobs = _setup(tmp_path)
+    raw = spark.createDataFrame([(j,) for j in jobs], "value string")
+    status, dlq = run_manifest_batch(raw, servers_dataframe(spark, servers), staging_dir=str(tmp_path))
+    assert status.filter("status = 'ok'").count() == len(files)
+    assert dlq.count() == 0
+    for name, payload in files.items():
+        assert (tmp_path / "dst" / name).read_bytes() == payload  # golden content
+
+
+def test_manifest_batch_failure_goes_to_dlq_not_task_failure(spark, tmp_path):
+    files, servers, jobs = _setup(tmp_path, n=2)
+    jobs.append(
+        json.dumps(
+            {
+                "job_id": "missing",
+                "source": {"hostname": "S", "path": str(tmp_path / "nope.bin")},
+                "destination": {"hostname": "D", "path": str(tmp_path / "dst" / "nope.bin")},
+            }
+        )
+    )
+    raw = spark.createDataFrame([(j,) for j in jobs], "value string")
+    status, dlq = run_manifest_batch(raw, servers_dataframe(spark, servers), staging_dir=str(tmp_path))
+    assert status.filter("status = 'ok'").count() == 2
+    assert status.filter("status = 'error'").count() == 1
+    envs = [json.loads(r.value) for r in dlq.collect()]
+    assert len(envs) == 1 and "FileNotFoundError" in envs[0]["error"]
+    # job context preserved in the DLQ payload (test_e2e.py:151-202 contract)
+    assert json.loads(envs[0]["original_message"])["job_id"] == "missing"
+
+
+def test_streaming_pipeline_checkpointed(spark, tmp_path):
+    """File-source streaming variant of the pipeline (Kafka-less smoke):
+    manifest lines arrive as a stream, foreachBatch executes transfers."""
+    files, servers, jobs = _setup(tmp_path, n=4)
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    (inbox / "batch0.jsonl").write_text("\n".join(jobs))
+
+    raw = spark.readStream.format("text").load(str(inbox))
+    body = foreach_batch_factory(
+        servers_dataframe(spark, servers),
+        dlq_dir=str(tmp_path / "dlq"),
+        status_dir=str(tmp_path / "status"),
+        staging_dir=str(tmp_path),
+    )
+    q = (
+        raw.writeStream.foreachBatch(body)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    status = spark.read.parquet(str(tmp_path / "status"))
+    assert status.filter("status = 'ok'").count() == 4
+    for name, payload in files.items():
+        assert (tmp_path / "dst" / name).read_bytes() == payload
