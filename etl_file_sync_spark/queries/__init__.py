@@ -4,8 +4,10 @@ from etl_file_sync_spark.queries import (  # noqa: F401
     llm,
     pipeline_face,
     relational,
+    relational2,
     streaming_face,
     tpch,
+    tpch2,
 )
 from etl_file_sync_spark.queries.registry import REGISTRY, Query  # noqa: F401
 

@@ -108,3 +108,12 @@ def test_multimodal_features_deterministic(spark, docs):
 def test_multimodal_frame_sample_is_honest_stub(spark, docs):
     with pytest.raises(NotImplementedError):
         M.frame_sample(docs)
+
+
+def test_approx_sketches_accuracy(spark, sf_dir):
+    from etl_file_sync_spark.queries import REGISTRY
+
+    rows = REGISTRY["agg_approx_sketches"].build(spark, sf_dir).collect()
+    for r in rows:
+        assert abs(r.approx_orders - r.exact_orders) / max(r.exact_orders, 1) < 0.1
+        assert abs(r.approx_median_price - r.exact_median_price) / r.exact_median_price < 0.2
