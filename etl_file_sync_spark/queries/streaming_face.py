@@ -36,40 +36,16 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale the source is Kafka and the sink incremental — identical
     plan, same state-store windows.
     """
-    # stream source reads the raw file: ts is int64 nanos (see catalog);
-    # convert to a micros timestamp before the event-time operators.
-    raw_schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # FileStreamSource requires a directory; stage a symlink to the single
-    # events.parquet in a temp dir (a real deployment streams a directory
-    # or Kafka anyway).
-    import os
-    import tempfile
+    from etl_file_sync_spark.streaming import events_stream, run_to_memory_sink
 
-    stage = tempfile.mkdtemp(prefix="events_stream_")
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(stage)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
     )
-    qname = "stream_tumbling_counts_sink"
-    q = agg.writeStream.outputMode("complete").format("memory").queryName(qname).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    # materialize before the in-memory sink table goes away
-    out = spark.table(qname).localCheckpoint(eager=True)
-    return out
+    return run_to_memory_sink(agg, "stream_tumbling_counts_sink", "complete")
 
 
 @register(

@@ -1,0 +1,47 @@
+"""Replay the events table as a Structured Streaming source.
+
+FileStreamSource needs a directory, and events.parquet carries nanosecond
+timestamps (see catalog._load_events) — this module owns both quirks so
+streaming queries and tests share one code path. In production the source
+is Kafka: swap readStream.format, keep every operator downstream.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_RAW_SCHEMA = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str, stage_dir: str | None = None) -> DataFrame:
+    """Streaming DataFrame over {sf_dir}/events.parquet with a proper
+    microsecond event-time `ts` column."""
+    stage = stage_dir or tempfile.mkdtemp(prefix="events_stream_")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .parquet(stage)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def run_to_memory_sink(df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
+    """Drive a streaming frame to completion into a memory sink and return
+    the materialized batch result (checkpoint-free local replay)."""
+    q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = df.sparkSession
+    return spark.table(name).localCheckpoint(eager=True)

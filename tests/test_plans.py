@@ -1,0 +1,57 @@
+"""Plan-quality assertions — the 100 TB posture checks: predicate
+pushdown reaches the parquet scan, column pruning reads only what the
+query projects, dimension joins broadcast, and the pipeline transform
+plan is shuffle-free."""
+
+from __future__ import annotations
+
+from etl_file_sync_spark.plans import (
+    count_exchanges,
+    join_strategies,
+    pushed_filters,
+    read_schema_columns,
+)
+from etl_file_sync_spark.queries import REGISTRY
+
+
+def test_q01_pushdown_and_pruning(spark, sf_dir):
+    df = REGISTRY["q01_pricing_summary"].build(spark, sf_dir)
+    pf = pushed_filters(df)
+    assert any("l_shipdate" in f for f in pf), pf
+    cols = read_schema_columns(df)[0]
+    # 7 needed columns only — not all 11 of lineitem
+    assert "l_orderkey" not in cols and "l_partkey" not in cols
+    assert {"l_quantity", "l_extendedprice", "l_returnflag"} <= cols
+
+
+def test_q05_dimensions_broadcast(spark, sf_dir):
+    js = join_strategies(REGISTRY["q05_local_supplier_volume"].build(spark, sf_dir))
+    assert js["broadcast_hash"] >= 3  # supplier, nation, region at minimum
+    assert js["broadcast_nested_loop"] == 0
+
+
+def test_q06_selective_scan(spark, sf_dir):
+    df = REGISTRY["q06_forecast_revenue"].build(spark, sf_dir)
+    pf = pushed_filters(df)
+    assert any("l_discount" in f for f in pf) and any("l_quantity" in f for f in pf)
+
+
+def test_pipeline_transform_is_shuffle_free(spark, sf_dir):
+    """The parse→validate→enrich plan must stay narrow: broadcast joins
+    only, zero shuffle exchanges (SURVEY.md §3.1 — matches the
+    reference's per-partition independence)."""
+    from etl_file_sync_spark.pipeline.config import ServerConfig, servers_dataframe
+    from etl_file_sync_spark.pipeline.transform import split_valid_dlq
+
+    raw = spark.range(100).selectExpr("CAST(id AS STRING) AS value")
+    servers = servers_dataframe(spark, [ServerConfig(hostname="A", type="local")])
+    res = split_valid_dlq(raw, servers)
+    assert count_exchanges(res.valid) == 0, "enrichment must not shuffle the job stream"
+    assert join_strategies(res.valid)["broadcast_hash"] == 2  # src + dst lookups
+
+
+def test_topn_avoids_full_sort(spark, sf_dir):
+    from etl_file_sync_spark.plans import physical_plan
+
+    plan = physical_plan(REGISTRY["sort_topn_global"].build(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, "global LIMIT+ORDER BY should not plan a full sort"

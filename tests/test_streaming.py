@@ -9,23 +9,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
 
 from etl_file_sync_spark.catalog import load_table
+from etl_file_sync_spark.streaming import events_stream
 
 
 def _events_stream(spark, sf_dir, tmp_path):
-    import os
-
     stage = tmp_path / "events_src"
-    stage.mkdir(exist_ok=True)
-    link = stage / "events.parquet"
-    if not link.exists():
-        os.symlink(f"{sf_dir}/events.parquet", link)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
-    return (
-        spark.readStream.schema(raw)
-        .parquet(str(stage))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    return events_stream(spark, sf_dir, stage_dir=str(stage))
 
 
 def _run_to_completion(df, qname, mode):
