@@ -1,0 +1,116 @@
+"""UDF surface: Arrow-vectorized pandas UDFs, grouped applyInPandas, and
+a Python UDTF — the engine's user-extension points (the reference's only
+analogue is the TransferFactory.register plugin hook, base.py:78-86).
+
+Each query computes something an ANSI-SQL oracle can restate, so the UDF
+machinery itself is value-checked, not just smoke-tested. Python logic
+here is Arrow-batched (never row-at-a-time pickling).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_file_sync_spark.queries.registry import register, t
+
+# BPE-ish word/number/punctuation tokenizer (shared by UDF and oracle).
+TOKEN_RE = r"[a-z]+|[0-9]+"
+
+
+@register(
+    "udf_pandas_token_count",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS INTEGER) AS n_re_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars
+    FROM documents ORDER BY doc_id
+    """,
+    "udf",
+    "pandas-udf",
+    "text",
+)
+def udf_pandas_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex token counting in a scalar pandas UDF (Arrow-batched).
+
+    The built-in regexp functions would beat this in production — the
+    point is validating the Python-worker path end-to-end against the
+    same computation stated in SQL."""
+    import re
+
+    pat = re.compile(TOKEN_RE)
+
+    @F.pandas_udf("int")
+    def n_tokens(s: pd.Series) -> pd.Series:
+        return s.str.lower().map(lambda x: len(pat.findall(x))).astype("int32")
+
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        n_tokens("text").alias("n_re_tokens"),
+        F.length("text").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "udf_grouped_zscore",
+    """
+    SELECT doc_id, lang,
+           round((n_chars - avg(n_chars) OVER (PARTITION BY lang))
+                 / stddev_samp(n_chars) OVER (PARTITION BY lang), 4) AS chars_z
+    FROM documents ORDER BY doc_id
+    """,
+    "udf",
+    "applyInPandas",
+)
+def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language z-score via grouped applyInPandas (pandas per group).
+
+    pandas std(ddof=1) == SQL stddev_samp; the oracle restates the same
+    normalization with window functions."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf["n_chars"]
+        pdf["chars_z"] = ((s - s.mean()) / s.std(ddof=1)).round(4)
+        return pdf[["doc_id", "lang", "chars_z"]]
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return d.groupBy("lang").applyInPandas(zscore, schema="doc_id long, lang string, chars_z double").orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "udtf_word_expand",
+    """
+    SELECT doc_id, word, CAST(pos AS INTEGER) AS pos
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                 unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+          FROM documents WHERE doc_id < 20)
+    ORDER BY doc_id, pos
+    """,
+    "udf",
+    "udtf",
+)
+def udtf_word_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF: one row per (word, position) — the table-function
+    extension point (posexplode restated as a UDTF so the arrow-UDTF
+    machinery is exercised and value-checked)."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="word: string, pos: int")
+    class WordExpand:
+        def eval(self, text: str):
+            for i, w in enumerate(text.split(" ")):
+                yield w, i + 1
+
+    spark.udtf.register("word_expand", WordExpand)
+    t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20).createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        """
+        SELECT doc_id, w.word AS word, w.pos AS pos
+        FROM docs_udtf, LATERAL word_expand(text) AS w
+        ORDER BY doc_id, pos
+        """
+    )
