@@ -1,0 +1,69 @@
+"""Skew-handling join operators for 100 TB scale.
+
+AQE's skew-join split handles most cases at runtime
+(spark.sql.adaptive.skewJoin.enabled, on in session.py); explicit salting
+remains necessary when ONE key dominates so heavily that even split
+partitions bottleneck, or when the skewed side feeds an aggregation.
+
+salted_join: replicate the small side R times, scatter the big side's hot
+keys across R salt buckets — turns one straggler task into R even tasks
+at the cost of R× the (broadcastable) small side.
+
+two_phase_agg: partial agg on (key, salt) then final agg on key — the
+classic hot-key aggregation fix; Spark's partial aggregation already does
+this for algebraic aggregates, so this helper exists for the cases that
+defeat it (exact distinct counts per hot key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join big⋈small on `key` with the big side salted.
+
+    The small side is exploded ×salt_buckets and broadcast; the big side
+    gets a deterministic salt from a hash of its full row spread, so hot
+    keys distribute across salt_buckets tasks. Output columns = big's
+    columns + small's non-key columns (like df.join(small, key)).
+    """
+    salt = (F.abs(F.xxhash64(*[F.col(c) for c in big.columns])) % salt_buckets).alias("_salt")
+    big_s = big.withColumn("_salt", salt)
+    small_s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<bigint>"))
+    )
+    out = big_s.join(F.broadcast(small_s), [key, "_salt"], how)
+    return out.drop("_salt")
+
+
+def two_phase_agg(
+    df: DataFrame,
+    key: str,
+    agg_col: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Exact count + distinct-count per key via salted two-phase shuffle.
+
+    Phase 1 shuffles on (key, salt) — hot keys split across buckets;
+    phase 2 merges the per-salt partials. distinct counts merge exactly
+    because phase 1 keeps per-salt distinct sets disjoint only after
+    salting BY THE VALUE (same value → same salt), which also dedups.
+    Returns (key, n_rows, n_distinct).
+    """
+    salted = df.withColumn("_salt", F.abs(F.xxhash64(F.col(agg_col))) % salt_buckets)
+    phase1 = salted.groupBy(key, "_salt").agg(
+        F.count(F.lit(1)).alias("_n"), F.countDistinct(agg_col).alias("_nd")
+    )
+    # same value always lands in the same salt bucket ⇒ per-bucket distinct
+    # sets are disjoint across buckets and sum exactly.
+    return phase1.groupBy(key).agg(
+        F.sum("_n").alias("n_rows"), F.sum("_nd").alias("n_distinct")
+    )

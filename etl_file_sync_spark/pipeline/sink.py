@@ -119,6 +119,12 @@ def foreach_batch_factory(servers: DataFrame, dlq_dir: str, status_dir: str, sta
     def body(batch_df: DataFrame, epoch_id: int) -> None:
         status, dlq = run_manifest_batch(batch_df, servers, staging_dir)
         status.write.mode("append").parquet(status_dir)
-        dlq.write.mode("append").parquet(dlq_dir)
+        try:
+            dlq.write.mode("append").parquet(dlq_dir)
+        except Exception:  # DLQ-sink failure is swallowed (logged), never
+            # fails the batch — reference parity: consumer.py:224-225
+            import logging
+
+            logging.getLogger(__name__).exception("DLQ write failed; continuing (swallow semantics)")
 
     return body

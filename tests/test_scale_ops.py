@@ -1,0 +1,106 @@
+"""Tests for the scale operators: salted joins, two-phase aggregation,
+MERGE emulation, SCD2, and bucketed co-located joins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_file_sync_spark.operators.merge import merge_upsert, merge_with_deletes, scd2_apply
+from etl_file_sync_spark.operators.skew import salted_join, two_phase_agg
+
+
+def test_salted_join_matches_plain_join(spark):
+    # heavy skew: 90% of rows share key 1
+    big = spark.range(1000).select(
+        F.when(F.col("id") < 900, 1).otherwise(F.col("id")).alias("k"), F.col("id").alias("v")
+    )
+    small = spark.createDataFrame([(1, "hot"), (950, "cold")], "k long, label string")
+    plain = {(r.k, r.v, r.label) for r in big.join(small, "k").collect()}
+    salted = {(r.k, r.v, r.label) for r in salted_join(big, small, "k").collect()}
+    assert salted == plain and len(plain) == 901
+
+
+def test_two_phase_agg_exact(spark):
+    df = spark.range(2000).select(
+        (F.col("id") % 3).alias("k"), (F.col("id") % 7).alias("v")
+    )
+    expected = {
+        (r.k, r.n_rows, r.n_distinct)
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.countDistinct("v").alias("n_distinct"))
+        .collect()
+    }
+    got = {(r.k, r.n_rows, r.n_distinct) for r in two_phase_agg(df, "k", "v").collect()}
+    assert got == expected
+
+
+def test_merge_upsert(spark):
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    source = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+    got = {(r.k, r.v) for r in merge_upsert(target, source, "k").collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_merge_with_deletes(spark):
+    target = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    ups = spark.createDataFrame([(2, "B")], "k long, v string")
+    dels = spark.createDataFrame([(1,)], "k long")
+    got = {(r.k, r.v) for r in merge_with_deletes(target, ups, dels, "k").collect()}
+    assert got == {(2, "B"), (3, "c")}
+
+
+def test_merge_schema_mismatch_raises(spark):
+    t = spark.createDataFrame([(1, "a")], "k long, v string")
+    s = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        merge_upsert(t, s, "k")
+
+
+def test_scd2_apply(spark):
+    dim = spark.createDataFrame(
+        [(1, "x", "2020-01-01", None), (2, "y", "2020-01-01", None)],
+        "k long, attr string, valid_from string, valid_to string",
+    )
+    changes = spark.createDataFrame(
+        [(1, "x2", "2021-06-01"), (2, "y", "2021-06-01")],  # key 2 unchanged
+        "k long, attr string, chg string",
+    )
+    out = scd2_apply(dim, changes, "k", "chg", ["attr"]).collect()
+    rows = {(r.k, r.attr, r.valid_from, r.valid_to) for r in out}
+    assert rows == {
+        (1, "x", "2020-01-01", "2021-06-01"),  # closed old version
+        (1, "x2", "2021-06-01", None),  # new current
+        (2, "y", "2020-01-01", None),  # untouched (no value change)
+    }
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Bucketed tables co-locate join keys at write time: the join plan
+    must contain ZERO shuffle exchanges — the 100 TB fact-fact join
+    strategy (pay the shuffle once at ingest, never again)."""
+    from etl_file_sync_spark.catalog import load_table
+    from etl_file_sync_spark.plans import count_exchanges
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+    warehouse_db = "bucketdb"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {warehouse_db}")
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        lineitem = load_table(spark, sf_dir, "lineitem")
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable(
+            f"{warehouse_db}.orders_b"
+        )
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey").write.bucketBy(8, "o_orderkey").sortBy(
+            "o_orderkey"
+        ).mode("overwrite").saveAsTable(f"{warehouse_db}.lineitem_b")
+        ob = spark.table(f"{warehouse_db}.orders_b")
+        lb = spark.table(f"{warehouse_db}.lineitem_b")
+        joined = ob.join(lb, "o_orderkey").groupBy("o_orderstatus").count()
+        n_shuffles = count_exchanges(ob.join(lb, "o_orderkey"))
+        assert n_shuffles == 0, "bucketed equi-join must not shuffle"
+        assert joined.count() > 0
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {warehouse_db} CASCADE")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
