@@ -5,6 +5,7 @@ from etl_file_sync_spark.queries import (  # noqa: F401
     pipeline_face,
     relational,
     relational2,
+    relational3,
     streaming_face,
     tpch,
     tpch2,

@@ -172,3 +172,47 @@ def asof_purchase_prev_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("view_ts").alias("prev_view_ts"),
         F.col("view_value").alias("prev_view_value"),
     ).orderBy("event_id")
+
+
+@register(
+    "stream_stream_join",
+    """
+    WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+    p AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'),
+    v AS (SELECT event_id AS view_id, user_id, ts AS view_ts FROM ev WHERE event_type = 'view')
+    SELECT p.event_id, v.view_id, p.user_id
+    FROM p JOIN v ON p.user_id = v.user_id
+      AND v.view_ts >= p.ts - INTERVAL 30 MINUTE AND v.view_ts <= p.ts
+    ORDER BY p.event_id, v.view_id
+    """,
+    "streaming",
+    "stream-stream-join",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time range bounds: purchases
+    joined to the same user's views in the preceding 30 minutes. Both
+    sides carry watermarks so the join state is bounded — the production
+    pattern for clickstream attribution. The oracle restates it as a
+    batch interval join over the full table.
+    """
+    from etl_file_sync_spark.streaming import events_stream, run_to_memory_sink
+
+    ev = events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+        .withWatermark("ts", "1 hour")
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(F.col("event_id").alias("view_id"), F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("view_ts") >= F.col("ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("view_ts") <= F.col("ts")),
+        "inner",
+    ).select("event_id", "view_id", "user_id")
+    return run_to_memory_sink(joined, "stream_stream_join_sink", "append").orderBy("event_id", "view_id")
