@@ -232,18 +232,41 @@ def embedding_dup_pairs(
 ) -> DataFrame:
     """Embedding near-dup pairs: cosine >= threshold (id_a < id_b).
 
-    All-pairs verifier for small candidate sets; at scale, run after
-    LSH/IVF candidate generation (see operators.similarity).
+    All-pairs verifier: the full normalized matrix is broadcast and each
+    Arrow batch GEMMs against it (one n_batch×n_corpus BLAS call instead
+    of n² interpreted expressions). Fine up to ~100k vectors; beyond
+    that, generate candidates with LSH/IVF first (operators.similarity)
+    and verify only the candidate pairs.
     """
-    from etl_file_sync_spark.operators.similarity import cosine_expr
+    import numpy as np
+    import pandas as pd
 
-    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
-    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
-    )
+    spark = df.sparkSession
+    rows = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).collect()
+    ids = np.array([r.id for r in rows], dtype=np.int64)
+    M = np.array([list(r.v) for r in rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    bM = spark.sparkContext.broadcast((ids, Mn))
+
+    def pairs(batches):
+        all_ids, all_mat = bM.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.array(pdf["v"].tolist(), dtype=np.float64)
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            S = Cn @ all_mat.T  # (batch, corpus)
+            bid = pdf["id"].values
+            rows_i, cols_j = np.where(S >= threshold)
+            keep = bid[rows_i] < all_ids[cols_j]
+            yield pd.DataFrame(
+                {
+                    "id_a": bid[rows_i][keep],
+                    "id_b": all_ids[cols_j][keep],
+                    "cosine": S[rows_i, cols_j][keep],
+                }
+            )
+
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    out = v.mapInPandas(pairs, "id_a long, id_b long, cosine double")
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
