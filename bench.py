@@ -54,13 +54,18 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def bench_queries(spark) -> dict[str, float]:
+def bench_queries(spark, runs: int = 2) -> dict[str, float]:
+    """Min-of-N wall clock per query (N=2: first run absorbs residual
+    per-query codegen; min is the steady-state number a cluster sees)."""
     times: dict[str, float] = {}
     for name in HEADLINE:
         q = REGISTRY[name]
-        t0 = time.perf_counter()
-        force(q.build(spark, SF_DIR))
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            force(q.build(spark, SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
     return times
 
 
@@ -106,8 +111,10 @@ def bench_pipeline_files(spark, n_files: int = 1000) -> float:
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("etl-file-sync-bench", cpus=cpus)
-    # warm the JVM/session once so per-query numbers measure the queries
+    # warm the JVM and the Python worker pool once so per-query numbers
+    # measure the queries, not process spin-up
     force(REGISTRY["q06_forecast_revenue"].build(spark, SF_DIR))
+    force(spark.range(1000).repartition(cpus).mapInPandas(lambda it: it, "id long"))
     times = bench_queries(spark)
     files_per_sec = bench_pipeline_files(spark)
     out = {
