@@ -1,0 +1,94 @@
+"""FTP integration tier against a real in-process socket server —
+mirrors the reference's tests/test_ftp_integration.py coverage: upload/
+download round-trip with content equality, nested-dir creation,
+not-found error mapping, pooled-connection reuse, and the full pipeline
+ftp→local / local→ftp flows."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from etl_file_sync_spark.pipeline.config import ServerConfig, servers_dataframe
+from etl_file_sync_spark.pipeline.handlers import FTPTransfer
+from etl_file_sync_spark.pipeline.pool import FTPPoolManager
+from etl_file_sync_spark.pipeline.sink import run_manifest_batch
+from tests.ftp_fixture import MiniFTPServer
+
+
+@pytest.fixture()
+def ftp_server(tmp_path):
+    root = tmp_path / "ftproot"
+    root.mkdir()
+    srv = MiniFTPServer(str(root)).start()
+    yield srv, root
+    srv.stop()
+    FTPPoolManager.instance().close_all()  # fresh pools per test
+
+
+def _cfg(srv) -> ServerConfig:
+    return ServerConfig(hostname="FTPX", type="ftp", host="127.0.0.1", port=srv.port, username="u", password="p")
+
+
+def test_upload_download_roundtrip(ftp_server, tmp_path):
+    srv, root = ftp_server
+    payload = b"\x00binary\xffcontent" * 100
+    local_in = tmp_path / "in.bin"
+    local_in.write_bytes(payload)
+    h = FTPTransfer(_cfg(srv))
+    h.upload(str(local_in), "/dir1/dir2/out.bin")  # nested remote dirs created
+    assert (root / "dir1" / "dir2" / "out.bin").read_bytes() == payload
+    local_out = tmp_path / "back.bin"
+    h.download("/dir1/dir2/out.bin", str(local_out))
+    assert local_out.read_bytes() == payload
+
+
+def test_download_missing_maps_550_to_file_not_found(ftp_server, tmp_path):
+    srv, _ = ftp_server
+    h = FTPTransfer(_cfg(srv))
+    with pytest.raises(FileNotFoundError):
+        h.download("/nope.bin", str(tmp_path / "x"))
+
+
+def test_pool_reuses_connections_across_transfers(ftp_server, tmp_path):
+    srv, root = ftp_server
+    (root / "a.bin").write_bytes(b"a")
+    h = FTPTransfer(_cfg(srv))
+    for i in range(6):
+        h.download("/a.bin", str(tmp_path / f"a{i}"))
+    # 6 sequential transfers over a pooled connection: 1 socket, not 6
+    assert srv.connect_count == 1
+
+
+def test_pipeline_ftp_to_local_and_back(spark, ftp_server, tmp_path):
+    srv, root = ftp_server
+    (root / "src.bin").write_bytes(b"ftp payload 123")
+    servers = [
+        _cfg(srv),
+        ServerConfig(hostname="LOCALX", type="local"),
+    ]
+    jobs = [
+        json.dumps(
+            {
+                "job_id": "ftp2local",
+                "source": {"hostname": "FTPX", "path": "/src.bin"},
+                "destination": {"hostname": "LOCALX", "path": str(tmp_path / "got.bin")},
+            }
+        ),
+        json.dumps(
+            {
+                "job_id": "local2ftp",
+                "source": {"hostname": "LOCALX", "path": str(tmp_path / "up.bin")},
+                "destination": {"hostname": "FTPX", "path": "/up/dest.bin"},
+            }
+        ),
+    ]
+    (tmp_path / "up.bin").write_bytes(b"uploaded via pipeline")
+    raw = spark.createDataFrame([(j,) for j in jobs], "value string").coalesce(1)
+    status, dlq = run_manifest_batch(raw, servers_dataframe(spark, servers), staging_dir=str(tmp_path))
+    ok = {r.job_id: r.status for r in status.collect()}
+    assert ok == {"ftp2local": "ok", "local2ftp": "ok"}
+    assert (tmp_path / "got.bin").read_bytes() == b"ftp payload 123"
+    assert (root / "up" / "dest.bin").read_bytes() == b"uploaded via pipeline"
+    assert dlq.count() == 0
