@@ -2,6 +2,7 @@
 
 from etl_file_sync_spark.queries import (  # noqa: F401
     llm,
+    llm2,
     pipeline_face,
     relational,
     relational2,

@@ -1,0 +1,113 @@
+"""Second LLM-data batch: PII redaction, edit-distance fuzzy matching,
+and near-dup cluster collapse (connected components)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_file_sync_spark.queries.registry import register, t
+
+# Simple, dialect-shared PII patterns (character classes + quantifiers).
+EMAIL_RE = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "text_pii_redact",
+    f"""
+    WITH synth AS (
+      SELECT c_custkey,
+             'contact ' || lower(replace(c_name, '#', '')) || '@example.com call 555-' ||
+             lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') || ' re ' || c_mktsegment AS msg
+      FROM customer WHERE c_custkey <= 100)
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(msg, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PHONE_RE}', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(msg, '{EMAIL_RE}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(msg, '{PHONE_RE}')) AS INTEGER) AS n_phones
+    FROM synth ORDER BY c_custkey
+    """,
+    "text",
+    "pii",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: regex redaction of emails/phones with match counts —
+    the standard pre-training privacy pass. Input PII is synthesized
+    deterministically from the customer table so the oracle can restate
+    the whole flow."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
+    msg = F.concat(
+        F.lit("contact "),
+        F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit(""))),
+        F.lit("@example.com call 555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" re "),
+        F.col("c_mktsegment"),
+    )
+    synth = c.select("c_custkey", msg.alias("msg"))
+    return synth.select(
+        "c_custkey",
+        F.regexp_replace(F.regexp_replace("msg", EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>").alias("redacted"),
+        F.size(F.expr(f"regexp_extract_all(msg, '{EMAIL_RE}', 0)")).alias("n_emails"),
+        F.size(F.expr(f"regexp_extract_all(msg, '{PHONE_RE}', 0)")).alias("n_phones"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "dedup_fuzzy_levenshtein",
+    """
+    WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 150)
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_dist
+    FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ORDER BY id_a, id_b
+    """,
+    "dedup",
+    "fuzzy",
+    "levenshtein",
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching (entity-resolution building block).
+
+    All-pairs on a bounded slice here; the scale path blocks candidates
+    first (prefix/length blocking or LSH) and only then pays levenshtein.
+    """
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 150).select("c_custkey", "c_name")
+    a = c.select(F.col("c_custkey").alias("id_a"), F.col("c_name").alias("name_a"))
+    b = c.select(F.col("c_custkey").alias("id_b"), F.col("c_name").alias("name_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 1)
+        .select("id_a", "id_b", "edit_dist")
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register("dedup_cluster_collapse", None, "dedup", "connected-components")
+def dedup_cluster_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components → per-cluster canonical doc.
+
+    Jaccard pairs (exact, >=0.5) feed min-label propagation; output is
+    one row per clustered doc with its cluster id and survivor flag.
+    Iterative (driver loop + localCheckpoint) ⇒ rows-only driver check;
+    correctness vs a union-find reference is asserted in tests.
+    """
+    from etl_file_sync_spark.operators.cluster import dedup_clusters
+    from etl_file_sync_spark.operators.dedup import jaccard_pairs
+
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.5)
+    out = dedup_clusters(docs.select("doc_id", "lang"), pairs)
+    wc = W.partitionBy("cluster_id")
+    return (
+        out.withColumn("cluster_size", F.count(F.lit(1)).over(wc).cast("int"))
+        .filter(F.col("cluster_size") > 1)
+        .select("doc_id", "cluster_id", "is_canonical", "cluster_size")
+        .orderBy("doc_id")
+    )

@@ -95,3 +95,46 @@ def test_streaming_pipeline_checkpointed(spark, tmp_path):
     assert status.filter("status = 'ok'").count() == 4
     for name, payload in files.items():
         assert (tmp_path / "dst" / name).read_bytes() == payload
+
+
+def test_checkpoint_recovery_across_restarts(spark, tmp_path):
+    """Stop the streaming pipeline, add new input, restart with the SAME
+    checkpoint: earlier batches must not replay (each job processed
+    exactly once in status) — the checkpoint-backed analogue of the
+    reference's manual offset commit (consumer.py:58,123,136-137)."""
+    files, servers, jobs = _setup(tmp_path, n=6)
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    (inbox / "batch0.jsonl").write_text("\n".join(jobs[:3]))
+
+    sdf = servers_dataframe(spark, servers)
+    body = foreach_batch_factory(
+        sdf,
+        dlq_dir=str(tmp_path / "dlq"),
+        status_dir=str(tmp_path / "status"),
+        staging_dir=str(tmp_path),
+    )
+
+    def run_once():
+        q = (
+            spark.readStream.format("text")
+            .load(str(inbox))
+            .writeStream.foreachBatch(body)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    (inbox / "batch1.jsonl").write_text("\n".join(jobs[3:]))
+    run_once()  # restart from checkpoint
+
+    status = spark.read.parquet(str(tmp_path / "status"))
+    per_job = status.groupBy("job_id").count().collect()
+    assert len(per_job) == 6
+    assert all(r["count"] == 1 for r in per_job), "a job replayed or was lost across restart"
+    for name, payload in files.items():
+        assert (tmp_path / "dst" / name).read_bytes() == payload

@@ -104,3 +104,27 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {warehouse_db} CASCADE")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_connected_components_vs_union_find(spark):
+    from etl_file_sync_spark.operators.cluster import connected_components
+
+    # two chains and a triangle: {1,2,3,4}, {10,11}, {20,21,22}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {(r.id, r.component) for r in connected_components(pairs).collect()}
+    # union-find reference computed by hand: min-id labels
+    expected = {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (20, 20), (21, 20), (22, 20)}
+    assert got == expected
+
+
+def test_dedup_clusters_survivor_flags(spark):
+    from etl_file_sync_spark.operators.cluster import dedup_clusters
+
+    df = spark.createDataFrame([(i, "x") for i in range(6)], "doc_id long, lang string")
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], "id_a long, id_b long")
+    out = {r.doc_id: (r.cluster_id, r.is_canonical) for r in dedup_clusters(df, pairs).collect()}
+    assert out[0] == (0, True) and out[3] == (0, False) and out[5] == (0, False)
+    assert out[1] == (1, True) and out[2] == (2, True) and out[4] == (4, True)  # singletons
