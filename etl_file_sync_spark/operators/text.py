@@ -95,3 +95,16 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     (cross-engine reproducible) plus a cheap 64-bit xxhash for joins."""
     norm = normalize_text(text_col)
     return df.withColumn("fp_sha", F.sha2(norm, 256)).withColumn("fp_xx64", F.xxhash64(norm))
+
+
+def hash_sample(df: DataFrame, id_col: str, rate_pct: int, salt: int = 0) -> DataFrame:
+    """Deterministic, reproducible sampling: keep rows whose 64-bit hash
+    of (id, salt) falls in the lowest rate_pct% of the hash space.
+
+    Unlike TABLESAMPLE/df.sample, the kept set is a pure function of ids
+    — stable across runs, partitionings and cluster sizes, and different
+    salts give independent samples. The standard trick for carving
+    held-out splits from a 100 TB corpus.
+    """
+    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(salt)), F.lit(100))
+    return df.filter(bucket < rate_pct)

@@ -111,3 +111,14 @@ def dedup_cluster_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "cluster_id", "is_canonical", "cluster_size")
         .orderBy("doc_id")
     )
+
+
+@register("sample_hash_split", None, "sampling", "reproducible")
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~10% hash-bucket sample of documents (train/held-out
+    split carving). Engine-seeded hash ⇒ rows-only driver check;
+    determinism and rate bounds asserted in tests."""
+    from etl_file_sync_spark.operators.text import hash_sample
+
+    d = t(spark, sf_dir, "documents")
+    return hash_sample(d, "doc_id", 10).select("doc_id", "lang").orderBy("doc_id")

@@ -216,3 +216,47 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("event_id", "view_id", "user_id")
     return run_to_memory_sink(joined, "stream_stream_join_sink", "append").orderBy("event_id", "view_id")
+
+
+@register(
+    "rollup_reaggregation",
+    """
+    WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type,
+                       CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           count(*) AS n_events,
+           round(sum(cents) / 100.0, 2) AS total_value,
+           round(sum(cents) / 100.0 / count(*), 4) AS avg_value
+    FROM ev GROUP BY 1, 2
+    """,
+    "streaming",
+    "rollup",
+    "continuous-aggregate",
+)
+def rollup_reaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hourly stats computed by
+    RE-AGGREGATING minutely partials (sum/count compose; avg is derived
+    sum/count, never avg-of-avg). The oracle aggregates the raw events
+    directly — equality proves the two-level rollup is lossless, which
+    is what lets a 100 TB pipeline maintain cheap minutely partials and
+    serve any coarser grain from them.
+
+    Exact-integer cents make the re-aggregated double sum order-proof.
+    """
+    e = t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    minutely = (
+        e.groupBy(F.date_trunc("minute", "ts").alias("minute_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("cents"))
+    )
+    hourly = (
+        minutely.groupBy(F.date_trunc("hour", "minute_start").alias("hour_start"), "event_type")
+        .agg(F.sum("n").alias("n_events"), F.sum("cents").alias("total_cents"))
+    )
+    return hourly.select(
+        "hour_start",
+        "event_type",
+        "n_events",
+        F.round(F.col("total_cents") / 100.0, 2).alias("total_value"),
+        F.round(F.col("total_cents") / 100.0 / F.col("n_events"), 4).alias("avg_value"),
+    )

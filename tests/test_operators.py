@@ -117,3 +117,15 @@ def test_approx_sketches_accuracy(spark, sf_dir):
     for r in rows:
         assert abs(r.approx_orders - r.exact_orders) / max(r.exact_orders, 1) < 0.1
         assert abs(r.approx_median_price - r.exact_median_price) / r.exact_median_price < 0.2
+
+
+def test_hash_sample_deterministic_and_disjoint(spark, docs):
+    from etl_file_sync_spark.operators.text import hash_sample
+
+    s1 = {r.doc_id for r in hash_sample(docs, "doc_id", 10).select("doc_id").collect()}
+    s2 = {r.doc_id for r in hash_sample(docs, "doc_id", 10).select("doc_id").collect()}
+    assert s1 == s2  # reproducible
+    n = docs.count()
+    assert 0.03 * n < len(s1) < 0.25 * n  # ~10%, loose bounds at small n
+    other_salt = {r.doc_id for r in hash_sample(docs, "doc_id", 10, salt=7).select("doc_id").collect()}
+    assert other_salt != s1  # independent sample under a different salt
