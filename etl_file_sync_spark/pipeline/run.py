@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import signal
 import sys
 
@@ -80,15 +81,23 @@ def main(argv: list[str] | None = None) -> int:
         print("topic and bootstrap servers required in kafka mode", file=sys.stderr)
         return 2
 
-    stream = (
+    reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", args.bootstrap_servers)
         .option("subscribe", args.topic)
         .option("startingOffsets", "earliest")
         .option("kafka.group.id", args.group_id or "etl-file-sync-spark")
-        .load()
-        .selectExpr("CAST(value AS STRING) AS value")
     )
+    # backpressure: bound records per micro-batch so transfer work per
+    # batch stays inside executor disk/connection budgets (the Spark
+    # analogue of the reference's 1s poll granularity, consumer.py:94)
+    max_offsets = os.environ.get("ETL_MAX_OFFSETS_PER_TRIGGER")
+    if max_offsets:
+        reader = reader.option("maxOffsetsPerTrigger", max_offsets)
+    min_parts = os.environ.get("ETL_KAFKA_MIN_PARTITIONS")
+    if min_parts:
+        reader = reader.option("minPartitions", min_parts)  # fan out beyond topic partitions
+    stream = reader.load().selectExpr("CAST(value AS STRING) AS value")
     query = (
         stream.writeStream.foreachBatch(
             foreach_batch_factory(servers, f"{args.output_dir}/dlq", f"{args.output_dir}/status")

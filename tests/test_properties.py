@@ -1,0 +1,128 @@
+"""Property-based tests (hypothesis) — a tier the reference lacks
+entirely (SURVEY.md §5: example-based only). Each property batches all
+generated examples into ONE Spark job so the suite stays fast."""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from etl_file_sync_spark.pipeline.config import ServerConfig, servers_dataframe
+from etl_file_sync_spark.pipeline.transform import split_valid_dlq
+
+SERVERS = [ServerConfig(hostname="KNOWN", type="local")]
+
+endpoint = st.fixed_dictionaries(
+    {},
+    optional={
+        "hostname": st.sampled_from(["KNOWN", "known", "NOPE", ""]),
+        "path": st.text(alphabet="abc/._-", min_size=0, max_size=12),
+    },
+)
+job = st.fixed_dictionaries(
+    {},
+    optional={
+        "job_id": st.text(alphabet="abc123-", max_size=10),
+        "source": endpoint,
+        "destination": endpoint,
+        "extra": st.integers(),
+    },
+)
+raw_msg = st.one_of(
+    job.map(json.dumps),
+    st.text(max_size=20),  # arbitrary garbage
+)
+
+
+def reference_model(msg: str) -> str:
+    """The reference's classification semantics, restated in plain Python
+    (parse → required fields → server lookup) — the model the Spark
+    transform must agree with on EVERY input."""
+    try:
+        d = json.loads(msg)
+    except ValueError:
+        return "parse_error"
+    if not isinstance(d, dict):
+        return "missing_field"
+    for side in ("source", "destination"):
+        ep = d.get(side)
+        # reference semantics: missing KEY is a field error (KeyError via
+        # direct indexing, message.py:21-22); an empty-string hostname is
+        # PRESENT and fails later at server lookup instead
+        if not isinstance(ep, dict) or ep.get("hostname") is None or ep.get("path") is None:
+            return "missing_field"
+    for side in ("source", "destination"):
+        if d[side]["hostname"].upper() != "KNOWN":
+            return "unknown_server"
+    return "valid"
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(raw_msg, min_size=1, max_size=30))
+def test_classification_matches_reference_model(spark, msgs):
+    raw = spark.createDataFrame([(m,) for m in msgs], "value string")
+    res = split_valid_dlq(raw, servers_dataframe(spark, SERVERS))
+    n_valid = res.valid.count()
+    dlq_errors = [r.error.split(":")[0] for r in res.dlq.collect()]
+    expected = [reference_model(m) for m in msgs]
+    assert n_valid == sum(1 for e in expected if e == "valid")
+    assert sorted(dlq_errors) == sorted(e for e in expected if e != "valid")
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.floats(0, 100, allow_nan=False)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 5), st.floats(0, 100, allow_nan=False), st.integers(0, 999)),
+        min_size=0,
+        max_size=40,
+    ),
+)
+def test_asof_join_property_vs_pandas(spark, left_rows, right_rows):
+    import pandas as pd
+
+    from etl_file_sync_spark.operators.asof import asof_join
+
+    left = pd.DataFrame(left_rows, columns=["k", "t"]).drop_duplicates(["k", "t"])
+    right = pd.DataFrame(right_rows, columns=["k", "rt", "rv"]).drop_duplicates(["k", "rt"])
+    if len(right):
+        expected = pd.merge_asof(
+            left.sort_values("t"), right.sort_values("rt"), by="k", left_on="t", right_on="rt"
+        )
+    else:
+        expected = left.assign(rv=None)
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right) if len(right) else spark.createDataFrame([], "k bigint, rt double, rv bigint"),
+            on="k",
+            left_time="t",
+            right_time="rt",
+            right_vals=["rv"],
+        )
+        .toPandas()
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    exp = expected.sort_values(["k", "t"]).reset_index(drop=True)
+    got_rv = got["rv"].astype(object).where(pd.notna(got["rv"]), None).tolist()
+    exp_rv = exp["rv"].astype(object).where(pd.notna(exp["rv"]), None).tolist()
+    assert got_rv == exp_rv
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.text(alphabet="ab ", min_size=1, max_size=30), min_size=2, max_size=20))
+def test_jaccard_pairs_bounded_and_symmetric(spark, texts):
+    from etl_file_sync_spark.operators.dedup import jaccard_pairs
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    pairs = jaccard_pairs(df, threshold=0.0).collect()
+    for r in pairs:
+        assert r.id_a < r.id_b
+        assert 0.0 <= r.jaccard <= 1.0
