@@ -1,0 +1,96 @@
+"""Data profiling + constraint validation — the ingest-gate operators a
+100 TB pipeline runs before anything else touches the data.
+
+profile_table: one aggregation pass over the whole table producing one
+row per column (null count, exact distinct, min/max as strings). The
+single wide agg keeps it one job regardless of column count; at scale
+swap exact distinct for approx_count_distinct.
+
+check_constraints: dbt-style declarative checks (not_null / unique /
+foreign_key / accepted_values) evaluated as counts of VIOLATIONS, so an
+empty-violations result is the green gate.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None, exact: bool = True) -> DataFrame:
+    """One row per column: (column, n_rows, n_nulls, n_distinct, min_val,
+    max_val) — min/max cast to string for a uniform schema."""
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"))
+        if exact:
+            aggs.append(F.countDistinct(c).alias(f"{c}__nd"))
+        else:
+            aggs.append(F.approx_count_distinct(c).alias(f"{c}__nd"))
+        aggs.append(F.min(c).cast("string").alias(f"{c}__min"))
+        aggs.append(F.max(c).cast("string").alias(f"{c}__max"))
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__nd, {c}__min, {c}__max" for c in cols
+    )
+    return wide.selectExpr(
+        "_n AS n_rows",
+        f"stack({len(cols)}, {stack_args}) AS (column, n_nulls, n_distinct, min_val, max_val)",
+    ).select("column", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+
+
+@dataclass(frozen=True)
+class Constraint:
+    name: str
+    kind: str  # not_null | unique | foreign_key | accepted_values
+    column: str
+    ref: DataFrame | None = None
+    ref_column: str | None = None
+    values: tuple = field(default=())
+
+
+def check_constraints(df: DataFrame, constraints: list[Constraint]) -> DataFrame:
+    """Evaluate every constraint; returns (check_name, kind, n_violations).
+
+    Each check is its own small aggregate; Spark runs them as independent
+    jobs over the (cacheable) input. Violations, not passes, are counted —
+    the sum being 0 is the gate condition.
+    """
+    pieces = []
+    for c in constraints:
+        if c.kind == "not_null":
+            viol = df.filter(F.col(c.column).isNull()).agg(F.count(F.lit(1)).alias("n"))
+        elif c.kind == "unique":
+            viol = (
+                df.groupBy(c.column)
+                .agg(F.count(F.lit(1)).alias("_c"))
+                .filter(F.col("_c") > 1)
+                .agg(F.coalesce(F.sum(F.col("_c") - 1), F.lit(0)).alias("n"))
+            )
+        elif c.kind == "foreign_key":
+            assert c.ref is not None and c.ref_column is not None
+            viol = (
+                df.join(
+                    c.ref.select(F.col(c.ref_column).alias(c.column)).distinct(),
+                    c.column,
+                    "left_anti",
+                ).agg(F.count(F.lit(1)).alias("n"))
+            )
+        elif c.kind == "accepted_values":
+            viol = df.filter(
+                ~F.col(c.column).isin(*c.values) | F.col(c.column).isNull()
+            ).agg(F.count(F.lit(1)).alias("n"))
+        else:
+            raise ValueError(f"unknown constraint kind {c.kind!r}")
+        pieces.append(
+            viol.select(
+                F.lit(c.name).alias("check_name"), F.lit(c.kind).alias("kind"), F.col("n").alias("n_violations")
+            )
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,0 +1,104 @@
+"""Data-quality queries: table profiling, declarative constraint checks,
+LSH calibration — the ingest-gate face of the engine."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_file_sync_spark.operators.profile import Constraint, check_constraints, profile_table
+from etl_file_sync_spark.queries.registry import register, t
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+
+
+def _profile_oracle_piece(col: str) -> str:
+    return f"""
+    SELECT '{col}' AS col_name, count(*) AS n_rows,
+           CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           count(DISTINCT {col}) AS n_distinct,
+           CAST(min({col}) AS VARCHAR) AS min_val,
+           CAST(max({col}) AS VARCHAR) AS max_val
+    FROM orders"""
+
+
+@register(
+    "dq_profile_orders",
+    "\nUNION ALL\n".join(_profile_oracle_piece(c) for c in _PROFILE_COLS),
+    "dq",
+    "profile",
+)
+def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profile: nulls / exact distinct / min / max per
+    column (one wide aggregation + stack, one job for any column count).
+
+    Double columns are excluded here only because engines format
+    float-to-string differently; the operator itself profiles them fine.
+    """
+    o = t(spark, sf_dir, "orders")
+    return profile_table(o, _PROFILE_COLS).withColumnRenamed("column", "col_name")
+
+
+@register(
+    "dq_constraint_checks",
+    """
+    SELECT 'orders_pk_unique' AS check_name, 'unique' AS kind,
+           CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS n_violations
+    FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+    UNION ALL
+    SELECT 'orders_pk_not_null', 'not_null',
+           CAST(count(*) AS BIGINT)
+    FROM orders WHERE o_orderkey IS NULL
+    UNION ALL
+    SELECT 'lineitem_fk_orders', 'foreign_key',
+           CAST(count(*) AS BIGINT)
+    FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    UNION ALL
+    SELECT 'status_accepted_values', 'accepted_values',
+           CAST(count(*) AS BIGINT)
+    FROM orders WHERE o_orderstatus NOT IN ('O', 'F', 'P') OR o_orderstatus IS NULL
+    """,
+    "dq",
+    "constraints",
+)
+def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-style declarative checks evaluated as violation counts
+    (0 everywhere == green ingest gate): PK uniqueness and non-null,
+    lineitem→orders referential integrity, accepted status values."""
+    orders = t(spark, sf_dir, "orders")
+    lineitem = t(spark, sf_dir, "lineitem")
+    checks = [
+        Constraint("orders_pk_unique", "unique", "o_orderkey"),
+        Constraint("orders_pk_not_null", "not_null", "o_orderkey"),
+        Constraint("lineitem_fk_orders", "foreign_key", "l_orderkey", ref=orders, ref_column="o_orderkey"),
+        Constraint("status_accepted_values", "accepted_values", "o_orderstatus", values=("O", "F", "P")),
+    ]
+    fk = check_constraints(lineitem, [checks[2]])
+    rest = check_constraints(orders, [checks[0], checks[1], checks[3]])
+    return rest.unionByName(fk)
+
+
+@register("lsh_calibration_plan", None, "dq", "calibration", "lsh")
+def lsh_calibration_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic LSH parameter choice for threshold 0.5 at 64 perms, plus a
+    sampled candidate-count estimate on documents — how a 100 TB dedup
+    run sizes its banding shuffle before paying for it. Pure-math plan ⇒
+    rows-only check; S-curve properties asserted in tests."""
+    from etl_file_sync_spark.operators.calibrate import choose_lsh_params, estimate_candidates
+
+    plan = choose_lsh_params(threshold=0.5, num_perm=64, min_recall=0.9)
+    plan = estimate_candidates(t(spark, sf_dir, "documents"), plan, sample_pct=50)
+    return spark.createDataFrame(
+        [
+            (
+                plan.bands,
+                plan.rows_per_band,
+                plan.num_perm,
+                float(plan.recall_at_threshold),
+                float(plan.false_positive_at_half_threshold),
+                plan.est_candidate_pairs,
+            )
+        ],
+        "bands int, rows_per_band int, num_perm int, recall_at_threshold double, "
+        "fp_at_half_threshold double, est_candidate_pairs long",
+    )

@@ -128,3 +128,49 @@ def test_dedup_clusters_survivor_flags(spark):
     out = {r.doc_id: (r.cluster_id, r.is_canonical) for r in dedup_clusters(df, pairs).collect()}
     assert out[0] == (0, True) and out[3] == (0, False) and out[5] == (0, False)
     assert out[1] == (1, True) and out[2] == (2, True) and out[4] == (4, True)  # singletons
+
+
+def test_lsh_calibration_s_curve():
+    from etl_file_sync_spark.operators.calibrate import candidate_probability, choose_lsh_params
+
+    plan = choose_lsh_params(threshold=0.5, num_perm=64, min_recall=0.9)
+    assert plan.bands * plan.rows_per_band == 64
+    assert plan.recall_at_threshold >= 0.9
+    # S-curve monotonicity: higher similarity => higher candidate prob
+    probs = [candidate_probability(s / 10, plan.bands, plan.rows_per_band) for s in range(11)]
+    assert probs == sorted(probs)
+    assert probs[0] == 0.0 and probs[10] == 1.0
+    # fp at half threshold must be lower than recall at threshold
+    assert plan.false_positive_at_half_threshold < plan.recall_at_threshold
+
+
+def test_profile_table_values(spark):
+    from etl_file_sync_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b")], "k long, v string"
+    )
+    prof = {r.column: r for r in profile_table(df).collect()}
+    assert prof["k"].n_rows == 3 and prof["k"].n_nulls == 0 and prof["k"].n_distinct == 2
+    assert prof["k"].min_val == "1" and prof["k"].max_val == "2"
+    assert prof["v"].n_nulls == 1 and prof["v"].n_distinct == 2
+
+
+def test_check_constraints_detects_violations(spark):
+    from etl_file_sync_spark.operators.profile import Constraint, check_constraints
+
+    df = spark.createDataFrame([(1, "x"), (1, "y"), (None, "z")], "k long, s string")
+    ref = spark.createDataFrame([("x",), ("y",)], "s string")
+    out = {
+        r.check_name: r.n_violations
+        for r in check_constraints(
+            df,
+            [
+                Constraint("uniq", "unique", "k"),
+                Constraint("nn", "not_null", "k"),
+                Constraint("fk", "foreign_key", "s", ref=ref, ref_column="s"),
+                Constraint("vals", "accepted_values", "s", values=("x", "y", "z")),
+            ],
+        ).collect()
+    }
+    assert out == {"uniq": 1, "nn": 1, "fk": 1, "vals": 0}
