@@ -39,9 +39,10 @@ def choose_lsh_params(
     bands (fewest candidates) that still reaches min_recall at the
     threshold. Falls back to the highest-recall factorization if none
     reaches it."""
+    # generated in ascending-bands order: fewest bands (fewest candidates) first
     factorizations = [(b, num_perm // b) for b in range(1, num_perm + 1) if num_perm % b == 0]
     best = None
-    for b, r in sorted(factorizations):  # fewest bands first
+    for b, r in factorizations:
         recall = candidate_probability(threshold, b, r)
         if recall >= min_recall:
             best = (b, r, recall)

@@ -24,17 +24,21 @@ def profile_table(df: DataFrame, columns: list[str] | None = None, exact: bool =
     max_val) — min/max cast to string for a uniform schema."""
     cols = columns or df.columns
     aggs = [F.count(F.lit(1)).alias("_n")]
-    for c in cols:
-        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"))
+    for i, c in enumerate(cols):
+        col = F.col(c)
+        aggs.append(F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"_c{i}_nulls"))
         if exact:
-            aggs.append(F.countDistinct(c).alias(f"{c}__nd"))
+            aggs.append(F.countDistinct(col).alias(f"_c{i}_nd"))
         else:
-            aggs.append(F.approx_count_distinct(c).alias(f"{c}__nd"))
-        aggs.append(F.min(c).cast("string").alias(f"{c}__min"))
-        aggs.append(F.max(c).cast("string").alias(f"{c}__max"))
+            aggs.append(F.approx_count_distinct(col).alias(f"_c{i}_nd"))
+        aggs.append(F.min(col).cast("string").alias(f"_c{i}_min"))
+        aggs.append(F.max(col).cast("string").alias(f"_c{i}_max"))
     wide = df.agg(*aggs)
+    # stack over positional aliases: arbitrary source column names (spaces,
+    # quotes, keywords) never reach the SQL string — only the label literal
     stack_args = ", ".join(
-        f"'{c}', {c}__nulls, {c}__nd, {c}__min, {c}__max" for c in cols
+        f"'{c.replace(chr(39), chr(39) * 2)}', _c{i}_nulls, _c{i}_nd, _c{i}_min, _c{i}_max"
+        for i, c in enumerate(cols)
     )
     return wide.selectExpr(
         "_n AS n_rows",
@@ -59,6 +63,9 @@ def check_constraints(df: DataFrame, constraints: list[Constraint]) -> DataFrame
     jobs over the (cacheable) input. Violations, not passes, are counted —
     the sum being 0 is the gate condition.
     """
+    if not constraints:
+        spark = df.sparkSession
+        return spark.createDataFrame([], "check_name string, kind string, n_violations long")
     pieces = []
     for c in constraints:
         if c.kind == "not_null":
@@ -72,12 +79,16 @@ def check_constraints(df: DataFrame, constraints: list[Constraint]) -> DataFrame
             )
         elif c.kind == "foreign_key":
             assert c.ref is not None and c.ref_column is not None
+            # dbt convention: NULL FK values belong to not_null, not to the
+            # relationship check (also matches SQL NOT IN semantics)
             viol = (
-                df.join(
+                df.filter(F.col(c.column).isNotNull())
+                .join(
                     c.ref.select(F.col(c.ref_column).alias(c.column)).distinct(),
                     c.column,
                     "left_anti",
-                ).agg(F.count(F.lit(1)).alias("n"))
+                )
+                .agg(F.count(F.lit(1)).alias("n"))
             )
         elif c.kind == "accepted_values":
             viol = df.filter(

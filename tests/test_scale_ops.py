@@ -174,3 +174,22 @@ def test_check_constraints_detects_violations(spark):
         ).collect()
     }
     assert out == {"uniq": 1, "nn": 1, "fk": 1, "vals": 0}
+
+
+def test_profile_table_awkward_column_names(spark):
+    from etl_file_sync_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame([(1, "x")], ["order", "my col"])
+    prof = {r.column for r in profile_table(df).collect()}
+    assert prof == {"order", "my col"}
+
+
+def test_check_constraints_empty_list_and_null_fk(spark):
+    from etl_file_sync_spark.operators.profile import Constraint, check_constraints
+
+    df = spark.createDataFrame([(None,), (5,)], "k long")
+    ref = spark.createDataFrame([(5,)], "k long")
+    assert check_constraints(df, []).count() == 0
+    out = {r.check_name: r.n_violations for r in check_constraints(
+        df, [Constraint("fk", "foreign_key", "k", ref=ref, ref_column="k")]).collect()}
+    assert out == {"fk": 0}  # NULL FK belongs to not_null, not the FK check
