@@ -122,3 +122,19 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     return hash_sample(d, "doc_id", 10).select("doc_id", "lang").orderBy("doc_id")
+
+
+@register("text_hashed_embedding_topk", None, "text", "embedding", "hashing-trick")
+def text_hashed_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text → hashed embedding → cosine top-3 similar documents, closing
+    the text-to-vector loop with zero model dependencies: feature-hashed
+    L2-normalized embeddings feed the GEMM top-k operator directly.
+    Engine-seeded hashing ⇒ rows-only driver check; invariants (unit
+    norm, self-similarity, dup-detection) asserted in tests."""
+    from etl_file_sync_spark.operators.embed import hashed_embedding
+    from etl_file_sync_spark.operators.similarity import cosine_topk
+
+    docs = t(spark, sf_dir, "documents")
+    emb = hashed_embedding(docs, dim=64).select(F.col("doc_id").alias("vec_id"), "embedding")
+    queries_side = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(emb, queries_side, k=3).orderBy("query_id", "nn_rank")

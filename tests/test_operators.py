@@ -129,3 +129,26 @@ def test_hash_sample_deterministic_and_disjoint(spark, docs):
     assert 0.03 * n < len(s1) < 0.25 * n  # ~10%, loose bounds at small n
     other_salt = {r.doc_id for r in hash_sample(docs, "doc_id", 10, salt=7).select("doc_id").collect()}
     assert other_salt != s1  # independent sample under a different salt
+
+
+def test_hashed_embedding_invariants(spark, docs):
+    import math
+
+    from etl_file_sync_spark.operators.embed import hashed_embedding
+
+    emb = hashed_embedding(docs.limit(100), dim=32)
+    rows = emb.select("doc_id", "embedding").collect()
+    assert all(len(r.embedding) == 32 for r in rows)
+    for r in rows[:20]:
+        norm = math.sqrt(sum(v * v for v in r.embedding))
+        assert abs(norm - 1.0) < 1e-9 or norm < 1e-6  # unit norm (or empty doc)
+    # identical texts embed identically; near-identical texts are close
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "x y z w q v")],
+        "doc_id long, text string",
+    )
+    e = {r.doc_id: r.embedding for r in hashed_embedding(df, dim=16).collect()}
+    assert e[1] == e[2]
+    cos_dup = sum(a * b for a, b in zip(e[1], e[2]))
+    cos_diff = sum(a * b for a, b in zip(e[1], e[3]))
+    assert cos_dup > 0.999 and cos_diff < 0.9
