@@ -312,3 +312,121 @@ def dedup_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    "join",
+    "agg",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of customers by order count (left join so
+    zero-order customers count; count(col) skips the nulls)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q16_supplier_part_variety",
+    """
+    SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size IN (5, 10, 15, 20)
+    GROUP BY p_brand, p_type
+    ORDER BY supplier_cnt DESC, p_brand, p_type
+    """,
+    "join",
+    "distinct",
+)
+def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (adapted to lineitem, no partsupp table): distinct
+    supplier count per (brand, type) for selected sizes."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_size").isin(5, 10, 15, 20))
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type")
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#10' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#20' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#30' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)
+    """,
+    "join",
+    "disjunctive",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: disjunction of conjunctive brackets — the classic
+    OR-of-ANDs predicate Catalyst must keep joinable (common l_partkey =
+    p_partkey equi-condition extracted; brackets evaluated post-join)."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    joined = l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    bracket = (
+        ((F.col("p_brand") == "Brand#10") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#20") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#30") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 40))
+    )
+    return joined.filter(bracket).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    """
+    WITH avg_bal AS (SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0),
+    eligible AS (
+      SELECT c_custkey, c_nationkey, c_acctbal FROM customer, avg_bal
+      WHERE c_acctbal > ab
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1998-01-01'))
+    SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+    FROM eligible GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    "join",
+    "anti",
+    "scalar-subquery",
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (adapted): high-balance customers with no recent orders,
+    by nation — scalar subquery (global average) + anti join."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    eligible = (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+    )
+    return (
+        eligible.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("numcust"), F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+        .orderBy("c_nationkey")
+    )
