@@ -44,12 +44,29 @@ def _config_from_row(row: pd.Series, prefix: str) -> ServerConfig:
     )
 
 
-def _execute_one(row: pd.Series, staging_dir: str) -> dict:
-    """One job: temp file → download → upload → cleanup (finally)."""
+def _execute_one(row: pd.Series, staging_dir: str, skip_if_exists: bool = False) -> dict:
+    """One job: temp file → download → upload → cleanup (finally).
+
+    skip_if_exists short-circuits local destinations that already exist —
+    the idempotency guard for task retries (SURVEY.md §7.4 risk 1; the
+    reference's STOR overwrite makes retries idempotent for FTP already).
+    """
     tmp = os.path.join(staging_dir, f"etl-{uuid.uuid4().hex}")
     try:
         src = TransferFactory.create(_config_from_row(row, "src"))
         dst = TransferFactory.create(_config_from_row(row, "dst"))
+        if (
+            skip_if_exists
+            and row["dst_type"] == "local"
+            and os.path.exists(row["dst_path"])
+        ):
+            return {
+                "job_id": row["job_id"],
+                "status": "ok",
+                "error": None,
+                "src_path": row["src_path"],
+                "dst_path": row["dst_path"],
+            }
         src.download(row["src_path"], tmp)
         dst.upload(tmp, row["dst_path"])
         return {
@@ -75,7 +92,9 @@ def _execute_one(row: pd.Series, staging_dir: str) -> dict:
             pass
 
 
-def run_transfers(valid: DataFrame, staging_dir: str | None = None) -> DataFrame:
+def run_transfers(
+    valid: DataFrame, staging_dir: str | None = None, skip_if_exists: bool = False
+) -> DataFrame:
     """Execute transfers for the enriched job frame; returns status rows.
 
     Arrow-batched; per-executor handler/pool reuse; parallelism = input
@@ -88,7 +107,9 @@ def run_transfers(valid: DataFrame, staging_dir: str | None = None) -> DataFrame
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            yield pd.DataFrame([_execute_one(row, staging) for _, row in pdf.iterrows()])
+            yield pd.DataFrame(
+                [_execute_one(row, staging, skip_if_exists) for _, row in pdf.iterrows()]
+            )
 
     return valid.mapInPandas(run, schema=STATUS_DDL)
 

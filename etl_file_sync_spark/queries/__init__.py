@@ -8,6 +8,7 @@ from etl_file_sync_spark.queries import (  # noqa: F401
     relational,
     relational2,
     relational3,
+    relational4,
     streaming_face,
     tpch,
     tpch2,

@@ -1,0 +1,124 @@
+"""Fourth relational batch: nested struct round-trips, higher-order array
+functions, and the DataFrameNaFunctions surface."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_file_sync_spark.queries.registry import register, t
+
+
+@register(
+    "nested_struct_roundtrip",
+    """
+    WITH j AS (
+      SELECT o_orderkey,
+             to_json(struct_pack(key := o_orderkey,
+                                 meta := struct_pack(status := o_orderstatus,
+                                                     priority := o_orderpriority))) AS payload
+      FROM orders WHERE o_orderkey <= 100)
+    SELECT o_orderkey, payload,
+           CAST(json_extract_string(payload, '$.key') AS BIGINT) AS key_back,
+           json_extract_string(payload, '$.meta.status') AS status_back
+    FROM j ORDER BY o_orderkey
+    """,
+    "scalar",
+    "struct",
+    "json",
+)
+def nested_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested struct build → JSON serialize → field extraction round-trip
+    (the reference's entire message model is this shape, message.py:33-53;
+    here it is exercised as a first-class nested type, not a dict)."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 100)
+    payload = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("key"),
+            F.struct(
+                F.col("o_orderstatus").alias("status"), F.col("o_orderpriority").alias("priority")
+            ).alias("meta"),
+        )
+    )
+    return o.select(
+        "o_orderkey",
+        payload.alias("payload"),
+        F.get_json_object(payload, "$.key").cast("bigint").alias("key_back"),
+        F.get_json_object(payload, "$.meta.status").alias("status_back"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "array_hof_funcs",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 40)
+    SELECT doc_id,
+           CAST(len(list_filter(w, x -> length(x) > 4)) AS INTEGER) AS n_long_words,
+           array_to_string(list_transform(w[1:3], x -> upper(x)), ',') AS first3_upper,
+           CAST(list_reduce(list_transform(w, x -> length(x)), (a, b) -> a + b) AS BIGINT) AS total_chars,
+           CAST(list_max(list_transform(w, x -> length(x))) AS INTEGER) AS longest_word_len
+    FROM d ORDER BY doc_id
+    """,
+    "scalar",
+    "higher-order",
+)
+def array_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions: filter / transform / aggregate folds
+    (Spark lambda expressions == DuckDB list lambdas).
+
+    Oracle note: DuckDB 1.0's list_reduce miscomputes BRANCHING lambdas
+    (CASE max-fold) on large vectorized batches — same query, different
+    WHERE cardinality, different answer — so the oracle states the max
+    via list_max; the arithmetic sum fold is unaffected (verified)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    w = F.split("text", " ")
+    lens = F.transform(w, lambda x: F.length(x))
+    return d.select(
+        "doc_id",
+        F.size(F.filter(w, lambda x: F.length(x) > 4)).alias("n_long_words"),
+        F.array_join(F.transform(F.slice(w, 1, 3), lambda x: F.upper(x)), ",").alias("first3_upper"),
+        F.aggregate(lens, F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias("total_chars"),
+        F.aggregate(lens, F.lit(0), lambda acc, x: F.when(x > acc, x).otherwise(acc)).alias(
+            "longest_word_len"
+        ),
+    ).orderBy("doc_id")
+
+
+@register(
+    "na_fill_drop",
+    """
+    WITH base AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END AS status_nullable,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_totalprice END AS price_nullable
+      FROM orders WHERE o_orderkey <= 200)
+    SELECT count(*) AS n_total,
+           CAST(sum(CASE WHEN status_nullable IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_status,
+           count(CASE WHEN status_nullable IS NOT NULL AND price_nullable IS NOT NULL THEN 1 END) AS n_complete,
+           round(sum(coalesce(price_nullable, 0.0)), 2) AS total_filled,
+           count(DISTINCT coalesce(status_nullable, 'UNKNOWN')) AS n_status_filled
+    FROM base
+    """,
+    "scalar",
+    "na-functions",
+)
+def na_fill_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrameNaFunctions surface: na.fill / na.drop over injected NULLs
+    (the oracle restates them as coalesce / IS NOT NULL counting)."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    base = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, None).otherwise(F.col("o_orderstatus")).alias("status_nullable"),
+        F.when(F.col("o_orderkey") % 5 == 0, None).otherwise(F.col("o_totalprice")).alias("price_nullable"),
+    )
+    filled = base.na.fill({"price_nullable": 0.0, "status_nullable": "UNKNOWN"})
+    complete = base.na.drop(subset=["status_nullable", "price_nullable"])
+    return (
+        base.agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("status_nullable").isNull(), 1).otherwise(0)).alias("n_null_status"),
+        )
+        .crossJoin(complete.agg(F.count(F.lit(1)).alias("n_complete")))
+        .crossJoin(filled.agg(F.round(F.sum("price_nullable"), 2).alias("total_filled")))
+        .crossJoin(filled.agg(F.countDistinct("status_nullable").alias("n_status_filled")))
+    )

@@ -138,3 +138,25 @@ def test_checkpoint_recovery_across_restarts(spark, tmp_path):
     assert all(r["count"] == 1 for r in per_job), "a job replayed or was lost across restart"
     for name, payload in files.items():
         assert (tmp_path / "dst" / name).read_bytes() == payload
+
+
+def test_skip_if_exists_idempotency(spark, tmp_path):
+    """Retry idempotency: a second run with skip_if_exists leaves existing
+    destinations untouched (no re-copy) and still reports ok."""
+    from etl_file_sync_spark.pipeline.transform import split_valid_dlq
+    from etl_file_sync_spark.pipeline.sink import run_transfers
+
+    files, servers, jobs = _setup(tmp_path, n=2)
+    raw = spark.createDataFrame([(j,) for j in jobs], "value string")
+    sdf = servers_dataframe(spark, servers)
+    split = split_valid_dlq(raw, sdf)
+    assert run_transfers(split.valid, str(tmp_path)).filter("status='ok'").count() == 2
+    # tamper with a destination; the skipping rerun must NOT overwrite it
+    tampered = tmp_path / "dst" / "f0.bin"
+    tampered.write_bytes(b"tampered")
+    status = run_transfers(split.valid, str(tmp_path), skip_if_exists=True)
+    assert status.filter("status='ok'").count() == 2
+    assert tampered.read_bytes() == b"tampered"
+    # without the flag, the rerun overwrites (reference STOR semantics)
+    run_transfers(split.valid, str(tmp_path)).collect()
+    assert tampered.read_bytes() == files["f0.bin"]

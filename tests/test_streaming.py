@@ -96,3 +96,21 @@ def test_apply_in_pandas_with_state_running_count(spark, tmp_path):
     rows = {(r.k): r.n for r in spark.sql(
         "SELECT k, max(n) AS n FROM state_sink GROUP BY k").collect()}
     assert rows == {"x": 3, "y": 1, "z": 1}  # state carried across batches
+
+
+def test_available_now_trigger(spark, sf_dir, tmp_path):
+    """Trigger.AvailableNow: drain everything currently available in
+    bounded batches, then stop on its own — the batch-over-stream runner
+    used for backfills."""
+    stream = _events_stream(spark, sf_dir, tmp_path)
+    counts = stream.groupBy("event_type").count()
+    q = (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("avail_now_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    total = spark.sql("SELECT sum(count) AS n FROM avail_now_sink").collect()[0].n
+    assert total == load_table(spark, sf_dir, "events").count()
