@@ -45,11 +45,21 @@ def scd2_apply(
 ) -> DataFrame:
     """SCD type-2: dim has (key, tracked..., valid_from, valid_to NULL for
     current). For each change row, close the current version and append
-    the new one. `changes` columns: key, tracked..., change_ts_col."""
+    the new one; keys NEW to the dimension are inserted as open rows.
+    Multiple change rows per key in one batch collapse to the LATEST by
+    change timestamp (intra-batch history is below the batch grain).
+    `changes` columns: key, tracked..., change_ts_col."""
+    from pyspark.sql import Window as W
+
     cur = dim.filter(F.col("valid_to").isNull())
     hist = dim.filter(F.col("valid_to").isNotNull())
 
-    chg = changes.select(key, *tracked_cols, F.col(change_ts_col).alias("_chg_ts"))
+    latest = W.partitionBy(key).orderBy(F.col(change_ts_col).desc())
+    chg = (
+        changes.withColumn("_rn", F.row_number().over(latest))
+        .filter(F.col("_rn") == 1)
+        .select(key, *tracked_cols, F.col(change_ts_col).alias("_chg_ts"))
+    )
     # rows whose tracked values actually changed
     joined = cur.alias("c").join(chg.alias("n"), key, "inner")
     changed = joined.filter(
@@ -69,5 +79,17 @@ def scd2_apply(
         F.col("_chg_ts").alias("valid_from"),
         F.lit(None).cast(dim.schema["valid_to"].dataType).alias("valid_to"),
     )
+    # change rows for keys the dimension has never seen: plain inserts
+    inserted = chg.join(cur.select(key), key, "left_anti").select(
+        F.col(key),
+        *[F.col(c) for c in tracked_cols],
+        F.col("_chg_ts").alias("valid_from"),
+        F.lit(None).cast(dim.schema["valid_to"].dataType).alias("valid_to"),
+    )
     unchanged_cur = cur.join(changed.select(key), key, "left_anti")
-    return hist.unionByName(unchanged_cur).unionByName(closed).unionByName(opened)
+    return (
+        hist.unionByName(unchanged_cur)
+        .unionByName(closed)
+        .unionByName(opened)
+        .unionByName(inserted)
+    )

@@ -34,7 +34,13 @@ def salted_join(
     gets a deterministic salt from a hash of its full row spread, so hot
     keys distribute across salt_buckets tasks. Output columns = big's
     columns + small's non-key columns (like df.join(small, key)).
+
+    Only inner/left joins are supported: with the small side replicated,
+    a right/full outer join would emit every unmatched small-side row
+    once PER SALT BUCKET.
     """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left joins, not {how!r}")
     salt = (F.abs(F.xxhash64(*[F.col(c) for c in big.columns])) % salt_buckets).alias("_salt")
     big_s = big.withColumn("_salt", salt)
     small_s = small.withColumn(

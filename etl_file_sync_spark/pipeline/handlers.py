@@ -106,13 +106,21 @@ class FTPTransfer(BaseTransfer):
 
     def download(self, remote_path: str, local_path: str) -> None:
         os.makedirs(os.path.dirname(local_path) or ".", exist_ok=True)
+        not_found = None
         with self._borrowed() as conn, open(local_path, "wb") as fh:
             try:
                 conn.retrbinary(f"RETR {remote_path}", fh.write)
             except error_perm as exc:
+                # a 550 is a COMPLETE server reply — the control channel is
+                # clean, so stash and raise outside the with-block to let
+                # the connection re-pool; any other failure propagates and
+                # the borrowed connection is discarded (desync risk)
                 if str(exc).startswith("550"):
-                    raise FileNotFoundError(f"remote file not found: {remote_path}") from exc
-                raise OSError(f"FTP download failed: {exc}") from exc
+                    not_found = exc
+                else:
+                    raise OSError(f"FTP download failed: {exc}") from exc
+        if not_found is not None:
+            raise FileNotFoundError(f"remote file not found: {remote_path}") from not_found
 
     def upload(self, local_path: str, remote_path: str) -> None:
         if not os.path.isfile(local_path):
@@ -152,7 +160,12 @@ class _Borrowed:
         return self._conn
 
     def __exit__(self, exc_type, exc, tb):
-        self._pool.return_connection(self._conn)
+        if exc_type is None:
+            self._pool.return_connection(self._conn)
+        else:
+            # an exception mid-transfer can leave the control channel
+            # desynchronized (unread reply) — discard, don't re-pool
+            self._pool.discard(self._conn)
         return False
 
 

@@ -140,6 +140,15 @@ class FTPConnectionPool:
     def return_connection(self, conn: FTP) -> None:
         self._idle.put(conn)
 
+    def discard(self, conn: FTP) -> None:
+        """Close a borrowed connection instead of re-pooling it — for
+        failures mid-transfer, where the control channel may be
+        desynchronized (a pending reply would poison the next borrower's
+        NOOP validation)."""
+        self._close_quietly(conn)
+        with self._lock:
+            self._created -= 1
+
     def close_all(self) -> None:
         while True:
             try:

@@ -69,7 +69,7 @@ def main(argv: list[str] | None = None) -> int:
     servers = servers_dataframe(spark)
 
     if args.manifest:
-        raw = spark.read.text(args.manifest).withColumnRenamed("value", "value")
+        raw = spark.read.text(args.manifest)
         status, dlq = run_manifest_batch(raw, servers)
         status.write.mode("append").parquet(f"{args.output_dir}/status")
         dlq.write.mode("append").parquet(f"{args.output_dir}/dlq")
@@ -98,6 +98,7 @@ def main(argv: list[str] | None = None) -> int:
     if min_parts:
         reader = reader.option("minPartitions", min_parts)  # fan out beyond topic partitions
     stream = reader.load().selectExpr("CAST(value AS STRING) AS value")
+    log.info("DLQ topic for Kafka sink variant: %s", get_dlq_topic(args.topic))
     query = (
         stream.writeStream.foreachBatch(
             foreach_batch_factory(servers, f"{args.output_dir}/dlq", f"{args.output_dir}/status")
@@ -105,7 +106,6 @@ def main(argv: list[str] | None = None) -> int:
         .option("checkpointLocation", args.checkpoint)
         .start()
     )
-    _ = get_dlq_topic(args.topic)  # derived for the Kafka DLQ sink variant
 
     def stop(_sig, _frm):  # graceful shutdown (main.py:25-30 parity)
         log.info("stopping streaming query")

@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from etl_file_sync_spark.pipeline.config import ServerConfig
-from etl_file_sync_spark.pipeline.handlers import TransferFactory
+from etl_file_sync_spark.pipeline.handlers import LocalTransfer, TransferFactory
 from etl_file_sync_spark.pipeline.schemas import STATUS_SCHEMA
 from etl_file_sync_spark.pipeline.transform import SplitResult, dlq_envelope, split_valid_dlq
 
@@ -58,7 +58,8 @@ def _execute_one(row: pd.Series, staging_dir: str, skip_if_exists: bool = False)
         if (
             skip_if_exists
             and row["dst_type"] == "local"
-            and os.path.exists(row["dst_path"])
+            and isinstance(dst, LocalTransfer)
+            and os.path.exists(dst._resolve(row["dst_path"]))
         ):
             return {
                 "job_id": row["job_id"],
@@ -115,15 +116,23 @@ def run_transfers(
 
 
 def run_manifest_batch(
-    raw: DataFrame, servers: DataFrame, staging_dir: str | None = None
+    raw: DataFrame,
+    servers: DataFrame,
+    staging_dir: str | None = None,
+    skip_if_exists: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Batch-mode pipeline: raw value:string frame → (status, dlq-envelope).
 
     The same transform functions serve streaming foreachBatch — this IS
     the foreachBatch body, usable standalone for manifest-driven runs.
+
+    The transfer stage is side-effecting, so its result is MATERIALIZED
+    exactly once (eager localCheckpoint): every downstream consumer
+    (status sink, DLQ derivation, counts) reads the checkpointed rows
+    instead of re-running the downloads/uploads per action.
     """
     split: SplitResult = split_valid_dlq(raw, servers)
-    status = run_transfers(split.valid, staging_dir)
+    status = run_transfers(split.valid, staging_dir, skip_if_exists).localCheckpoint(eager=True)
     transfer_failures = status.filter("status = 'error'").selectExpr(
         "to_json(named_struct('job_id', job_id, 'src_path', src_path, 'dst_path', dst_path)) AS original_message",
         "error",
@@ -132,13 +141,20 @@ def run_manifest_batch(
     return status, dlq
 
 
-def foreach_batch_factory(servers: DataFrame, dlq_dir: str, status_dir: str, staging_dir: str | None = None):
+def foreach_batch_factory(
+    servers: DataFrame,
+    dlq_dir: str,
+    status_dir: str,
+    staging_dir: str | None = None,
+    skip_if_exists: bool = False,
+):
     """foreachBatch body for the streaming pipeline: execute transfers,
     append status + DLQ as parquet (Kafka-less mode; a Kafka DLQ sink is a
-    one-line format swap). Checkpointing upstream gives at-least-once."""
+    one-line format swap). Checkpointing upstream gives at-least-once;
+    skip_if_exists makes replayed batches idempotent on local sinks."""
 
     def body(batch_df: DataFrame, epoch_id: int) -> None:
-        status, dlq = run_manifest_batch(batch_df, servers, staging_dir)
+        status, dlq = run_manifest_batch(batch_df, servers, staging_dir, skip_if_exists)
         status.write.mode("append").parquet(status_dir)
         try:
             dlq.write.mode("append").parquet(dlq_dir)

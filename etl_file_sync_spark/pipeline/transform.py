@@ -97,10 +97,14 @@ def split_valid_dlq(raw: DataFrame, servers: DataFrame, value_col: str = "value"
         F.col("j.destination.path").alias("dst_path"),
         *[c for c in classified.columns if c.startswith(("src_", "dst_")) and c not in ("src_path", "dst_path")],
     )
-    # Reference wraps unparseable text as {"raw": ...} (consumer.py:205-208)
-    # and parsed-but-failed jobs as the job dict (consumer.py:188-196).
+    # Reference parity: BOTH parse failures and required-field failures
+    # raise ValueError inside from_json (message.py:68-71, :88-91) before
+    # any job object exists, so the consumer wraps the RAW text for both
+    # (consumer.py:126-134 → _send_raw_to_dlq, :198-209). Only
+    # post-parse failures (unknown server, transfer errors) carry the
+    # parsed job dict (consumer.py:188-196).
     original = F.when(
-        F.col("error") == ERR_PARSE,
+        (F.col("error") == ERR_PARSE) | (F.col("error") == ERR_MISSING),
         F.to_json(F.struct(F.col(value_col).alias("raw"))),
     ).otherwise(F.to_json(F.col("j")))
     dlq = classified.filter(F.col("error").isNotNull()).select(

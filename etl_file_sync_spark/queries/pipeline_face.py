@@ -122,8 +122,10 @@ def pipeline_dlq_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     servers = servers_dataframe(spark, _SERVERS)
     split = split_valid_dlq(raw, servers)
     dlq = split.dlq.filter(~F.col("error").startswith("unknown_server"))
+    # missing_field rows carry the RAW message text wrapped as {"raw": ...}
+    # (reference ValueError path) — unwrap, then read the job_id out of it
     original_ref = F.when(
         F.col("error").startswith("parse_error"), F.col("original_message")
-    ).otherwise(F.get_json_object("original_message", "$.job_id"))
+    ).otherwise(F.get_json_object(F.get_json_object("original_message", "$.raw"), "$.job_id"))
     err_class = F.when(F.col("error").startswith("parse_error"), "parse_error").otherwise("missing_field")
     return dlq.select(original_ref.alias("original_ref"), err_class.alias("error_class")).orderBy("original_ref")

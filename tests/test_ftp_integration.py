@@ -92,3 +92,16 @@ def test_pipeline_ftp_to_local_and_back(spark, ftp_server, tmp_path):
     assert (tmp_path / "got.bin").read_bytes() == b"ftp payload 123"
     assert (root / "up" / "dest.bin").read_bytes() == b"uploaded via pipeline"
     assert dlq.count() == 0
+
+
+def test_clean_550_keeps_connection_pooled(ftp_server, tmp_path):
+    """A 550 not-found is a complete reply — the connection must re-pool;
+    only mid-stream failures discard it."""
+    srv, root = ftp_server
+    (root / "ok.bin").write_bytes(b"ok")
+    h = FTPTransfer(_cfg(srv))
+    h.download("/ok.bin", str(tmp_path / "a"))
+    with pytest.raises(FileNotFoundError):
+        h.download("/missing.bin", str(tmp_path / "b"))
+    h.download("/ok.bin", str(tmp_path / "c"))
+    assert srv.connect_count == 1  # one socket throughout

@@ -160,3 +160,41 @@ def test_skip_if_exists_idempotency(spark, tmp_path):
     # without the flag, the rerun overwrites (reference STOR semantics)
     run_transfers(split.valid, str(tmp_path)).collect()
     assert tampered.read_bytes() == files["f0.bin"]
+
+
+def test_transfers_execute_exactly_once_per_batch(spark, tmp_path):
+    """The transfer stage is side-effecting: run_manifest_batch must
+    materialize status ONCE — consuming status and dlq repeatedly must
+    not re-run downloads (regression: dlq lineage used to re-execute the
+    whole mapInPandas)."""
+    import shutil
+
+    files, servers, jobs = _setup(tmp_path, n=3)
+    raw = spark.createDataFrame([(j,) for j in jobs], "value string")
+    status, dlq = run_manifest_batch(raw, servers_dataframe(spark, servers), staging_dir=str(tmp_path))
+    # destroy the sources AFTER the batch ran: any re-execution would fail
+    shutil.rmtree(tmp_path / "src")
+    assert status.filter("status = 'ok'").count() == 3
+    assert status.count() == 3  # second action, same materialized rows
+    assert dlq.count() == 0  # derivation from status must not re-transfer
+    for name, payload in files.items():
+        assert (tmp_path / "dst" / name).read_bytes() == payload
+
+
+def test_parse_and_field_failures_keep_raw_payload(spark):
+    """Reference parity: parse failures AND required-field failures both
+    raise pre-job ValueError, so BOTH wrap the raw text (regression:
+    non-object JSON used to produce an empty original_message)."""
+    import json as _json
+
+    from etl_file_sync_spark.pipeline.config import ServerConfig
+    from etl_file_sync_spark.pipeline.transform import split_valid_dlq
+
+    servers = servers_dataframe(spark, [ServerConfig(hostname="S", type="local")])
+    msgs = ["[1,2,3]", "5", "not json", '{"job_id": "j1", "source": {"hostname": "S"}}']
+    raw = spark.createDataFrame([(m,) for m in msgs], "value string")
+    dlq_rows = split_valid_dlq(raw, servers).dlq.collect()
+    originals = {r.original_message for r in dlq_rows}
+    assert originals == {
+        _json.dumps({"raw": m}, separators=(",", ":")) for m in msgs
+    }

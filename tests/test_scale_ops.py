@@ -193,3 +193,30 @@ def test_check_constraints_empty_list_and_null_fk(spark):
     out = {r.check_name: r.n_violations for r in check_constraints(
         df, [Constraint("fk", "foreign_key", "k", ref=ref, ref_column="k")]).collect()}
     assert out == {"fk": 0}  # NULL FK belongs to not_null, not the FK check
+
+
+def test_scd2_new_keys_and_multi_change(spark):
+    from etl_file_sync_spark.operators.merge import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "x", "2020-01-01", None)], "k long, attr string, valid_from string, valid_to string"
+    )
+    changes = spark.createDataFrame(
+        [(1, "x2", "2021-01-01"), (1, "x3", "2021-06-01"), (9, "new", "2021-03-01")],
+        "k long, attr string, chg string",
+    )
+    rows = {(r.k, r.attr, r.valid_from, r.valid_to) for r in scd2_apply(dim, changes, "k", "chg", ["attr"]).collect()}
+    assert rows == {
+        (1, "x", "2020-01-01", "2021-06-01"),   # closed at the LATEST change
+        (1, "x3", "2021-06-01", None),          # only one current row for key 1
+        (9, "new", "2021-03-01", None),         # brand-new key inserted
+    }
+
+
+def test_salted_join_rejects_outer(spark):
+    from etl_file_sync_spark.operators.skew import salted_join
+
+    big = spark.range(10).selectExpr("id AS k", "id AS v")
+    small = spark.createDataFrame([(1, "a")], "k long, lbl string")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(big, small, "k", how="full")
