@@ -65,24 +65,26 @@ def jaccard_pairs(
     candidates (see minhash_lsh_candidates); with a selective shingle space
     the shared-shingle join is itself the pruning step.
 
-    Deliberately uncached: shingling is a cheap narrow stage and queries
-    run inside a long-lived session where pinned blocks never get
-    unpersisted (measured: no wall-clock benefit at sf0.1).
+    Per-doc set sizes ride along as a window count over the shingle rows,
+    so the plan is ONE self-join + one aggregation — no extra size joins.
+    The shingle frame is cached for the self-join's two scans (small:
+    |docs|·|shingles| rows; a 100 TB run would checkpoint it instead).
     """
-    sh = shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    from pyspark.sql import Window as W
+
+    sh = shingles(df, id_col, text_col, n).withColumn(
+        "n_sh", F.count(F.lit(1)).over(W.partitionBy("id"))
+    ).cache()
     a = sh.alias("a")
     b = sh.alias("b")
-    common = (
+    return (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("a.n_sh").alias("n_a"),
+            F.first("b.n_sh").alias("n_b"),
+        )
         .withColumn("jaccard", F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
