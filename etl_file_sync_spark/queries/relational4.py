@@ -122,3 +122,56 @@ def na_fill_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(filled.agg(F.round(F.sum("price_nullable"), 2).alias("total_filled")))
         .crossJoin(filled.agg(F.countDistinct("status_nullable").alias("n_status_filled")))
     )
+
+
+@register(
+    "scalar_try_functions",
+    """
+    SELECT o_orderkey,
+           TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast,
+           TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS prio_digit,
+           CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                ELSE round(o_totalprice / (o_orderkey % 10), 2) END AS safe_div
+    FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey
+    """,
+    "scalar",
+    "error-safe",
+)
+def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expressions: try_cast yields NULL instead of failing;
+    try_divide yields NULL on division by zero (== SQL CASE guard)."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 100)
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").try_cast("int").alias("bad_cast"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_digit"),
+        F.round(F.try_divide("o_totalprice", F.col("o_orderkey") % 10), 2).alias("safe_div"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "scalar_month_arithmetic",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus3mo,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+           round(CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS DOUBLE) / 30.4375, 2)
+             AS approx_months_since
+    FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey
+    """,
+    "scalar",
+    "date",
+)
+def scalar_month_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month arithmetic: add_months-equivalent interval addition, last_day,
+    and day-based month deltas (months_between's engine-specific 31-day
+    convention is avoided in favor of an explicit shared formula)."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 100)
+    return o.select(
+        "o_orderkey",
+        F.add_months("o_orderdate", 3).cast("timestamp").alias("plus3mo"),
+        F.last_day("o_orderdate").cast("string").alias("month_end"),
+        F.round(F.datediff("o_orderdate", F.lit("1995-01-01").cast("timestamp")) / 30.4375, 2).alias(
+            "approx_months_since"
+        ),
+    ).orderBy("o_orderkey")
