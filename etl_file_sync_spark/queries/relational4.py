@@ -175,3 +175,41 @@ def scalar_month_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_months_since"
         ),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "stat_crosstab",
+    """
+    SELECT o_orderstatus,
+           CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+           CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low
+    FROM orders GROUP BY o_orderstatus
+    """,
+    "agg",
+    "crosstab",
+)
+def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency table via df.stat.crosstab, projected to fixed columns
+    (crosstab's dynamic column set is data-dependent; the two pinned
+    priorities keep the schema stable for the oracle)."""
+    o = t(spark, sf_dir, "orders")
+    ct = o.stat.crosstab("o_orderstatus", "o_orderpriority")
+    return ct.select(
+        F.col("o_orderstatus_o_orderpriority").alias("o_orderstatus"),
+        F.col("1-URGENT").cast("bigint").alias("urgent"),
+        F.col("5-LOW").cast("bigint").alias("low"),
+    )
+
+
+@register("agg_freq_items", None, "agg", "heavy-hitters")
+def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters (df.stat.freqItems, the
+    Karp-Schenker-Papadimitriou single-pass sketch). Sketch output is a
+    superset of true frequent items ⇒ rows-only check; superset property
+    asserted in tests."""
+    o = t(spark, sf_dir, "orders")
+    fi = o.stat.freqItems(["o_orderpriority", "o_orderstatus"], support=0.15)
+    return fi.select(
+        F.array_join(F.sort_array("o_orderpriority_freqItems"), ",").alias("frequent_priorities"),
+        F.array_join(F.sort_array("o_orderstatus_freqItems"), ",").alias("frequent_statuses"),
+    )

