@@ -108,3 +108,39 @@ def hash_sample(df: DataFrame, id_col: str, rate_pct: int, salt: int = 0) -> Dat
     """
     bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(salt)), F.lit(100))
     return df.filter(bucket < rate_pct)
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the standard
+    pre-embedding segmentation in retrieval/training pipelines.
+
+    Pure JVM: token array → stride-window starts via sequence() → explode.
+    Output: (id, chunk_idx, chunk_text, n_chunk_tokens). The final
+    partial window is kept (never drop tail tokens).
+    """
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # window starts: 0, stride, 2*stride... while start < n
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        n.alias("_n"),
+        F.posexplode(starts).alias("chunk_idx", "start"),
+        toks.alias("_toks"),
+    ).filter(F.col("start") < F.col("_n"))
+    chunk = F.slice(F.col("_toks"), F.col("start") + 1, chunk_tokens)
+    return exploded.select(
+        "id",
+        "chunk_idx",
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.least(F.col("_n") - F.col("start"), F.lit(chunk_tokens)).cast("int").alias("n_chunk_tokens"),
+    )

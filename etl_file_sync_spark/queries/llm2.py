@@ -138,3 +138,69 @@ def text_hashed_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = hashed_embedding(docs, dim=64).select(F.col("doc_id").alias("vec_id"), "embedding")
     queries_side = emb.filter(F.col("vec_id") < 10)
     return cosine_topk(emb, queries_side, k=3).orderBy("query_id", "nn_rank")
+
+
+@register(
+    "text_chunking",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 30),
+    starts AS (
+      SELECT doc_id, w, len(w) AS n, unnest(range(0, len(w), 24)) AS start
+      FROM d),
+    numbered AS (
+      SELECT doc_id, start, w, n,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1 AS INTEGER) AS chunk_idx
+      FROM starts WHERE start < n)
+    SELECT doc_id AS id, chunk_idx,
+           array_to_string(w[start+1:start+32], ' ') AS chunk_text,
+           CAST(least(n - start, 32) AS INTEGER) AS n_chunk_tokens
+    FROM numbered ORDER BY id, chunk_idx
+    """,
+    "text",
+    "chunking",
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (32-token windows, 8 overlap) —
+    the standard pre-embedding segmentation; tail windows kept."""
+    from etl_file_sync_spark.operators.text import chunk_documents
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    return chunk_documents(d, chunk_tokens=32, overlap=8).orderBy("id", "chunk_idx")
+
+
+@register(
+    "text_contamination_check",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i+1:i+8], ' ') AS s
+      FROM d, UNNEST(range(0, greatest(len(w) - 7, 1))) AS u(i)
+      WHERE len(w) >= 8),
+    eval_set AS (SELECT s FROM sh WHERE doc_id < 10),
+    train AS (SELECT doc_id, s FROM sh WHERE doc_id >= 10),
+    hits AS (
+      SELECT train.doc_id, count(DISTINCT train.s) AS n_shared_8grams
+      FROM train JOIN eval_set ON train.s = eval_set.s
+      GROUP BY train.doc_id)
+    SELECT doc_id, n_shared_8grams FROM hits ORDER BY doc_id
+    """,
+    "text",
+    "contamination",
+)
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination detection: training docs sharing any
+    8-gram with the held-out set (docs 0-9 stand in as the benchmark).
+    The 8-gram join is the industry-standard contamination screen; at
+    100 TB the eval-set shingles broadcast (benchmarks are tiny)."""
+    from etl_file_sync_spark.operators.dedup import shingles
+
+    docs = t(spark, sf_dir, "documents")
+    sh = shingles(docs.filter(F.size(F.split("text", " ")) >= 8), n=8)
+    eval_set = sh.filter(F.col("id") < 10).select("shingle").distinct()
+    train = sh.filter(F.col("id") >= 10)
+    return (
+        train.join(F.broadcast(eval_set), "shingle")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(F.countDistinct("shingle").alias("n_shared_8grams"))
+        .orderBy("doc_id")
+    )
