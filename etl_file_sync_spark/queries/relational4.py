@@ -213,3 +213,61 @@ def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.sort_array("o_orderpriority_freqItems"), ",").alias("frequent_priorities"),
         F.array_join(F.sort_array("o_orderstatus_freqItems"), ",").alias("frequent_statuses"),
     )
+
+
+@register(
+    "sql_join_hints",
+    """
+    SELECT n_name, count(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    "join",
+    "hints",
+    "sql-face",
+)
+def sql_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL join-strategy hints (/*+ BROADCAST */): hints steer the
+    physical plan, never the result — the oracle is the plain join."""
+    from etl_file_sync_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(nation) */ n_name, count(*) AS n_customers
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
+
+
+@register(
+    "win_nth_value",
+    """
+    SELECT o_custkey, o_orderkey,
+           nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_orderkey
+    FROM orders WHERE o_custkey <= 25
+    ORDER BY o_custkey, o_orderkey
+    """,
+    "window",
+    "nth-value",
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over the full partition frame (each customer's second
+    order attached to every row)."""
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 25)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        o.withColumn("second_orderkey", F.nth_value("o_orderkey", 2).over(w))
+        .select("o_custkey", "o_orderkey", "second_orderkey")
+        .orderBy("o_custkey", "o_orderkey")
+    )

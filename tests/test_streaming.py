@@ -114,3 +114,67 @@ def test_available_now_trigger(spark, sf_dir, tmp_path):
     q.awaitTermination(120)
     total = spark.sql("SELECT sum(count) AS n FROM avail_now_sink").collect()[0].n
     assert total == load_table(spark, sf_dir, "events").count()
+
+
+def test_streaming_cdc_into_dimension(spark, tmp_path):
+    """Composition: a change stream merged into a parquet dimension via
+    foreachBatch + merge_upsert — streaming CDC without a lakehouse."""
+    from etl_file_sync_spark.operators.merge import merge_upsert
+
+    dim_dir = str(tmp_path / "dim")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").write.parquet(dim_dir)
+    src = tmp_path / "changes"
+    src.mkdir()
+    pd.DataFrame({"k": [2, 3], "v": ["B", "c"]}).to_parquet(src / "c0.parquet")
+
+    def apply_cdc(batch_df, epoch_id):
+        current = spark.read.parquet(dim_dir)
+        merged = merge_upsert(current, batch_df, "k").localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(dim_dir)
+
+    q = (
+        spark.readStream.schema("k long, v string")
+        .parquet(str(src))
+        .writeStream.foreachBatch(apply_cdc)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        pd.DataFrame({"k": [1], "v": ["A"]}).to_parquet(src / "c1.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = {(r.k, r.v) for r in spark.read.parquet(dim_dir).collect()}
+    assert final == {(1, "A"), (2, "B"), (3, "c")}
+
+
+def test_two_independent_streams_one_session(spark, tmp_path):
+    """Multi-consumer parity: two streaming queries (two 'topics') run
+    concurrently in one session with separate checkpoints — the engine's
+    analogue of the reference's N supervised consumers."""
+    out = {}
+    queries = []
+    try:
+        for topic in ("alpha", "beta"):
+            src = tmp_path / topic
+            src.mkdir()
+            pd.DataFrame({"v": [f"{topic}-1", f"{topic}-2"]}).to_parquet(src / "b.parquet")
+            q = (
+                spark.readStream.schema("v string")
+                .parquet(str(src))
+                .writeStream.outputMode("append")
+                .format("memory")
+                .queryName(f"sink_{topic}")
+                .option("checkpointLocation", str(tmp_path / f"ckpt_{topic}"))
+                .start()
+            )
+            queries.append(q)
+        for q in queries:
+            q.processAllAvailable()
+        for topic in ("alpha", "beta"):
+            out[topic] = {r.v for r in spark.sql(f"SELECT v FROM sink_{topic}").collect()}
+    finally:
+        for q in queries:
+            q.stop()
+    assert out == {"alpha": {"alpha-1", "alpha-2"}, "beta": {"beta-1", "beta-2"}}
