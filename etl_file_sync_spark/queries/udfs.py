@@ -114,3 +114,38 @@ def udtf_word_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id, pos
         """
     )
+
+
+@register(
+    "udaf_geometric_mean",
+    """
+    SELECT l_returnflag,
+           round(exp(avg(ln(l_extendedprice))), 4) AS geo_mean_price,
+           count(*) AS n
+    FROM lineitem WHERE l_extendedprice > 0
+    GROUP BY l_returnflag
+    """,
+    "udf",
+    "udaf",
+)
+def udaf_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True custom UDAF: pandas GROUPED_AGG computing a geometric mean
+    per group (Arrow-batched, partial-aggregation-free — the pandas UDAF
+    path). Oracle restates it as exp(avg(ln(x)))."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def geo_mean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    @F.pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        # pandas UDAFs cannot mix with JVM aggregates in one agg — the
+        # count rides the same Arrow path
+        return len(v)
+
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
+    return l.groupBy("l_returnflag").agg(
+        F.round(geo_mean("l_extendedprice"), 4).alias("geo_mean_price"),
+        n_rows("l_extendedprice").alias("n"),
+    )

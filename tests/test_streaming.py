@@ -178,3 +178,38 @@ def test_two_independent_streams_one_session(spark, tmp_path):
         for q in queries:
             q.stop()
     assert out == {"alpha": {"alpha-1", "alpha-2"}, "beta": {"beta-1", "beta-2"}}
+
+
+def test_metrics_listener_counts_batches_and_rows(spark, tmp_path):
+    from etl_file_sync_spark.pipeline.metrics import MetricsListener
+
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        src = tmp_path / "metrics_src"
+        src.mkdir()
+        pd.DataFrame({"v": ["a", "b", "c"]}).to_parquet(src / "b0.parquet")
+        q = (
+            spark.readStream.schema("v string")
+            .parquet(str(src))
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("metrics_sink")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # listener events are delivered asynchronously
+        import time
+
+        for _ in range(50):
+            if listener.metrics.queries_stopped >= 1 and listener.metrics.input_rows >= 3:
+                break
+            time.sleep(0.1)
+        assert listener.metrics.queries_started >= 1
+        assert listener.metrics.input_rows >= 3
+        assert listener.metrics.queries_stopped >= 1
+    finally:
+        spark.streams.removeListener(listener)
