@@ -105,3 +105,45 @@ def test_clean_550_keeps_connection_pooled(ftp_server, tmp_path):
         h.download("/missing.bin", str(tmp_path / "b"))
     h.download("/ok.bin", str(tmp_path / "c"))
     assert srv.connect_count == 1  # one socket throughout
+
+
+def test_concurrent_transfers_respect_pool_limit(spark, ftp_server, tmp_path):
+    """More concurrent tasks than pool_size: borrows block and complete
+    rather than exceeding the per-server connection budget."""
+    import json
+
+    srv, root = ftp_server
+    for i in range(8):
+        (root / f"f{i}.bin").write_bytes(bytes([i]) * 64)
+    servers = [_cfg(srv), ServerConfig(hostname="LOCALX", type="local")]
+    jobs = [
+        json.dumps(
+            {
+                "job_id": f"c{i}",
+                "source": {"hostname": "FTPX", "path": f"/f{i}.bin"},
+                "destination": {"hostname": "LOCALX", "path": str(tmp_path / f"out{i}.bin")},
+            }
+        )
+        for i in range(8)
+    ]
+    raw = spark.createDataFrame([(j,) for j in jobs], "value string").repartition(8)
+    status, dlq = run_manifest_batch(raw, servers_dataframe(spark, servers), staging_dir=str(tmp_path))
+    assert status.filter("status = 'ok'").count() == 8
+    for i in range(8):
+        assert (tmp_path / f"out{i}.bin").read_bytes() == bytes([i]) * 64
+    # local[*]: all tasks share one python-worker-side pool budget of 4,
+    # but workers are separate processes — each holds <= pool_size sockets
+    assert srv.connect_count <= 8
+
+
+def test_large_file_streams_through(ftp_server, tmp_path):
+    """A multi-megabyte payload streams through RETR/STOR callbacks."""
+    srv, root = ftp_server
+    payload = bytes(range(256)) * 20000  # ~5 MB
+    (root / "big.bin").write_bytes(payload)
+    h = FTPTransfer(_cfg(srv))
+    local = tmp_path / "big_local.bin"
+    h.download("/big.bin", str(local))
+    assert local.read_bytes() == payload
+    h.upload(str(local), "/copy/big2.bin")
+    assert (root / "copy" / "big2.bin").read_bytes() == payload
