@@ -33,6 +33,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     # initial label: the node's own id (nodes = every id appearing in pairs)
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn("component", F.col("id"))
 
+    converged = False
     for _ in range(max_iter):
         # each node proposes its current label to every neighbor
         prop = (
@@ -55,7 +56,15 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # label propagation needs O(diameter) rounds — a >max_iter-hop
+        # chain would silently return SPLIT components; fail loudly.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations; "
+            "raise max_iter (graph diameter exceeds the iteration budget)"
+        )
     return labels
 
 

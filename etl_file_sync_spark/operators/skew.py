@@ -41,7 +41,10 @@ def salted_join(
     """
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(f"salted_join supports inner/left joins, not {how!r}")
-    salt = (F.abs(F.xxhash64(*[F.col(c) for c in big.columns])) % salt_buckets).alias("_salt")
+    # pmod, not abs(...)%n: abs(Long.MIN_VALUE) is a no-op, so the abs
+    # form can yield a negative salt that matches no replicated bucket
+    # (row silently dropped on inner join, unenriched on left).
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets)).alias("_salt")
     big_s = big.withColumn("_salt", salt)
     small_s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<bigint>"))
@@ -64,7 +67,7 @@ def two_phase_agg(
     salting BY THE VALUE (same value → same salt), which also dedups.
     Returns (key, n_rows, n_distinct).
     """
-    salted = df.withColumn("_salt", F.abs(F.xxhash64(F.col(agg_col))) % salt_buckets)
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.col(agg_col)), F.lit(salt_buckets)))
     phase1 = salted.groupBy(key, "_salt").agg(
         F.count(F.lit(1)).alias("_n"), F.countDistinct(agg_col).alias("_nd")
     )

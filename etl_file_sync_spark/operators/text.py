@@ -69,8 +69,9 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 def with_lang_pred(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: argmax of stopword-profile hits.
 
-    Ties break by language code ascending (deterministic). Falls back to
-    'und' when no profile matches.
+    Ties resolve to the HIGHEST language code (deterministic — array_max
+    over (hits, lang) structs compares hits first, then lang). Falls back
+    to 'und' when no profile matches.
     """
     dist = F.array_distinct(tokens(text_col))
     scored = F.array(

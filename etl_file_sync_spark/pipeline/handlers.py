@@ -89,7 +89,19 @@ class LocalTransfer(BaseTransfer):
             raise FileNotFoundError(f"local file not found: {local_path}")
         dst = self._resolve(remote_path)
         os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
-        shutil.copy2(local_path, dst)
+        # atomic publish: copy to a temp name in the destination dir, then
+        # os.replace — a task killed mid-copy never leaves a truncated dst,
+        # so the skip_if_exists retry guard can trust mere existence.
+        tmp = f"{dst}.etl-tmp-{os.getpid()}-{id(self):x}"
+        try:
+            shutil.copy2(local_path, tmp)
+            os.replace(tmp, dst)
+        finally:
+            if os.path.exists(tmp):
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
 
 
 class FTPTransfer(BaseTransfer):

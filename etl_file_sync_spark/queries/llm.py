@@ -102,6 +102,35 @@ def dedup_embedding_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_dup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.45).orderBy("id_a", "id_b")
 
 
+@register(
+    "dedup_embedding_srp",
+    """
+    SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS cosine
+    FROM embeddings ORDER BY id_a
+    """,
+    "dedup",
+    "embedding",
+    "lsh",
+)
+def dedup_embedding_srp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH near-dup end-to-end, oracle-checked: plant a scaled copy of
+    every vector (cosine exactly 1.0 ⇒ identical sign bits ⇒ the LSH
+    candidate step has recall 1.0 deterministically, making the
+    approximate path oracle-checkable). Background pairs top out at
+    cosine ~0.51 so the exact-verify step keeps only the planted pairs.
+    Scale shape: signatures → band-bucket equi-join → exact cosine on
+    candidates only; no driver collect, no cross join."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
+    )
+    both = e.unionByName(planted)
+    return D.srp_near_dup_pairs(both, threshold=0.9).orderBy("id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

@@ -64,6 +64,101 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     ivf = {(r.query_id, r.neighbor_id) for r in S.ivf_topk(emb, q, k=5, every=50, nprobe=3).collect()}
     recall = len(brute & ivf) / len(brute)
     assert recall >= 0.5, f"IVF recall@5 = {recall}"  # approximate, bounded probe
+    # Lloyd-refined centroids must beat the raw stride seed on the same budget
+    km = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(emb, q, k=5, every=50, nprobe=3, kmeans_iters=5).collect()
+    }
+    km_recall = len(brute & km) / len(brute)
+    assert km_recall > recall, f"kmeans {km_recall} vs stride {recall}"
+
+
+def test_ivf_kmeans_recall_on_clustered_corpus(spark, sf_dir):
+    """On data with real cluster structure (planted jittered twins) the
+    k-means IVF hits ≥0.95 recall@1 at nprobe=3/10 — the regime IVF is
+    for. (The uniform sf embeddings have no structure to exploit, which
+    caps any IVF's recall there; that path is covered above.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    jit = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.sin(x * 37.0) * 0.1).alias("embedding"),
+    )
+    corpus = e.unionByName(jit).cache()
+    q = e.filter(F.col("vec_id") % 10 == 0)
+    brute = {(r.query_id, r.neighbor_id) for r in S.cosine_topk(corpus, q, k=1).collect()}
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(corpus, q, k=1, every=50, nprobe=3, kmeans_iters=5).collect()
+    }
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.95, f"kmeans IVF recall@1 = {recall}"
+
+
+def test_cosine_topk_query_side_guard(spark, sf_dir):
+    """An oversized query side must fail fast (QuerySideTooLarge), never
+    collect unbounded rows to the driver."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(S.QuerySideTooLarge):
+        S.cosine_topk(emb, emb, k=1, max_queries=10)
+    # within contract still works
+    q = emb.filter(F.col("vec_id") < 5)
+    assert S.cosine_topk(emb, q, k=1, max_queries=10).count() > 0
+
+
+def test_embedding_blockpair_gemm_exact_and_block_invariant(spark, sf_dir):
+    """The distributed block-pair GEMM must (a) reproduce numpy all-pairs
+    ground truth and (b) give an identical answer for any block count —
+    the partitioning is a physical choice, never a semantic one."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    base = {(r.id_a, r.id_b): r.cosine for r in D.embedding_dup_pairs(emb, threshold=0.45).collect()}
+    alt = {(r.id_a, r.id_b): r.cosine for r in D.embedding_dup_pairs(emb, threshold=0.45, blocks=3).collect()}
+    assert base == alt and base
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    M = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S_ = Mn @ Mn.T
+    ii, jj = np.where(S_ >= 0.45)
+    truth = {
+        (int(ids[i]), int(ids[j])): round(float(S_[i, j]), 4)
+        for i, j in zip(ii, jj)
+        if ids[i] < ids[j]
+    }
+    assert base == truth
+
+
+def test_srp_near_dup_recall_and_precision(spark, sf_dir):
+    """SRP-LSH candidates + exact verify: plant jittered near-copies of
+    every vector (cosine ≈ 0.97-0.999), assert recall ≥ 0.95 against the
+    exact block-GEMM verifier and precision 1.0 (verify step is exact)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    jitter = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: x + F.sin(x * 37.0) * 0.1,  # deterministic ~0.97+ cosine perturbation
+        ).alias("embedding"),
+    )
+    both = e.unionByName(jitter).cache()
+    exact = {(r.id_a, r.id_b): r.cosine for r in D.embedding_dup_pairs(both, threshold=0.9).collect()}
+    srp = {(r.id_a, r.id_b): r.cosine for r in D.srp_near_dup_pairs(both, threshold=0.9).collect()}
+    assert exact, "planted jitter pairs must clear the 0.9 threshold"
+    assert set(srp) <= set(exact)  # precision 1.0: verify step is exact
+    for k, v in srp.items():
+        assert v == exact[k]
+    recall = len(srp) / len(exact)
+    assert recall >= 0.95, f"SRP recall {recall} over {len(exact)} true pairs"
+
+
+def test_srp_plan_has_no_cartesian(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = D.srp_near_dup_pairs(emb, threshold=0.9)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
 
 def test_asof_join_matches_pandas_merge_asof(spark):
