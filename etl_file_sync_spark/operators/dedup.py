@@ -57,6 +57,7 @@ def jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_df_frac: float | None = 0.5,
 ) -> DataFrame:
     """All candidate pairs with shingle-Jaccard >= threshold (id_a < id_b).
 
@@ -65,6 +66,15 @@ def jaccard_pairs(
     candidates (see minhash_lsh_candidates); with a selective shingle space
     the shared-shingle join is itself the pruning step.
 
+    Stop-shingle cut: shingles present in more than `max_df_frac` of all
+    docs (boilerplate headers, license blurbs) are dropped BEFORE the
+    self-join — a hot shingle shared by f docs contributes f² join rows,
+    so one boilerplate line repeated corpus-wide turns the join quadratic.
+    Jaccard is then computed over the retained shingle universe (per-doc
+    sizes counted after the cut — standard stopword-removal semantics).
+    At small SF no shingle crosses a 0.5 df, so the cut is a no-op there;
+    pass None to disable.
+
     Per-doc set sizes ride along as a window count over the shingle rows,
     so the plan is ONE self-join + one aggregation — no extra size joins.
     The shingle frame is cached for the self-join's two scans (small:
@@ -72,9 +82,15 @@ def jaccard_pairs(
     """
     from pyspark.sql import Window as W
 
-    sh = shingles(df, id_col, text_col, n).withColumn(
-        "n_sh", F.count(F.lit(1)).over(W.partitionBy("id"))
-    ).cache()
+    sh = shingles(df, id_col, text_col, n)
+    if max_df_frac is not None:
+        n_docs = df.count()  # scalar aggregate — metadata, not data
+        sh = (
+            sh.withColumn("_df", F.count(F.lit(1)).over(W.partitionBy("shingle")))
+            .filter(F.col("_df") <= F.lit(float(max_df_frac) * n_docs))
+            .drop("_df")
+        )
+    sh = sh.withColumn("n_sh", F.count(F.lit(1)).over(W.partitionBy("id"))).cache()
     a = sh.alias("a")
     b = sh.alias("b")
     return (
@@ -88,6 +104,61 @@ def jaccard_pairs(
         .withColumn("jaccard", F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def deletion_neighborhood_keys(df: DataFrame, id_col: str = "id", name_col: str = "name") -> DataFrame:
+    """1-deletion neighborhood block keys (SymSpell-style blocking).
+
+    Each string emits itself plus every single-character-deletion variant
+    as a block key. Two strings at Levenshtein distance <= 1 ALWAYS share
+    a key (substitution at p: both delete p; insertion/deletion: the
+    longer string's deletion equals the shorter string itself), so an
+    equi-join on the key is a COMPLETE candidate generator for
+    max_dist=1 — with per-variant blocks instead of hot prefix blocks.
+    Returns (id, name, bkey) distinct.
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(name_col).alias("name"))
+    name = F.col("name")
+    variants = F.transform(
+        F.sequence(F.lit(0), F.length(name)),
+        lambda i: F.when(i == F.lit(0), name).otherwise(
+            F.concat(F.substring(name, F.lit(1), i - 1), F.substring(name, i + 1, F.length(name)))
+        ),
+    )
+    return base.select("id", "name", F.explode(F.array_distinct(variants)).alias("bkey")).distinct()
+
+
+def fuzzy_blocked_pairs(
+    df: DataFrame, id_col: str = "id", name_col: str = "name", max_dist: int = 1
+) -> DataFrame:
+    """Fuzzy entity matching WITHOUT an all-pairs cross join.
+
+    Deletion-neighborhood blocking → equi-join on block key (shuffles on
+    the key space, never O(n²) pairs) → levenshtein verify on candidates
+    only. Complete for max_dist=1 (see deletion_neighborhood_keys); for
+    larger radii chain deletions or fall back to q-gram/LSH blocking.
+    Output: (id_a, id_b, edit_dist), id_a < id_b.
+    """
+    if max_dist != 1:
+        raise ValueError("fuzzy_blocked_pairs blocking is complete for max_dist=1 only")
+    keys = deletion_neighborhood_keys(df, id_col, name_col)
+    a = keys.alias("a")
+    b = keys.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= max_dist)
+        .select("id_a", "id_b", "edit_dist")
     )
 
 

@@ -69,10 +69,12 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "levenshtein",
 )
 def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance fuzzy matching (entity-resolution building block).
+    """Edit-distance fuzzy matching, all-pairs VERIFIER on a bounded slice.
 
-    All-pairs on a bounded slice here; the scale path blocks candidates
-    first (prefix/length blocking or LSH) and only then pays levenshtein.
+    Kept as the exhaustive cross-check for the canonical blocked path —
+    see dedup_fuzzy_blocked (deletion-neighborhood blocking, equi-join,
+    no cross join), which is the entity-resolution building block to use
+    at scale.
     """
     c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 150).select("c_custkey", "c_name")
     a = c.select(F.col("c_custkey").alias("id_a"), F.col("c_name").alias("name_a"))
@@ -83,6 +85,47 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("edit_dist") <= 1)
         .select("id_a", "id_b", "edit_dist")
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "dedup_fuzzy_blocked",
+    """
+    WITH c AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+    ci AS (SELECT id, name, unnest(range(0, length(name) + 1)) AS i FROM c),
+    k AS (
+      SELECT DISTINCT id, name,
+             CASE WHEN i = 0 THEN name
+                  ELSE substr(name, 1, i - 1) || substr(name, i + 1) END AS bkey
+      FROM ci
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b
+      FROM k a JOIN k b ON a.bkey = b.bkey AND a.id < b.id
+    )
+    SELECT id_a, id_b, CAST(levenshtein(name_a, name_b) AS INTEGER) AS edit_dist
+    FROM cand WHERE levenshtein(name_a, name_b) <= 1
+    ORDER BY id_a, id_b
+    """,
+    "dedup",
+    "fuzzy",
+    "blocking",
+)
+def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical fuzzy-match path: deletion-neighborhood blocking (every
+    1-deletion variant is a block key — complete for edit distance <= 1),
+    equi-join on the key, levenshtein only on candidates. Runs on the
+    FULL customer table (no slice needed — no cross join anywhere); the
+    oracle restates the identical blocking in SQL."""
+    from etl_file_sync_spark.operators.dedup import fuzzy_blocked_pairs
+
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    return (
+        fuzzy_blocked_pairs(c, "id", "name", max_dist=1)
+        .select("id_a", "id_b", F.col("edit_dist").cast("int").alias("edit_dist"))
         .orderBy("id_a", "id_b")
     )
 

@@ -161,6 +161,60 @@ def test_srp_plan_has_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
 
+def test_fuzzy_blocked_matches_allpairs_and_no_cartesian(spark, sf_dir):
+    """Deletion-neighborhood blocking is COMPLETE for edit distance <= 1:
+    the blocked result must equal the exhaustive all-pairs result, and
+    the plan must contain no cartesian product."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("id"), F.col("c_name").alias("name"))
+        .cache()
+    )
+    blocked = D.fuzzy_blocked_pairs(c, "id", "name", max_dist=1)
+    got = {(r.id_a, r.id_b): r.edit_dist for r in blocked.collect()}
+    a = c.select(F.col("id").alias("id_a"), F.col("name").alias("name_a"))
+    b = c.select(F.col("id").alias("id_b"), F.col("name").alias("name_b"))
+    allpairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 1)
+    )
+    want = {(r.id_a, r.id_b): r.edit_dist for r in allpairs.collect()}
+    assert got == want and got
+    plan = blocked._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_jaccard_stop_shingle_cut_kills_boilerplate_skew(spark):
+    """A boilerplate line shared by every doc must not create candidate
+    pairs (hot-shingle f² join-row blowup); docs that only share the
+    boilerplate come out with NO pair, while genuinely similar docs keep
+    theirs."""
+    boiler = "copyright acme corp all rights reserved"
+    rows = [(i, f"{boiler} unique body {i} alpha beta gamma delta") for i in range(20)]
+    rows += [(100, f"{boiler} same real content here twice over"),
+             (101, f"{boiler} same real content here twice over")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.jaccard for r in D.jaccard_pairs(df, threshold=0.5).collect()}
+    assert set(got) == {(100, 101)}
+    assert got[(100, 101)] == 1.0  # boilerplate excluded from the universe too
+    # disabled cut keeps boilerplate in the universe: jaccard < 1 but pair survives
+    raw = {(r.id_a, r.id_b): r.jaccard for r in D.jaccard_pairs(df, threshold=0.5, max_df_frac=None).collect()}
+    assert (100, 101) in raw
+
+
+def test_fuzzy_blocked_indel_pairs(spark):
+    """Insertions/deletions (length-changing edits) are caught, not just
+    substitutions."""
+    df = spark.createDataFrame(
+        [(1, "kitten"), (2, "kittn"), (3, "kittens"), (4, "sitten"), (5, "zebra")],
+        "id long, name string",
+    )
+    got = {(r.id_a, r.id_b) for r in D.fuzzy_blocked_pairs(df, "id", "name").collect()}
+    assert got == {(1, 2), (1, 3), (1, 4)}
+
+
 def test_asof_join_matches_pandas_merge_asof(spark):
     left = pd.DataFrame({"k": [1, 1, 1, 2, 2], "t": [5.0, 10.0, 3.0, 7.0, 1.0], "lv": list("abcde")})
     right = pd.DataFrame({"k": [1, 1, 2], "rt": [4.0, 9.0, 7.0], "rv": [100, 200, 300]})
