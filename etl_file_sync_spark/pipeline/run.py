@@ -19,10 +19,85 @@ import signal
 import sys
 
 from etl_file_sync_spark.pipeline.config import get_dlq_topic, servers_dataframe
-from etl_file_sync_spark.pipeline.sink import foreach_batch_factory, run_manifest_batch
+from etl_file_sync_spark.pipeline.sink import (
+    foreach_batch_factory,
+    kafka_dlq_writer,
+    run_manifest_batch,
+)
 from etl_file_sync_spark.session import get_spark
 
 log = logging.getLogger("etl_file_sync_spark")
+
+
+def kafka_reader_options(
+    topic: str, bootstrap_servers: str, group_id: str | None = None, env: dict | None = None
+) -> dict[str, str]:
+    """The kafka reader configuration, as a plain dict (unit-testable
+    seam — the stream builder just applies it with .options(**...)).
+
+    - startingOffsets=earliest: the reference consumer's
+      auto_offset_reset="earliest" (consumer.py:83).
+    - kafka.group.id: consumer-group parity (main.py:45).
+    - maxOffsetsPerTrigger (env ETL_MAX_OFFSETS_PER_TRIGGER): bound
+      records per micro-batch so transfer work stays inside executor
+      disk/connection budgets — the Spark analogue of the reference's
+      1 s poll granularity (consumer.py:94).
+    - minPartitions (env ETL_KAFKA_MIN_PARTITIONS): fan the scan out
+      beyond the topic's partition count for transfer parallelism.
+    """
+    e = os.environ if env is None else env
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": "earliest",
+        "kafka.group.id": group_id or "etl-file-sync-spark",
+    }
+    if e.get("ETL_MAX_OFFSETS_PER_TRIGGER"):
+        opts["maxOffsetsPerTrigger"] = e["ETL_MAX_OFFSETS_PER_TRIGGER"]
+    if e.get("ETL_KAFKA_MIN_PARTITIONS"):
+        opts["minPartitions"] = e["ETL_KAFKA_MIN_PARTITIONS"]
+    return opts
+
+
+def ensure_topics(bootstrap_servers: str, topics: dict[str, int]) -> bool:
+    """Opt-in topic auto-creation (parity: docker/entrypoint.sh:66-117 —
+    create-if-not-exists for the main topic and its 1-partition DLQ).
+
+    Uses whichever Kafka admin client is importable (confluent-kafka or
+    kafka-python); neither ships in this image, so absence degrades to a
+    logged no-op returning False — the reference's entrypoint likewise
+    soft-fails topic creation (`|| true`).
+    """
+    try:
+        from confluent_kafka.admin import AdminClient, NewTopic  # type: ignore
+
+        admin = AdminClient({"bootstrap.servers": bootstrap_servers})
+        futures = admin.create_topics(
+            [NewTopic(t, num_partitions=p, replication_factor=1) for t, p in topics.items()]
+        )
+        for t, fut in futures.items():
+            try:
+                fut.result(timeout=10)
+                log.info("created topic %s", t)
+            except Exception as exc:  # exists / transient — soft-fail like entrypoint.sh
+                log.warning("topic %s not created: %s", t, exc)
+        return True
+    except ImportError:
+        pass
+    try:
+        from kafka.admin import KafkaAdminClient, NewTopic  # type: ignore
+
+        admin = KafkaAdminClient(bootstrap_servers=bootstrap_servers)
+        for t, p in topics.items():
+            try:
+                admin.create_topics([NewTopic(name=t, num_partitions=p, replication_factor=1)])
+                log.info("created topic %s", t)
+            except Exception as exc:
+                log.warning("topic %s not created: %s", t, exc)
+        return True
+    except ImportError:
+        log.warning("no Kafka admin client installed; skipping topic auto-creation")
+        return False
 
 
 def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
@@ -81,27 +156,27 @@ def main(argv: list[str] | None = None) -> int:
         print("topic and bootstrap servers required in kafka mode", file=sys.stderr)
         return 2
 
-    reader = (
+    dlq_topic = get_dlq_topic(args.topic)
+    if os.environ.get("ETL_AUTO_CREATE_TOPICS", "").lower() in ("1", "true", "yes", "on"):
+        parts = int(os.environ.get("ETL_TOPIC_PARTITIONS", "1"))
+        ensure_topics(args.bootstrap_servers, {args.topic: parts, dlq_topic: 1})
+
+    opts = kafka_reader_options(args.topic, args.bootstrap_servers, args.group_id)
+    stream = (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", args.bootstrap_servers)
-        .option("subscribe", args.topic)
-        .option("startingOffsets", "earliest")
-        .option("kafka.group.id", args.group_id or "etl-file-sync-spark")
+        .options(**opts)
+        .load()
+        .selectExpr("CAST(value AS STRING) AS value")
     )
-    # backpressure: bound records per micro-batch so transfer work per
-    # batch stays inside executor disk/connection budgets (the Spark
-    # analogue of the reference's 1s poll granularity, consumer.py:94)
-    max_offsets = os.environ.get("ETL_MAX_OFFSETS_PER_TRIGGER")
-    if max_offsets:
-        reader = reader.option("maxOffsetsPerTrigger", max_offsets)
-    min_parts = os.environ.get("ETL_KAFKA_MIN_PARTITIONS")
-    if min_parts:
-        reader = reader.option("minPartitions", min_parts)  # fan out beyond topic partitions
-    stream = reader.load().selectExpr("CAST(value AS STRING) AS value")
-    log.info("DLQ topic for Kafka sink variant: %s", get_dlq_topic(args.topic))
+    log.info("producing DLQ to Kafka topic: %s", dlq_topic)
     query = (
         stream.writeStream.foreachBatch(
-            foreach_batch_factory(servers, f"{args.output_dir}/dlq", f"{args.output_dir}/status")
+            foreach_batch_factory(
+                servers,
+                f"{args.output_dir}/dlq",
+                f"{args.output_dir}/status",
+                dlq_writer=kafka_dlq_writer(args.bootstrap_servers, dlq_topic),
+            )
         )
         .option("checkpointLocation", args.checkpoint)
         .start()

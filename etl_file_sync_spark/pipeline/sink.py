@@ -141,27 +141,65 @@ def run_manifest_batch(
     return status, dlq
 
 
+def kafka_dlq_writer(bootstrap_servers: str, topic: str):
+    """DLQ producer for kafka mode: publish each envelope row to the
+    derived DLQ topic (parity: consumer.py:211-225 — producer.send to
+    config.get_dlq_topic). The envelope frame already carries one JSON
+    string per row in `value`, which is exactly the kafka sink's wire
+    contract. Needs the spark-sql-kafka connector on the classpath (it
+    ships on real clusters / via --packages; absent in this sandbox, so
+    failures route through the swallow path like any DLQ-send error).
+    """
+
+    def write(dlq: DataFrame) -> None:
+        (
+            dlq.selectExpr("CAST(value AS STRING) AS value")
+            .write.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("topic", topic)
+            .save()
+        )
+
+    return write
+
+
 def foreach_batch_factory(
     servers: DataFrame,
     dlq_dir: str,
     status_dir: str,
     staging_dir: str | None = None,
     skip_if_exists: bool = False,
+    dlq_writer=None,
 ):
     """foreachBatch body for the streaming pipeline: execute transfers,
-    append status + DLQ as parquet (Kafka-less mode; a Kafka DLQ sink is a
-    one-line format swap). Checkpointing upstream gives at-least-once;
-    skip_if_exists makes replayed batches idempotent on local sinks."""
+    append status as parquet, route DLQ envelopes to every configured DLQ
+    sink. In kafka mode the runner passes dlq_writer=kafka_dlq_writer(...)
+    so failed jobs land ON THE BUS like the reference's producer
+    (consumer.py:188-225); the parquet DLQ is always written too as the
+    operational record. Each DLQ-sink failure is swallowed independently
+    (logged, never fails the batch — consumer.py:224-225 parity), so a
+    dead broker can't take down the parquet trail or vice versa.
+    Checkpointing upstream gives at-least-once; skip_if_exists makes
+    replayed batches idempotent on local sinks."""
 
     def body(batch_df: DataFrame, epoch_id: int) -> None:
+        import logging
+
         status, dlq = run_manifest_batch(batch_df, servers, staging_dir, skip_if_exists)
         status.write.mode("append").parquet(status_dir)
+        # DLQ feeds two sinks ⇒ materialize once, not one recompute per sink
+        dlq = dlq.localCheckpoint(eager=True)
+        if dlq_writer is not None:
+            try:
+                dlq_writer(dlq)
+            except Exception:
+                logging.getLogger(__name__).exception(
+                    "Kafka DLQ send failed; continuing (swallow semantics)"
+                )
         try:
             dlq.write.mode("append").parquet(dlq_dir)
         except Exception:  # DLQ-sink failure is swallowed (logged), never
             # fails the batch — reference parity: consumer.py:224-225
-            import logging
-
             logging.getLogger(__name__).exception("DLQ write failed; continuing (swallow semantics)")
 
     return body
