@@ -120,6 +120,46 @@ def test_connected_components_vs_union_find(spark):
     assert got == expected
 
 
+def test_connected_components_long_chain_converges_fast(spark):
+    """A 120-hop chain: naive min-label propagation needs 120 rounds; the
+    alternating star algorithm must finish inside a 10-round budget."""
+    from etl_file_sync_spark.operators.cluster import connected_components
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(120)], "id_a long, id_b long")
+    got = {(r.id, r.component) for r in connected_components(pairs, max_iter=10).collect()}
+    assert got == {(i, 0) for i in range(121)}
+
+
+def test_connected_components_random_vs_union_find(spark):
+    """Randomized graph cross-checked against a driver-side union-find."""
+    import random
+
+    from etl_file_sync_spark.operators.cluster import connected_components
+
+    rng = random.Random(7)
+    edges = sorted({tuple(sorted(rng.sample(range(200), 2))) for _ in range(150)})
+    parent = list(range(200))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    # min-id label per component, restricted to nodes that appear in edges
+    nodes = {n for e in edges for n in e}
+    roots = {}
+    for n in nodes:
+        roots.setdefault(find(n), []).append(n)
+    expected = {(n, min(mem)) for mem in roots.values() for n in mem}
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {(r.id, r.component) for r in connected_components(pairs).collect()}
+    assert got == expected
+
+
 def test_dedup_clusters_survivor_flags(spark):
     from etl_file_sync_spark.operators.cluster import dedup_clusters
 
