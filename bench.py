@@ -43,7 +43,10 @@ HEADLINE = [
     "dedup_exact_groups",
     "dedup_jaccard_pairs",
     "dedup_minhash_pairs",
+    "dedup_embedding_srp",
+    "dedup_fuzzy_blocked",
     "sim_topk_bruteforce",
+    "sim_topk_ivf",
     "text_quality_scores",
     "multimodal_binary_meta",
 ]

@@ -145,18 +145,21 @@ def fuzzy_blocked_pairs(
     keys = deletion_neighborhood_keys(df, id_col, name_col)
     a = keys.alias("a")
     b = keys.alias("b")
+    # dedup candidates on the narrow (id_a, id_b) pair BEFORE touching
+    # names: the distinct's shuffle then moves two longs per row, and the
+    # name lookup joins run on the (much smaller) deduped pair set.
     cand = (
         a.join(b, (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.name").alias("name_a"),
-            F.col("b.name").alias("name_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    names = df.select(F.col(id_col).alias("id"), F.col(name_col).alias("name"))
+    na = names.select(F.col("id").alias("id_a"), F.col("name").alias("name_a"))
+    nb = names.select(F.col("id").alias("id_b"), F.col("name").alias("name_b"))
     return (
-        cand.withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        cand.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("edit_dist") <= max_dist)
         .select("id_a", "id_b", "edit_dist")
     )
@@ -186,8 +189,10 @@ def minhash_lsh_candidates(
     Returns distinct (id_a, id_b) with id_a < id_b.
     """
     num_perm = bands * rows_per_band
+    # hash the band's signature elements directly as numeric columns —
+    # no string concat in the hot path
     band_cols = [
-        F.xxhash64(F.concat_ws(",", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])).alias(
+        F.xxhash64(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]).alias(
             f"band{b}"
         )
         for b in range(bands)
