@@ -98,6 +98,87 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fp_sha", F.sha2(norm, 256)).withColumn("fp_xx64", F.xxhash64(norm))
 
 
+def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document (public heuristics
+    from the Gopher/MassiveText data-quality literature):
+
+    - n_words, top_word_frac (most frequent word's share),
+    - dup_word_frac (share of words whose type occurs more than once),
+    - dup_bigram_frac (share of bigram tokens whose bigram repeats).
+
+    Distributed shape: explode → two partial-aggregated groupBys whose
+    keys INCLUDE the doc id, so work stays proportional to corpus size
+    and no key is hotter than the longest single document. Boilerplate-
+    heavy docs (the ones dedup misses) light up on dup_*_frac.
+    """
+    toks = F.filter(tokens(text_col), lambda w: F.length(w) > 0)
+    base = df.select(F.col(id_col).alias("id"), toks.alias("w"))
+    grams = base.select(
+        "id",
+        F.explode(
+            F.concat(
+                F.transform(F.col("w"), lambda x: F.struct(F.lit("1").alias("kind"), x.alias("g"))),
+                # slice to size-1 bigrams; the guard in sequence() plus the
+                # slice handles 0/1-word docs (sequence(1,0) would DESCEND)
+                F.slice(
+                    F.transform(
+                        F.sequence(F.lit(1), F.greatest(F.size("w") - 1, F.lit(1))),
+                        lambda i: F.struct(
+                            F.lit("2").alias("kind"),
+                            F.concat_ws(" ", F.get("w", i - 1), F.get("w", i)).alias("g"),
+                        ),
+                    ),
+                    F.lit(1),
+                    F.greatest(F.size("w") - 1, F.lit(0)),
+                ),
+            )
+        ).alias("kg"),
+    ).select("id", F.col("kg.kind").alias("kind"), F.col("kg.g").alias("g"))
+    counts = grams.groupBy("id", "kind", "g").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy("id").agg(
+        F.sum(F.when(F.col("kind") == "1", F.col("c"))).alias("n_words"),
+        F.max(F.when(F.col("kind") == "1", F.col("c"))).alias("top_c"),
+        F.sum(F.when((F.col("kind") == "1") & (F.col("c") > 1), F.col("c"))).alias("dup_c"),
+        F.sum(F.when(F.col("kind") == "2", F.col("c"))).alias("n_bigrams"),
+        F.sum(F.when((F.col("kind") == "2") & (F.col("c") > 1), F.col("c"))).alias("dup_bg_c"),
+    )
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.round(F.col("top_c") / F.col("n_words"), 4).alias("top_word_frac"),
+        F.round(F.coalesce(F.col("dup_c"), F.lit(0)) / F.col("n_words"), 4).alias("dup_word_frac"),
+        F.round(
+            F.coalesce(F.col("dup_bg_c"), F.lit(0)) / F.nullif(F.col("n_bigrams"), F.lit(0)), 4
+        ).alias("dup_bigram_frac"),
+    )
+
+
+def md5_stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum sampling by md5 bucket — the corpus-
+    rebalancing primitive (downsample the dominant language/source,
+    keep the tail). A row survives iff the first 8 hex chars of
+    md5(stratum:id), read as an integer, fall under rate·2³². Pure
+    narrow JVM expressions (md5/conv), no shuffle, and portable:
+    md5 is standardized, so any engine reproduces the exact sample
+    (unlike seeded RNG or engine-specific hashes).
+    """
+    rate = F.lit(float(default_rate))
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(rate)
+    bucket = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.col(strata_col), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    return df.filter(bucket < (rate * F.lit(float(2**32))).cast("bigint"))
+
+
 def hash_sample(df: DataFrame, id_col: str, rate_pct: int, salt: int = 0) -> DataFrame:
     """Deterministic, reproducible sampling: keep rows whose 64-bit hash
     of (id, salt) falls in the lowest rate_pct% of the hash space.

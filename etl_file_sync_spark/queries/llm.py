@@ -233,6 +233,71 @@ def text_quality_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_repetition_stats",
+    """
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS l
+      FROM documents
+    ),
+    uni AS (SELECT doc_id, '1' AS kind, unnest(l) AS g FROM w),
+    bix AS (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM w),
+    bi AS (SELECT doc_id, '2' AS kind, l[i] || ' ' || l[i + 1] AS g FROM bix),
+    counts AS (
+      SELECT doc_id, kind, g, count(*) AS c
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) GROUP BY 1, 2, 3
+    ),
+    agg AS (
+      SELECT doc_id,
+             sum(CASE WHEN kind = '1' THEN c END) AS n_words,
+             max(CASE WHEN kind = '1' THEN c END) AS top_c,
+             sum(CASE WHEN kind = '1' AND c > 1 THEN c ELSE 0 END) AS dup_c,
+             sum(CASE WHEN kind = '2' THEN c END) AS n_bigrams,
+             sum(CASE WHEN kind = '2' AND c > 1 THEN c ELSE 0 END) AS dup_bg_c
+      FROM counts GROUP BY 1
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           round(top_c / n_words, 4) AS top_word_frac,
+           round(dup_c / n_words, 4) AS dup_word_frac,
+           round(dup_bg_c / nullif(n_bigrams, 0), 4) AS dup_bigram_frac
+    FROM agg ORDER BY doc_id
+    """,
+    "text",
+    "quality",
+    "gopher",
+)
+def text_repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: top-word share, duplicate-word
+    share, duplicate-bigram share per document — the data-quality
+    signals that catch boilerplate-heavy docs near-dup misses."""
+    return X.repetition_stats(t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@register(
+    "sample_stratified_md5",
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE ('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+          < CAST((CASE lang WHEN 'en' THEN 0.2 ELSE 0.6 END) * 4294967296 AS UBIGINT)
+    ORDER BY doc_id
+    """,
+    "sampling",
+    "stratified",
+)
+def sample_stratified_md5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing: downsample the dominant language to 20%, keep
+    60% of the tail — deterministic md5-bucket sampling that any engine
+    reproduces bit-for-bit (the oracle IS the same sample)."""
+    return (
+        X.md5_stratified_sample(
+            t(spark, sf_dir, "documents"), "lang", {"en": 0.2}, 0.6
+        )
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
 def _lang_hits_sql(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in X.LANG_PROFILES[lang])
     return f"len(list_intersect(list_distinct(string_split(text, ' ')), [{words}]))"

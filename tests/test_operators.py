@@ -280,6 +280,44 @@ def test_hash_sample_deterministic_and_disjoint(spark, docs):
     assert other_salt != s1  # independent sample under a different salt
 
 
+def test_repetition_stats_hand_computed(spark):
+    from etl_file_sync_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b"),        # 4 words: top a=3/4, dup=3/4; bigrams: "a a"×2,"a b" → dup 2/3
+            (2, "x y z"),          # no repetition at all
+            (3, "w"),              # single word: no bigrams → null frac
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(df).collect()}
+    r1 = out[1]
+    assert (r1.n_words, r1.top_word_frac, r1.dup_word_frac, r1.dup_bigram_frac) == (4, 0.75, 0.75, 0.6667)
+    r2 = out[2]
+    assert (r2.n_words, r2.top_word_frac, r2.dup_word_frac, r2.dup_bigram_frac) == (3, round(1 / 3, 4), 0.0, 0.0)
+    r3 = out[3]
+    assert (r3.n_words, r3.top_word_frac, r3.dup_word_frac) == (1, 1.0, 0.0)
+    assert r3.dup_bigram_frac is None
+
+
+def test_md5_stratified_sample_rates_and_determinism(spark, docs):
+    from etl_file_sync_spark.operators.text import md5_stratified_sample
+
+    full = md5_stratified_sample(docs, "lang", {"en": 0.2}, 0.6)
+    s1 = {r.doc_id for r in full.select("doc_id").collect()}
+    s2 = {r.doc_id for r in full.select("doc_id").collect()}
+    assert s1 == s2
+    by_lang = {r["lang"]: r["cnt"] for r in full.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    tot = {r["lang"]: r["cnt"] for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    if tot.get("en", 0) > 50:
+        assert 0.05 < by_lang.get("en", 0) / tot["en"] < 0.4  # ~20%
+    rest_tot = sum(v for k, v in tot.items() if k != "en")
+    rest_got = sum(v for k, v in by_lang.items() if k != "en")
+    if rest_tot > 50:
+        assert 0.4 < rest_got / rest_tot < 0.8  # ~60%
+
+
 def test_hashed_embedding_invariants(spark, docs):
     import math
 
