@@ -125,11 +125,18 @@ def ivf_assign(
     c = centroids.select(F.col("centroid_id"), F.col("cv").cast("array<double>").alias("cv"))
     v = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     scored = v.join(F.broadcast(c)).withColumn("d", -cosine_expr(F.col("v"), F.col("cv")))
-    w = W.partitionBy(id_col).orderBy(F.col("d").asc(), F.col("centroid_id"))
+    # argmin via min_by on a (d, centroid_id) struct: partial-aggregable
+    # (map-side combine collapses the k candidate rows per vector before
+    # the shuffle), unlike a rank window which sort-shuffles all n·k rows.
+    # The struct ordering breaks distance ties on the lower centroid_id.
+    best = F.min_by(
+        F.struct(F.col("centroid_id"), F.col("v")),
+        F.struct(F.col("d"), F.col("centroid_id")),
+    ).alias("best")
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, "v", "centroid_id")
+        scored.groupBy(id_col)
+        .agg(best)
+        .select(id_col, F.col("best.v").alias("v"), F.col("best.centroid_id").alias("centroid_id"))
     )
 
 

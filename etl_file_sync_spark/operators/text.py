@@ -153,6 +153,57 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_len: int = 512,
+    bucket_width: int = 4096,
+) -> DataFrame:
+    """Sequence packing for pretraining: concatenate the token stream in
+    id order and chunk it into fixed `max_len` blocks; report where each
+    document lands. Returns (id, n_tokens, start_pack, start_offset,
+    end_pack) — the index a packing dataloader needs.
+
+    The global running token count is a TWO-PHASE prefix sum, not one
+    global ordered window (which Spark executes in a single partition —
+    the classic 100 TB deadend): per-bucket totals first (partial-
+    aggregated, n_buckets rows), an exclusive prefix over that tiny
+    frame, then an in-bucket cumulative window shifted by the bucket
+    prefix. Output is bucket_width-invariant (asserted in tests) —
+    bucketing is physical, never semantic. Assumes integral ids for
+    range bucketing (dense ids give even buckets).
+    """
+    from pyspark.sql import Window as W
+
+    toks = F.size(F.filter(tokens(text_col), lambda w: F.length(w) > 0))
+    base = df.select(F.col(id_col).alias("id"), toks.cast("bigint").alias("n_tokens"))
+    b = base.withColumn("bucket", F.floor(F.col("id") / bucket_width))
+    btot = b.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_total"))
+    wb = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    bpre = btot.select(
+        "bucket", F.coalesce(F.sum("bucket_total").over(wb), F.lit(0)).alias("bucket_prefix")
+    )
+    wd = W.partitionBy("bucket").orderBy("id").rowsBetween(W.unboundedPreceding, -1)
+    packed = (
+        b.join(F.broadcast(bpre), "bucket")
+        .withColumn(
+            "prev_cum", F.col("bucket_prefix") + F.coalesce(F.sum("n_tokens").over(wd), F.lit(0))
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.expr(f"prev_cum div {max_len}").alias("start_pack"),
+            (F.col("prev_cum") % max_len).alias("start_offset"),
+            F.greatest(
+                F.expr(f"(prev_cum + n_tokens - 1) div {max_len}"),
+                F.expr(f"prev_cum div {max_len}"),
+            ).alias("end_pack"),
+        )
+    )
+    return packed
+
+
 def md5_stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -298,6 +298,104 @@ def sample_stratified_md5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_pack_sequences",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(sum(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS prev_cum
+      FROM tok
+    )
+    SELECT doc_id, n_tokens,
+           CAST(prev_cum // 512 AS BIGINT) AS start_pack,
+           CAST(prev_cum % 512 AS BIGINT) AS start_offset,
+           CAST(greatest((prev_cum + n_tokens - 1) // 512, prev_cum // 512) AS BIGINT) AS end_pack
+    FROM c ORDER BY doc_id
+    """,
+    "text",
+    "packing",
+)
+def text_pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining sequence packing: chunk the concatenated token stream
+    into 512-token blocks via a two-phase distributed prefix sum (no
+    single-partition global window); the oracle restates it as a plain
+    running sum."""
+    return X.pack_sequences(t(spark, sf_dir, "documents"), max_len=512).orderBy("doc_id")
+
+
+@register(
+    "corpus_curation_gate",
+    f"""
+    WITH survivors AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents
+      GROUP BY sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+    ),
+    q AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n,
+             len(list_distinct(string_split(text, ' '))) * 1.0
+               / len(string_split(text, ' ')) AS ttr,
+             len(list_intersect(list_distinct(string_split(text, ' ')), {_STOPLIST_SQL})) AS stop_hits
+      FROM documents),
+    quality AS (
+      SELECT doc_id, lang,
+             round(((CASE WHEN n BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END)
+                    + ttr + least(stop_hits / 4.0, 1.0)) / 3.0, 4) AS quality_score
+      FROM q),
+    w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS l FROM documents),
+    u AS (SELECT doc_id, unnest(l) AS g FROM w),
+    cnt AS (SELECT doc_id, g, count(*) AS c FROM u GROUP BY 1, 2),
+    rep AS (
+      SELECT doc_id,
+             round(max(c) * 1.0 / sum(c), 4) AS top_word_frac,
+             round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c), 4) AS dup_word_frac
+      FROM cnt GROUP BY 1)
+    SELECT d.doc_id, quality.lang, quality.quality_score, rep.top_word_frac, rep.dup_word_frac
+    FROM survivors d
+    JOIN quality USING (doc_id)
+    JOIN rep USING (doc_id)
+    WHERE quality.quality_score >= 0.5
+      AND rep.top_word_frac <= 0.12
+      AND rep.dup_word_frac <= 0.9
+    ORDER BY d.doc_id
+    """,
+    "text",
+    "curation",
+    "pipeline",
+)
+def corpus_curation_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation gate a training pipeline runs before
+    tokenization: exact-dedup survivorship ∩ quality floor ∩ repetition
+    ceilings, composed from the registered operators (exact_dedup_groups,
+    with_quality_score, repetition_stats). One parquet scan feeds three
+    partial-aggregated branches joined back on doc_id — every join key is
+    the doc id, so AQE broadcast-joins the shrinking branches."""
+    docs = t(spark, sf_dir, "documents")
+    survivors = D.exact_dedup_groups(docs).select(F.col("keep_id").alias("doc_id"))
+    quality = X.with_quality_score(docs).select("doc_id", "lang", "quality_score")
+    rep = X.repetition_stats(docs).select("doc_id", "top_word_frac", "dup_word_frac")
+    return (
+        survivors.join(quality, "doc_id")
+        .join(rep, "doc_id")
+        .filter(
+            (F.col("quality_score") >= 0.5)
+            & (F.col("top_word_frac") <= 0.12)
+            & (F.col("dup_word_frac") <= 0.9)
+        )
+        .select("doc_id", "lang", "quality_score", "top_word_frac", "dup_word_frac")
+        .orderBy("doc_id")
+    )
+
+
 def _lang_hits_sql(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in X.LANG_PROFILES[lang])
     return f"len(list_intersect(list_distinct(string_split(text, ' ')), [{words}]))"

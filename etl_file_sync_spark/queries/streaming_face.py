@@ -260,3 +260,36 @@ def rollup_reaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("total_cents") / 100.0, 2).alias("total_value"),
         F.round(F.col("total_cents") / 100.0 / F.col("n_events"), 4).alias("avg_value"),
     )
+
+
+@register(
+    "stream_dedup_exactly_once",
+    """
+    SELECT event_id, user_id, event_type
+    FROM events
+    ORDER BY event_id
+    """,
+    "streaming",
+    "dedup",
+    "watermark",
+)
+def stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: the replayed event stream is UNIONED WITH
+    ITSELF (every event arrives twice — the at-least-once delivery the
+    operator exists for) and dropDuplicatesWithinWatermark('event_id')
+    must emit each event exactly once. State for a key is held only
+    inside the watermark horizon, so state size is bounded by the lateness
+    budget — the 100 TB-stream answer, vs an unbounded dropDuplicates.
+    The oracle is simply the distinct event set.
+    """
+    from etl_file_sync_spark.streaming import events_stream, run_to_memory_sink
+
+    s1 = events_stream(spark, sf_dir)
+    s2 = events_stream(spark, sf_dir)
+    doubled = s1.unionByName(s2)
+    deduped = (
+        doubled.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return run_to_memory_sink(deduped, "stream_dedup_sink", "append").orderBy("event_id")

@@ -318,6 +318,26 @@ def test_md5_stratified_sample_rates_and_determinism(spark, docs):
         assert 0.4 < rest_got / rest_tot < 0.8  # ~60%
 
 
+def test_pack_sequences_bucket_invariant_and_correct(spark):
+    """Packing must be identical for any bucket_width (the two-phase
+    prefix sum is a physical choice) and match a sequential reference."""
+    from etl_file_sync_spark.operators.text import pack_sequences
+
+    rows = [(i, " ".join(f"w{j}" for j in range((i * 37) % 90 + 1))) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r.doc_id: (r.n_tokens, r.start_pack, r.start_offset, r.end_pack)
+         for r in pack_sequences(df, max_len=64, bucket_width=7).collect()}
+    b = {r.doc_id: (r.n_tokens, r.start_pack, r.start_offset, r.end_pack)
+         for r in pack_sequences(df, max_len=64, bucket_width=4096).collect()}
+    assert a == b
+    # sequential reference
+    cum = 0
+    for i in range(50):
+        n = (i * 37) % 90 + 1
+        assert a[i] == (n, cum // 64, cum % 64, max((cum + n - 1) // 64, cum // 64))
+        cum += n
+
+
 def test_hashed_embedding_invariants(spark, docs):
     import math
 
