@@ -53,6 +53,23 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# GPT-2-style pretokenizer classes, ASCII-simplified: letter runs, digit
+# runs, and single non-alphanumeric marks each become one token. Portable
+# POSIX-class-free regex so any engine counts identically.
+BPE_SPLIT_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def with_bpe_token_estimate(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add n_bpe_tokens: subword-budget estimate via a BPE-ish pretokenizer
+    split (letter runs / digit runs / punctuation marks), the cheap stand-in
+    for a real tokenizer when budgeting sequence lengths. Narrow JVM regex —
+    no Python, no shuffle."""
+    return df.withColumn(
+        "n_bpe_tokens",
+        F.size(F.expr(f"regexp_extract_all({text_col}, '{BPE_SPLIT_RE}', 0)")),
+    )
+
+
 def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality score in [0,1]: length band + type-token ratio +
     stopword presence — the standard cheap pre-filter before expensive

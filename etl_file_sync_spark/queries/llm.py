@@ -203,6 +203,33 @@ def text_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_bpe_token_counts",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INTEGER)
+             AS n_bpe_tokens,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens
+    FROM documents ORDER BY doc_id
+    """,
+    "text",
+    "tokens",
+    "bpe",
+)
+def text_bpe_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length budgeting: BPE-ish pretokenizer count (letter runs,
+    digit runs, punctuation marks) next to the whitespace count."""
+    return (
+        X.with_bpe_token_estimate(t(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            F.col("n_bpe_tokens").cast("int").alias("n_bpe_tokens"),
+            F.size(F.split("text", " ")).cast("int").alias("n_ws_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 _STOPLIST_SQL = "['the','a','and','of','to','in','is','that']"
 
 
