@@ -149,3 +149,61 @@ def udaf_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(geo_mean("l_extendedprice"), 4).alias("geo_mean_price"),
         n_rows("l_extendedprice").alias("n"),
     )
+
+
+@register(
+    "udf_cogroup_reconcile",
+    """
+    WITH li AS (
+      SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS lineitem_revenue,
+             count(*) AS n_lines
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderkey AS orderkey, o.o_custkey AS custkey,
+           round(o.o_totalprice, 2) AS order_total,
+           COALESCE(li.lineitem_revenue, 0.0) AS lineitem_revenue,
+           CAST(COALESCE(li.n_lines, 0) AS INTEGER) AS n_lines
+    FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+    WHERE o.o_custkey < 200
+    ORDER BY orderkey
+    """,
+    "udf",
+    "cogroup",
+    "applyInPandas",
+)
+def udf_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas: orders and lineitems cogrouped on the
+    order key, reconciled per group in pandas (header total vs summed
+    line revenue) — the two-sided Arrow UDF surface
+    (GroupedData.cogroup), distinct from single-input applyInPandas.
+    Cogroup shuffles BOTH sides on the key once; inside each group the
+    merge is a vectorized pandas reduce. The oracle restates it as a
+    grouped left join."""
+
+    def reconcile(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:
+            return pd.DataFrame(
+                columns=["orderkey", "custkey", "order_total", "lineitem_revenue", "n_lines"]
+            )
+        rev = (right["l_extendedprice"] * (1.0 - right["l_discount"])).sum() if len(right) else 0.0
+        return pd.DataFrame(
+            {
+                "orderkey": left["o_orderkey"].iloc[:1],
+                "custkey": left["o_custkey"].iloc[:1],
+                "order_total": round(float(left["o_totalprice"].iloc[0]), 2),
+                "lineitem_revenue": round(float(rev), 2),
+                "n_lines": len(right),
+            }
+        )
+
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 200)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    out = o.groupBy("o_orderkey").cogroup(l.groupBy("l_orderkey")).applyInPandas(
+        reconcile,
+        schema="orderkey long, custkey long, order_total double, lineitem_revenue double, n_lines int",
+    )
+    return out.orderBy("orderkey")
