@@ -8,8 +8,9 @@ Scale design (100 TB):
   verifier below is for oracle-checkable correctness at small SF; the
   scale path is MinHash→LSH banding→bucket equi-join, which shuffles
   (band_id, band_hash) instead of O(n²) pairs.
-- everything is built-in expressions (xxhash64, array ops, bit ops) — no
-  Python in the hot path.
+- text paths are built-in expressions (xxhash64, array ops, bit ops) — no
+  Python in the hot path; the embedding paths use Arrow-batched numpy
+  (one BLAS GEMM per batch/bucket-pair), never row-at-a-time Python.
 """
 
 from __future__ import annotations

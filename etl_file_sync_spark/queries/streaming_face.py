@@ -293,3 +293,50 @@ def stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type")
     )
     return run_to_memory_sink(deduped, "stream_dedup_sink", "append").orderBy("event_id")
+
+
+@register(
+    "stream_session_windows",
+    """
+    WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    flags AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ev),
+    sess AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flags)
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_last,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    "streaming",
+    "session-window",
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming session windows: session_window(ts, '30 minutes')
+    under a watermark, driven through the state store to a memory sink —
+    the stateful merge-on-overlap operator itself, not the batch lag
+    rewrite (that equivalent is `sessionize_events`). The oracle is the
+    gaps-and-islands rewrite with session_window's half-open semantics
+    (an event exactly gap seconds after the last one opens a NEW
+    session, hence >= in the flag).
+    """
+    from etl_file_sync_spark.streaming import events_stream, run_to_memory_sink
+
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.min("ts").alias("session_start"), F.max("ts").alias("session_last"),
+             F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", "session_start", "session_last", "n_events")
+    )
+    return run_to_memory_sink(agg, "stream_session_sink", "complete").orderBy(
+        "user_id", "session_start"
+    )
