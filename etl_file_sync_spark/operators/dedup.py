@@ -167,16 +167,34 @@ def fuzzy_blocked_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3, num_perm: int = 64
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    hash_fn: str = "xxhash",
 ) -> DataFrame:
-    """MinHash signatures: num_perm seeded xxhash64 min-hashes per doc.
+    """MinHash signatures: num_perm seeded min-hashes per doc.
 
     One explode + one groupBy(id) with num_perm min() aggregates — a single
     shuffle on the doc id, partial-aggregated map-side. Returns
     (id, sig ARRAY<BIGINT>[num_perm]).
+
+    hash_fn: 'xxhash' (default, fastest — engine-internal values) or
+    'md5' (first 8 hex chars of md5(shingle:perm) as an integer — md5 is
+    standardized, so signatures are reproducible by ANY engine and the
+    whole MinHash→LSH pipeline becomes value-exact oracle-checkable).
     """
     sh = shingles(df, id_col, text_col, n)
-    aggs = [F.min(F.xxhash64(F.col("shingle"), F.lit(p))).alias(f"h{p}") for p in range(num_perm)]
+    if hash_fn == "xxhash":
+        hexp = lambda p: F.xxhash64(F.col("shingle"), F.lit(p))  # noqa: E731
+    elif hash_fn == "md5":
+        hexp = lambda p: F.conv(  # noqa: E731
+            F.substring(F.md5(F.concat_ws(":", F.col("shingle"), F.lit(str(p)))), 1, 8), 16, 10
+        ).cast("bigint")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    aggs = [F.min(hexp(p)).alias(f"h{p}") for p in range(num_perm)]
     sig = sh.groupBy("id").agg(*aggs)
     return sig.select("id", F.array(*[F.col(f"h{p}") for p in range(num_perm)]).alias("sig"))
 
@@ -227,11 +245,12 @@ def minhash_dedup_pairs(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    hash_fn: str = "xxhash",
 ) -> DataFrame:
     """Full MinHash near-dup pipeline: signatures → LSH candidates →
     signature-similarity estimate filter. Returns (id_a, id_b, est_jaccard).
     """
-    sig = minhash_signatures(df, id_col, text_col, n, num_perm).cache()
+    sig = minhash_signatures(df, id_col, text_col, n, num_perm, hash_fn).cache()
     cand = minhash_lsh_candidates(sig, bands, num_perm // bands)
     sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))

@@ -75,6 +75,53 @@ def dedup_minhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_dedup_pairs(t(spark, sf_dir, "documents"), threshold=0.5).orderBy("id_a", "id_b")
 
 
+@register(
+    "dedup_minhash_pairs_md5",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    ii AS (SELECT doc_id, l, unnest(range(0, greatest(len(l) - 3, 0) + 1)) AS i FROM w),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(list_slice(l, i + 1, i + 3), ' ') AS shingle
+      FROM ii WHERE length(array_to_string(list_slice(l, i + 1, i + 3), ' ')) > 0
+    ),
+    perms AS (SELECT unnest(range(0, 64)) AS p),
+    hashes AS (
+      SELECT doc_id, p,
+             min(('0x' || substr(md5(shingle || ':' || CAST(p AS VARCHAR)), 1, 8))::UBIGINT::BIGINT) AS h
+      FROM sh, perms GROUP BY doc_id, p
+    ),
+    sig AS (SELECT doc_id, list(h ORDER BY p) AS sig FROM hashes GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE len(list_filter(range(0, 16),
+                            band -> list_slice(sa, band * 4 + 1, band * 4 + 4)
+                                    = list_slice(sb, band * 4 + 1, band * 4 + 4))) > 0
+    )
+    SELECT id_a, id_b,
+           round(len(list_filter(range(1, 65), i -> sa[i] = sb[i])) / 64.0, 4) AS est_jaccard
+    FROM pairs
+    WHERE len(list_filter(range(1, 65), i -> sa[i] = sb[i])) / 64.0 >= 0.5
+    ORDER BY id_a, id_b
+    """,
+    "dedup",
+    "minhash",
+    "lsh",
+)
+def dedup_minhash_pairs_md5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash→LSH pipeline made VALUE-EXACT oracle-checkable: min-
+    hashes are md5-derived (standardized hash ⇒ DuckDB reproduces the
+    exact signatures), LSH candidates are any-shared-band pairs (the
+    oracle restates banding as band-slice equality — bucket-hash values
+    are an engine detail, shared-band membership is the semantics), and
+    the 64-perm similarity estimate filters at 0.5. The xxhash variant
+    (dedup_minhash_pairs) stays the fast path; this one proves the
+    pipeline end-to-end against an independent engine."""
+    return D.minhash_dedup_pairs(
+        t(spark, sf_dir, "documents"), threshold=0.5, hash_fn="md5"
+    ).orderBy("id_a", "id_b")
+
+
 @register("dedup_simhash_pairs", None, "dedup", "simhash")
 def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64-bit) near-dup pairs with hamming <= 3 via 16-bit block

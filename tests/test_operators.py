@@ -40,6 +40,23 @@ def test_minhash_estimate_accuracy(spark, docs):
         assert max(errs) < 0.25  # 64-perm signatures: ~1/sqrt(64) error
 
 
+def test_minhash_md5_variant_estimates_match_exact(spark, docs):
+    """The portable md5-hash variant is the same estimator: recall vs
+    exact Jaccard holds and estimates stay within the 64-perm error."""
+    exact = {(r.id_a, r.id_b): r.jaccard for r in D.jaccard_pairs(docs, threshold=0.7).collect()}
+    est = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in D.minhash_dedup_pairs(docs, threshold=0.5, hash_fn="md5").collect()
+    }
+    if not exact:
+        pytest.skip("no high-jaccard pairs at this SF")
+    recall = len(set(exact) & set(est)) / len(exact)
+    assert recall >= 0.9
+    for k, v in exact.items():
+        if k in est:
+            assert abs(est[k] - v) < 0.25
+
+
 def test_simhash_deterministic_and_near_pairs_symmetric(spark, docs):
     s1 = {r.id: r.simhash for r in D.simhash(docs).collect()}
     s2 = {r.id: r.simhash for r in D.simhash(docs).collect()}
