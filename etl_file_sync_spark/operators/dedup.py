@@ -264,15 +264,34 @@ def minhash_dedup_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
-    """64-bit SimHash over word tokens (xxhash64 token hashes).
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    hash_fn: str = "xxhash",
+) -> DataFrame:
+    """SimHash over word tokens (majority vote per bit of token hashes).
 
-    Per doc: majority vote per bit position of token hashes. Computed as
-    one explode + one groupBy(id) with `bits` signed-count aggregates —
-    all JVM bit-ops, partial-aggregated. Returns (id, simhash BIGINT).
+    Computed as one explode + one groupBy(id) with `bits` signed-count
+    aggregates — all JVM bit-ops, partial-aggregated. Returns
+    (id, simhash BIGINT).
+
+    hash_fn: 'xxhash' (default, 64-bit, engine-internal values) or 'md5'
+    (60-bit token hash from the first 15 hex chars — standardized, so
+    any engine reproduces the exact simhash; bits is forced to 60 to
+    stay inside signed-64 range in every engine's integer parser).
     """
     toks = df.select(F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
-    h = toks.withColumn("th", F.xxhash64("tok"))
+    if hash_fn == "xxhash":
+        h = toks.withColumn("th", F.xxhash64("tok"))
+    elif hash_fn == "md5":
+        bits = min(bits, 60)
+        h = toks.withColumn(
+            "th", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
+        )
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     bit_aggs = [
         F.sum(F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{i}")
         for i in range(bits)
@@ -280,9 +299,10 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     votes = h.groupBy("id").agg(*bit_aggs)
     sim = None
     for i in range(bits):
-        term = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("bigint") * F.lit(2**i if i < 63 else -(2**63))).otherwise(
-            F.lit(0).cast("bigint")
-        )
+        term = F.when(
+            F.col(f"b{i}") > 0,
+            F.shiftleft(F.lit(1).cast("bigint"), i) if i < 63 else F.lit(-(2**63)),
+        ).otherwise(F.lit(0).cast("bigint"))
         sim = term if sim is None else sim + term
     return votes.select("id", sim.alias("simhash"))
 

@@ -122,6 +122,42 @@ def dedup_minhash_pairs_md5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@register(
+    "dedup_simhash_pairs_md5",
+    """
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::UBIGINT::BIGINT AS th FROM toks),
+    votes AS (
+      SELECT doc_id, i, sum(CASE WHEN (th >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h, (SELECT unnest(range(0, 60)) AS i) GROUP BY doc_id, i
+    ),
+    sim AS (
+      SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END) AS s
+      FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s, b.s)) <= 3
+    ORDER BY id_a, id_b
+    """,
+    "dedup",
+    "simhash",
+)
+def dedup_simhash_pairs_md5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash made VALUE-EXACT oracle-checkable: md5-derived 60-bit
+    token hashes (standardized ⇒ DuckDB reproduces the exact simhash),
+    16-bit-block LSH banding for candidates (pigeonhole-complete for
+    hamming <= 3, so banding equals the oracle's exhaustive hamming
+    scan), hamming verify. The xxhash variant stays the fast path."""
+    sim = D.simhash(t(spark, sf_dir, "documents"), hash_fn="md5")
+    return (
+        D.simhash_near_pairs(sim, max_hamming=3)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 @register("dedup_simhash_pairs", None, "dedup", "simhash")
 def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64-bit) near-dup pairs with hamming <= 3 via 16-bit block
