@@ -130,14 +130,54 @@ def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_cluster_collapse", None, "dedup", "connected-components")
+@register(
+    "dedup_cluster_collapse",
+    """
+    WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, array_to_string(w[i+1:i+3], ' ') AS s
+      FROM d, UNNEST(range(0, greatest(len(w) - 2, 1))) AS u(i)
+      WHERE array_to_string(w[i+1:i+3], ' ') <> ''
+    ),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM common JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+      WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.5
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach AS (
+      SELECT id, id AS r FROM nodes
+      UNION
+      SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    ),
+    comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+    sized AS (SELECT doc_id, cluster_id,
+                     count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+              FROM comp)
+    SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical,
+           CAST(cluster_size AS INTEGER) AS cluster_size
+    FROM sized WHERE cluster_size > 1 ORDER BY doc_id
+    """,
+    "dedup",
+    "connected-components",
+)
 def dedup_cluster_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → connected components → per-cluster canonical doc.
 
-    Jaccard pairs (exact, >=0.5) feed min-label propagation; output is
-    one row per clustered doc with its cluster id and survivor flag.
-    Iterative (driver loop + localCheckpoint) ⇒ rows-only driver check;
-    correctness vs a union-find reference is asserted in tests.
+    Jaccard pairs (exact, >=0.5) feed alternating-star min-label
+    components; output is one row per clustered doc with its cluster id
+    and survivor flag. Min-id labels are deterministic, so the oracle
+    restates the whole thing: the same jaccard pair SQL + a recursive-
+    CTE transitive closure with min-reachable-id labels — the iterative
+    distributed algorithm is value-checked against exhaustive closure.
     """
     from etl_file_sync_spark.operators.cluster import dedup_clusters
     from etl_file_sync_spark.operators.dedup import jaccard_pairs
