@@ -9,6 +9,7 @@ here is Arrow-batched (never row-at-a-time pickling).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -155,13 +156,15 @@ def udaf_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_cogroup_reconcile",
     """
     WITH li AS (
-      SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS lineitem_revenue,
+      SELECT l_orderkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS lineitem_revenue_e4,
              count(*) AS n_lines
       FROM lineitem GROUP BY l_orderkey
     )
     SELECT o.o_orderkey AS orderkey, o.o_custkey AS custkey,
            round(o.o_totalprice, 2) AS order_total,
-           COALESCE(li.lineitem_revenue, 0.0) AS lineitem_revenue,
+           CAST(COALESCE(li.lineitem_revenue_e4, 0) AS BIGINT) AS lineitem_revenue_e4,
            CAST(COALESCE(li.n_lines, 0) AS INTEGER) AS n_lines
     FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
     WHERE o.o_custkey < 200
@@ -178,20 +181,29 @@ def udf_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (GroupedData.cogroup), distinct from single-input applyInPandas.
     Cogroup shuffles BOTH sides on the key once; inside each group the
     merge is a vectorized pandas reduce. The oracle restates it as a
-    grouped left join."""
+    grouped left join. Revenue is reconciled in integer 1e-4-dollar
+    units (prices/discounts are exact 2-decimal values) so the sum is
+    order-independent and bit-identical across engines — a float
+    round(sum(...), 2) can land on opposite sides of a half-cent
+    boundary depending on summation order."""
 
     def reconcile(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if len(left) == 0:
             return pd.DataFrame(
-                columns=["orderkey", "custkey", "order_total", "lineitem_revenue", "n_lines"]
+                columns=["orderkey", "custkey", "order_total", "lineitem_revenue_e4", "n_lines"]
             )
-        rev = (right["l_extendedprice"] * (1.0 - right["l_discount"])).sum() if len(right) else 0.0
+        if len(right):
+            cents = np.rint(right["l_extendedprice"].to_numpy() * 100).astype("int64")
+            disc = np.rint(right["l_discount"].to_numpy() * 100).astype("int64")
+            rev_e4 = int((cents * (100 - disc)).sum())
+        else:
+            rev_e4 = 0
         return pd.DataFrame(
             {
                 "orderkey": left["o_orderkey"].iloc[:1],
                 "custkey": left["o_custkey"].iloc[:1],
                 "order_total": round(float(left["o_totalprice"].iloc[0]), 2),
-                "lineitem_revenue": round(float(rev), 2),
+                "lineitem_revenue_e4": rev_e4,
                 "n_lines": len(right),
             }
         )
@@ -204,6 +216,6 @@ def udf_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
     out = o.groupBy("o_orderkey").cogroup(l.groupBy("l_orderkey")).applyInPandas(
         reconcile,
-        schema="orderkey long, custkey long, order_total double, lineitem_revenue double, n_lines int",
+        schema="orderkey long, custkey long, order_total double, lineitem_revenue_e4 long, n_lines int",
     )
     return out.orderBy("orderkey")
