@@ -12,6 +12,7 @@ from etl_file_sync_spark.queries import (  # noqa: F401
     streaming_face,
     tpch,
     tpch2,
+    tpch3,
     udfs,
 )
 from etl_file_sync_spark.queries.registry import REGISTRY, Query  # noqa: F401
