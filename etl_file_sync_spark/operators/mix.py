@@ -1,0 +1,127 @@
+"""Corpus mixture operators: temperature-weighted domain sampling and
+bigram-novelty scoring for training-data curation.
+
+The reference engine has no analytics surface at all (its 1,469 LoC are
+Kafka/FTP plumbing — see SURVEY.md §2.2); these are part of the
+required LLM-pipeline surface. Everything here is exact-arithmetic by
+construction so a SQL oracle reproduces results bit-for-bit:
+
+- mixture weights are integer-quantized (round(sqrt(n)*1e6)) before
+  summing, so the weight total is an exact BIGINT sum, order-free;
+- selection uses md5-bucket thresholds (portable across engines, unlike
+  seeded RNG or engine-specific hashes);
+- novelty scores are integer counts, never float sums.
+
+Scale notes (100 TB posture): the mixture path is two narrow passes —
+one small per-source agg (broadcast back) and one filter scan; no
+wide shuffle. The bigram path shuffles once on the bigram key for
+counting and once on doc_id for the re-agg; both are partial-agg
+(map-side combine) shapes. Nothing touches the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_WEIGHT_SCALE = 1_000_000
+
+
+def temperature_mixture_rates(
+    df: DataFrame, strata_col: str, budget: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-stratum sampling rates for a temperature-0.5 target mixture.
+
+    Classic multi-source rebalancing (cf. multilingual-LM sampling with
+    p_s ∝ n_s^α): weight each stratum by sqrt(its row count), normalize
+    to a total row ``budget``, cap rates at 1.0. sqrt is IEEE-exact and
+    the weights are quantized to integers BEFORE the total is taken, so
+    every arithmetic step is reproducible in any engine regardless of
+    aggregation order.
+
+    Returns one row per stratum: (strata_col, n_total, weight_q, rate).
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_total"))
+    counts = counts.withColumn(
+        "weight_q", F.round(F.sqrt(F.col("n_total").cast("double")) * _WEIGHT_SCALE).cast("long")
+    )
+    tot = counts.agg(F.sum("weight_q").alias("_tot_w"))
+    return (
+        counts.join(F.broadcast(tot))
+        .withColumn(
+            "rate",
+            F.least(
+                F.lit(1.0),
+                (F.lit(float(budget)) * F.col("weight_q").cast("double"))
+                / (F.col("_tot_w").cast("double") * F.col("n_total").cast("double")),
+            ),
+        )
+        .drop("_tot_w")
+    )
+
+
+def temperature_mixture_sample(
+    df: DataFrame, strata_col: str, budget: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministically sample ``df`` toward the temperature mixture.
+
+    A row survives iff the first 8 hex chars of md5(stratum:id), read as
+    an integer, fall under rate·2³² — the same portable-selection idiom
+    as :func:`etl_file_sync_spark.operators.text.md5_stratified_sample`.
+    The rates frame is tiny (one row per stratum) and broadcast; the
+    corpus itself is a single filter scan, shuffle-free.
+    """
+    rates = temperature_mixture_rates(df, strata_col, budget, id_col)
+    bucket = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.col(strata_col), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    return df.join(F.broadcast(rates.select(strata_col, "rate")), strata_col).filter(
+        bucket < (F.col("rate") * F.lit(float(2**32))).cast("bigint")
+    )
+
+
+def bigram_novelty(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Score each document by how common its word bigrams are corpus-wide.
+
+    The CCNet/Gopher-style novelty signal without the float LM: for every
+    doc emit (n_bigrams, freq_sum = Σ corpus-count of each bigram
+    occurrence, n_hapax = occurrences whose bigram appears exactly once
+    in the corpus). Low freq_sum/n_bigrams ⇒ novel text; high ⇒
+    boilerplate. Integer counts only — engine-exact.
+
+    Two partial-agg shuffles: bigram-key count, then doc_id re-agg.
+    Docs with fewer than two words score (0, 0, 0) via the left join.
+    """
+    words = F.split(F.col(text_col), " ")
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(words, i + 1), F.element_at(words, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = df.select(F.col(id_col), F.explode(bigrams).alias("bigram"))
+    counts = occ.groupBy("bigram").agg(F.count(F.lit(1)).alias("bg_count"))
+    scored = (
+        occ.join(counts, "bigram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("bg_count").alias("freq_sum"),
+            F.sum(F.when(F.col("bg_count") == 1, 1).otherwise(0)).alias("n_hapax"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("freq_sum", F.lit(0)).cast("long").alias("freq_sum"),
+            F.coalesce("n_hapax", F.lit(0)).cast("long").alias("n_hapax"),
+        )
+    )

@@ -4,6 +4,7 @@ from etl_file_sync_spark.queries import (  # noqa: F401
     dq,
     llm,
     llm2,
+    llm3,
     pipeline_face,
     relational,
     relational2,

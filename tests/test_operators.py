@@ -410,3 +410,40 @@ def test_operators_handle_empty_input(spark):
     servers = servers_dataframe(spark, [ServerConfig(hostname="A", type="local")])
     res = split_valid_dlq(empty_raw, servers)
     assert res.valid.count() == 0 and res.dlq.count() == 0
+
+
+def test_temperature_mixture_caps_and_budget(spark):
+    from etl_file_sync_spark.operators import mix as MX
+
+    # skewed strata: 900 'big' rows, 9 'tiny' rows; budget 100
+    rows = [(i, "big") for i in range(900)] + [(1000 + i, "tiny") for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = {r.source: r for r in MX.temperature_mixture_rates(df, "source", 100).collect()}
+    # tiny stratum: sqrt-weighting asks for more rows than exist -> rate caps at 1.0
+    assert rates["tiny"].rate == 1.0
+    assert 0.0 < rates["big"].rate < 1.0
+    kept = MX.temperature_mixture_sample(df, "source", 100)
+    by_src = {r.source: r.n for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_src.get("tiny", 0) == 9  # rate 1.0 keeps everything
+    # md5 thresholding keeps ~rate*n of the big stratum (binomial, wide tolerance)
+    expected_big = rates["big"].rate * 900
+    assert abs(by_src.get("big", 0) - expected_big) < 0.5 * expected_big
+    # determinism: the same call yields the identical kept set
+    ids1 = sorted(r.doc_id for r in kept.collect())
+    ids2 = sorted(r.doc_id for r in MX.temperature_mixture_sample(df, "source", 100).collect())
+    assert ids1 == ids2
+
+
+def test_bigram_novelty_exact_small_case(spark):
+    from etl_file_sync_spark.operators import mix as MX
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b"), (3, "x"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_bigrams, r.freq_sum, r.n_hapax) for r in MX.bigram_novelty(df).collect()}
+    # doc1: bigrams {a b, b c}; 'a b' appears twice corpus-wide, 'b c' once
+    assert got[1] == (2, 3, 1)
+    assert got[2] == (1, 2, 0)
+    assert got[3] == (0, 0, 0)  # single word: no bigrams
+    assert got[4] == (0, 0, 0)  # empty text
