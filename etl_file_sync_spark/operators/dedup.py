@@ -76,32 +76,37 @@ def jaccard_pairs(
     At small SF no shingle crosses a 0.5 df, so the cut is a no-op there;
     pass None to disable.
 
-    Per-doc set sizes ride along as a window count over the shingle rows,
-    so the plan is ONE self-join + one aggregation — no extra size joins.
-    The shingle frame is cached for the self-join's two scans (small:
-    |docs|·|shingles| rows; a 100 TB run would checkpoint it instead).
+    Shape: the hot-shingle set is a partial-agg groupBy filtered to the
+    (by construction tiny) over-threshold keys and removed with a
+    broadcast anti-join — never a window over the full shingle frame,
+    which would shuffle every row just to drop a handful of keys.
+    Per-doc set sizes are a second partial-agg groupBy joined onto the
+    (already aggregated, much smaller) pair frame afterwards. The shingle
+    frame is cached for the self-join's two scans (small: |docs|·
+    |shingles| rows; a 100 TB run would checkpoint it instead).
     """
-    from pyspark.sql import Window as W
-
     sh = shingles(df, id_col, text_col, n)
     if max_df_frac is not None:
         n_docs = df.count()  # scalar aggregate — metadata, not data
-        sh = (
-            sh.withColumn("_df", F.count(F.lit(1)).over(W.partitionBy("shingle")))
-            .filter(F.col("_df") <= F.lit(float(max_df_frac) * n_docs))
-            .drop("_df")
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > F.lit(float(max_df_frac) * n_docs))
+            .select("shingle")
         )
-    sh = sh.withColumn("n_sh", F.count(F.lit(1)).over(W.partitionBy("id"))).cache()
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = sh.cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
-    return (
+    pairs = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(
-            F.count(F.lit(1)).alias("n_common"),
-            F.first("a.n_sh").alias("n_a"),
-            F.first("b.n_sh").alias("n_b"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        pairs.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
         .withColumn("jaccard", F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
@@ -117,7 +122,10 @@ def deletion_neighborhood_keys(df: DataFrame, id_col: str = "id", name_col: str 
     longer string's deletion equals the shorter string itself), so an
     equi-join on the key is a COMPLETE candidate generator for
     max_dist=1 — with per-variant blocks instead of hot prefix blocks.
-    Returns (id, name, bkey) distinct.
+    Returns (id, bkey); rows are distinct by construction — array_distinct
+    dedupes variants inside each row, so no global distinct (and no
+    shuffle) is needed, and the name column stays out of the frame so the
+    self-join below moves only (id, bkey).
     """
     base = df.select(F.col(id_col).alias("id"), F.col(name_col).alias("name"))
     name = F.col("name")
@@ -127,7 +135,7 @@ def deletion_neighborhood_keys(df: DataFrame, id_col: str = "id", name_col: str 
             F.concat(F.substring(name, F.lit(1), i - 1), F.substring(name, i + 1, F.length(name)))
         ),
     )
-    return base.select("id", "name", F.explode(F.array_distinct(variants)).alias("bkey")).distinct()
+    return base.select("id", F.explode(F.array_distinct(variants)).alias("bkey"))
 
 
 def fuzzy_blocked_pairs(
@@ -143,7 +151,10 @@ def fuzzy_blocked_pairs(
     """
     if max_dist != 1:
         raise ValueError("fuzzy_blocked_pairs blocking is complete for max_dist=1 only")
-    keys = deletion_neighborhood_keys(df, id_col, name_col)
+    # cache: both sides of the self-join scan this frame; without it the
+    # explode + per-variant substring codegen runs twice (a 100 TB run
+    # would checkpoint to cluster storage instead)
+    keys = deletion_neighborhood_keys(df, id_col, name_col).cache()
     a = keys.alias("a")
     b = keys.alias("b")
     # dedup candidates on the narrow (id_a, id_b) pair BEFORE touching
