@@ -5,6 +5,7 @@ from etl_file_sync_spark.queries import (  # noqa: F401
     llm,
     llm2,
     llm3,
+    merge_face,
     pipeline_face,
     relational,
     relational2,
