@@ -55,3 +55,36 @@ def test_topn_avoids_full_sort(spark, sf_dir):
 
     plan = physical_plan(REGISTRY["sort_topn_global"].build(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, "global LIMIT+ORDER BY should not plan a full sort"
+
+
+def test_q02_window_min_no_driver_roundtrip(spark, sf_dir):
+    """The correlated min subquery must plan as a window over the grouped
+    supply frame: broadcast dims, bounded shuffle count, top-k via
+    TakeOrderedAndProject — no driver materialization anywhere."""
+    from etl_file_sync_spark.plans import physical_plan
+
+    df = REGISTRY["q02_min_cost_supplier"].build(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Window" in plan
+    assert "TakeOrderedAndProject" in plan
+    js = join_strategies(df)
+    assert js["broadcast_hash"] >= 5  # s, n, r on supply side; p, s, n on output side
+    assert count_exchanges(df) <= 3  # groupBy + window partition (+AQE variance)
+
+
+def test_q08_single_fact_shuffle(spark, sf_dir):
+    """7-way market-share join: every dimension broadcasts; only the
+    final year aggregation shuffles at this SF."""
+    df = REGISTRY["q08_market_share"].build(spark, sf_dir)
+    js = join_strategies(df)
+    assert js["broadcast_hash"] >= 6
+    assert count_exchanges(df) <= 2
+
+
+def test_q20_semi_join_chain(spark, sf_dir):
+    """Doubly-nested IN compiles to semi joins, not inner joins that
+    would duplicate supplier rows."""
+    from etl_file_sync_spark.plans import physical_plan
+
+    plan = physical_plan(REGISTRY["q20_potential_promotion"].build(spark, sf_dir))
+    assert "LeftSemi" in plan
