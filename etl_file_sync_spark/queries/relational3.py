@@ -218,3 +218,40 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("l_linestatus").cast("int").alias("g_status"),
         F.count(F.lit(1)).alias("n"),
     ).select("l_returnflag", "l_linestatus", "g_flag", "g_status", "n")
+
+
+@register(
+    "agg_percentiles_exact",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5)  AS med_qty,
+           quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.25) AS p25_cents,
+           quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.75) AS p75_cents,
+           quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.9)  AS p90_cents
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    "agg",
+    "percentile",
+)
+def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles (linear interpolation) per group — the
+    sort-based complement to the approx sketches in agg_approx_sketches.
+    Both engines interpolate a + (b-a)*f over the sorted values; inputs
+    are exact integers (quantities, cents), so the interpolated doubles
+    agree bit-for-bit. At 100 TB exact percentiles are a per-group sort
+    — Spark's percentile() aggregates partial histograms per partition,
+    so the shuffle carries digests, not rows."""
+    l = t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", F.lit(0.5)).alias("med_qty"),
+            F.percentile(cents, F.lit(0.25)).alias("p25_cents"),
+            F.percentile(cents, F.lit(0.75)).alias("p75_cents"),
+            F.percentile(cents, F.lit(0.9)).alias("p90_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
