@@ -31,8 +31,10 @@ HEADLINE = [
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_local_supplier_volume",
+    "q08_market_share",
     "q09_nation_year_profit",
     "q18_large_volume_customer",
+    "q21_waiting_suppliers",
     "agg_cube",
     "win_topk_per_group",
     "sort_topn_global",
@@ -48,6 +50,10 @@ HEADLINE = [
     "sim_topk_bruteforce",
     "sim_topk_ivf",
     "text_quality_scores",
+    "text_bigram_novelty",
+    "mix_sources_temperature",
+    "merge_upsert_orders",
+    "agg_percentiles_exact",
     "multimodal_binary_meta",
 ]
 
@@ -57,9 +63,11 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def bench_queries(spark, runs: int = 2) -> dict[str, float]:
-    """Min-of-N wall clock per query (N=2: first run absorbs residual
-    per-query codegen; min is the steady-state number a cluster sees)."""
+def bench_queries(spark, runs: int = 3) -> dict[str, float]:
+    """Min-of-N wall clock per query (N=3: first run absorbs residual
+    per-query codegen, and the min rides out noisy-neighbor CPU
+    contention spikes on shared hosts; min is the steady-state number
+    a dedicated cluster sees)."""
     times: dict[str, float] = {}
     for name in HEADLINE:
         q = REGISTRY[name]
