@@ -213,7 +213,15 @@ def udf_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_custkey") < 200)
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
-    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    # push the order-side predicate to the lineitem side with a broadcast
+    # semi-join BEFORE cogrouping: cogroup materializes a Python group for
+    # every key on EITHER side, so an unfiltered right side invokes the
+    # pandas function once per order in the whole table (~30x more groups
+    # than survive the filter) just to emit empty frames. At 100 TB the
+    # rule is the same — cogroup only what both sides need.
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount").join(
+        F.broadcast(o.select(F.col("o_orderkey").alias("l_orderkey"))), "l_orderkey", "left_semi"
+    )
     out = o.groupBy("o_orderkey").cogroup(l.groupBy("l_orderkey")).applyInPandas(
         reconcile,
         schema="orderkey long, custkey long, order_total double, lineitem_revenue_e4 long, n_lines int",
