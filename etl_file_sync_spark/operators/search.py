@@ -1,0 +1,145 @@
+"""Full-text search operators: inverted-index postings, TF-IDF, BM25.
+
+The keyword-retrieval face of the corpus engine — the lexical complement
+to the embedding similarity path (operators/similarity.py). Everything is
+built-in JVM expressions (explode / groupBy / broadcast join); no Python
+touches the hot path.
+
+Scale design (100 TB):
+- the postings build is ONE explode + ONE partial-aggregated groupBy on
+  (term, doc_id) — the canonical inverted-index shuffle. At cluster scale
+  the postings frame is written bucketed by term so query-time lookups
+  are a bucket-pruned scan, not a shuffle.
+- query scoring never touches the full postings: the (tiny) query-term
+  set is broadcast and the postings are semi-filtered to it BEFORE any
+  join, so only the touched posting lists move. Corpus statistics
+  (N, avgdl) ride along as a broadcast 1-row frame — no driver collect.
+- top-k is orderBy+limit → TakeOrderedAndProject (per-partition heaps,
+  no global sort).
+
+Reference parity: the reference has no search surface at all (SURVEY.md
+§2.2 — its 1,469 LoC are Kafka/FTP plumbing); this module is part of the
+required-beyond-reference analytics surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def tokens(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, term) token stream: whitespace split, empties dropped."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("term"))
+        .where(F.length("term") > 0)
+    )
+
+
+def postings(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Inverted-index postings: (term, id, tf). One explode + one
+    partial-aggregated groupBy — the only wide op in the index build."""
+    return tokens(df, id_col, text_col).groupBy("term", "id").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def doc_lengths(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, dl) token counts per document."""
+    return tokens(df, id_col, text_col).groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+
+
+def term_doc_freq(post: DataFrame) -> DataFrame:
+    """(term, df) document frequency from a postings frame."""
+    return post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 top-k documents for a bag-of-words query.
+
+    Lucene-style idf = ln(1 + (N - df + 0.5)/(df + 0.5));
+    tf term = tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl)).
+
+    Execution shape: postings are semi-filtered to the broadcast query
+    terms first, so the scoring joins move |query_terms| posting lists,
+    not the index; (N, avgdl) is a broadcast 1-row aggregate frame; the
+    final top-k is TakeOrderedAndProject. Deterministic: ordered by
+    (round(score,6) DESC, id) so engine ulp noise cannot reorder ranks.
+
+    Returns (doc_id, bm25, rnk) — bm25 rounded to 4 decimals.
+    """
+    from pyspark.sql import Window as W
+
+    spark = df.sparkSession
+    q = spark.createDataFrame([(t,) for t in query_terms], "term string")
+    post = postings(df, id_col, text_col)
+    dl = doc_lengths(df, id_col, text_col)
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    dft = term_doc_freq(post)
+    hit = post.join(F.broadcast(q), "term")
+    scored = (
+        hit.join(F.broadcast(dft.join(F.broadcast(q), "term")), "term")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    top = (
+        scored.orderBy(F.round("score", 6).desc(), F.col("id"))
+        .limit(k)
+        .withColumn(
+            "rnk", F.row_number().over(W.orderBy(F.round("score", 6).desc(), F.col("id")))
+        )
+    )
+    return top.select(
+        F.col("id").alias(id_col), F.round("score", 4).alias("bm25"), "rnk"
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    per_doc: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top `per_doc` TF-IDF terms per document (tfidf = tf · ln(N/df)).
+
+    The per-doc keyword extraction primitive (doc tagging, near-dup
+    explanation). One window over (id) ranks terms; ties break on the
+    term itself so output is deterministic across engines. df (document
+    frequency) is a second partial-agg groupBy broadcast back onto the
+    postings. Returns (doc_id, term, tfidf, trank).
+    """
+    from pyspark.sql import Window as W
+
+    post = postings(df, id_col, text_col)
+    dft = term_doc_freq(post)
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        post.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+    )
+    w = W.partitionBy("id").orderBy(F.round("tfidf", 6).desc(), F.col("term"))
+    return (
+        scored.withColumn("trank", F.row_number().over(w))
+        .filter(F.col("trank") <= per_doc)
+        .select(F.col("id").alias(id_col), "term", F.round("tfidf", 4).alias("tfidf"), "trank")
+    )

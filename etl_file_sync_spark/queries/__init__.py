@@ -11,6 +11,7 @@ from etl_file_sync_spark.queries import (  # noqa: F401
     relational2,
     relational3,
     relational4,
+    search_face,
     streaming_face,
     tpch,
     tpch2,
