@@ -294,3 +294,57 @@ def chunk_documents(
         F.concat_ws(" ", chunk).alias("chunk_text"),
         F.least(F.col("_n") - F.col("start"), F.lit(chunk_tokens)).cast("int").alias("n_chunk_tokens"),
     )
+
+
+def unigram_model(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Corpus unigram LM: (term, n, logp) with p = count/total.
+
+    Two partial-aggregated passes (term counts, then a broadcast 1-row
+    total) — the train step of the cheapest perplexity proxy. No
+    smoothing: scoring the training corpus itself never sees OOV, and
+    unsmoothed probabilities keep the math reproducible in any engine.
+    """
+    tok = df.select(F.explode(tokens(text_col)).alias("term")).where(F.length("term") > 0)
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").cast("double").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select("term", "n", F.log(F.col("n") / F.col("total")).alias("logp"))
+    )
+
+
+def unigram_doc_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc unigram log-likelihood: (id, n_tokens, avg_logp, ppl).
+
+    avg_logp = sum(tf·ln p(term)) / n_tokens; ppl = exp(-avg_logp) — the
+    standard perplexity proxy for corpus-quality gating (gibberish and
+    rare-token spam score high-ppl, templated boilerplate low-ppl).
+
+    Shape: per-doc term counts (one shuffle on (id, term)) joined to the
+    model on term. The model frame is vocabulary-sized — broadcast here;
+    at web-corpus vocab (~1e8 terms) the same join shuffle-hashes on
+    term instead, and everything else is unchanged.
+    """
+    tf = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term"))
+        .where(F.length("term") > 0)
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    model = unigram_model(df, id_col, text_col)
+    return (
+        tf.join(F.broadcast(model), "term")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            (F.sum(F.col("tf") * F.col("logp")) / F.sum("tf")).alias("avg_logp"),
+        )
+        .select(
+            "id",
+            "n_tokens",
+            F.round("avg_logp", 4).alias("avg_logp"),
+            F.round(F.exp(-F.col("avg_logp")), 2).alias("ppl"),
+        )
+    )

@@ -13,6 +13,7 @@ from etl_file_sync_spark.queries import (  # noqa: F401
     relational4,
     search_face,
     streaming_face,
+    timeseries_face,
     tpch,
     tpch2,
     tpch3,

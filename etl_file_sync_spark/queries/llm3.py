@@ -181,3 +181,46 @@ def sample_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .orderBy("source", "rk")
     )
+
+
+@register(
+    "text_unigram_ppl",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> ''
+      GROUP BY doc_id, term
+    ),
+    model AS (
+      SELECT term, count(*) AS n FROM toks WHERE term <> '' GROUP BY term
+    ),
+    tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM model)
+    SELECT tf.doc_id,
+           CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+           round(sum(tf.tf * ln(model.n / tot.total)) / sum(tf.tf), 4) AS avg_logp,
+           round(exp(-(sum(tf.tf * ln(model.n / tot.total)) / sum(tf.tf))), 2) AS ppl
+    FROM tf JOIN model ON tf.term = model.term CROSS JOIN tot
+    GROUP BY tf.doc_id
+    ORDER BY tf.doc_id
+    """,
+    "quality",
+    "perplexity",
+    "unigram",
+)
+def text_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity proxy per document: train corpus unigram
+    probabilities (two partial-agg passes), score each doc by mean token
+    log-likelihood, report ppl = exp(-avg_logp). The cheapest quality
+    gate a pretraining pipeline runs before a real LM scorer — rare-token
+    spam scores high-ppl, templated boilerplate low-ppl. All JVM
+    expressions; the model join broadcasts at this vocab and
+    shuffle-hashes on term at web scale (operators/text.py
+    unigram_doc_scores)."""
+    from etl_file_sync_spark.operators.text import unigram_doc_scores
+
+    docs = t(spark, sf_dir, "documents")
+    return unigram_doc_scores(docs).select(
+        F.col("id").alias("doc_id"), "n_tokens", "avg_logp", "ppl"
+    ).orderBy("doc_id")
