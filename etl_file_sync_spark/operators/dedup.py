@@ -506,3 +506,60 @@ def srp_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
     )
+
+
+def paragraph_segments(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", seg_tokens: int = 20
+) -> DataFrame:
+    """Fixed-width token segments ("paragraphs") per document:
+    (id, seg_idx, seg). Only complete segments are emitted — the ragged
+    tail is never dedup material. Built with slice() over the token
+    array (no per-token explode; one array op per row, then one explode
+    per segment)."""
+    toks = F.split(F.col(text_col), " ")
+    n_segs = F.floor(F.size(toks) / seg_tokens).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * seg_tokens + 1, seg_tokens)),
+    )
+    return (
+        df.where(n_segs > 0)
+        .select(F.col(id_col).alias("id"), F.posexplode(segs).alias("seg_idx", "seg"))
+    )
+
+
+def paragraph_dup_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", seg_tokens: int = 20
+) -> DataFrame:
+    """Per-document segment-level dedup audit — the CCNet/RefinedWeb-style
+    paragraph dedup pass at fixed token grain. The FIRST occurrence of
+    each segment text (ordered by (id, seg_idx)) is canonical; later
+    occurrences are duplicates slated for removal.
+
+    Returns (id, n_segs, n_dup_segs, tokens_removed, dup_frac).
+
+    Scale shape: one shuffle on the segment text (the row_number window;
+    at 100 TB hash the segment to a 128-bit digest first so the shuffle
+    key is fixed-width), then one partial-agg groupBy(id). No pairwise
+    joins anywhere — segment dedup is linear, which is exactly why
+    pretraining pipelines run it before any fuzzy doc-level pass.
+    """
+    from pyspark.sql import Window as W
+
+    segs = paragraph_segments(df, id_col, text_col, seg_tokens)
+    w = W.partitionBy("seg").orderBy("id", "seg_idx")
+    flagged = segs.withColumn("dup", F.row_number().over(w) > 1)
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum(F.col("dup").cast("long")).alias("n_dup_segs"),
+        )
+        .select(
+            "id",
+            "n_segs",
+            "n_dup_segs",
+            (F.col("n_dup_segs") * seg_tokens).alias("tokens_removed"),
+            F.round(F.col("n_dup_segs") / F.col("n_segs"), 4).alias("dup_frac"),
+        )
+    )

@@ -224,3 +224,44 @@ def text_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_doc_scores(docs).select(
         F.col("id").alias("doc_id"), "n_tokens", "avg_logp", "ppl"
     ).orderBy("doc_id")
+
+
+@register(
+    "dedup_paragraph_segments",
+    """
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    segs AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS seg_idx,
+             array_to_string(toks[i*20+1 : i*20+20], ' ') AS seg
+      FROM base, LATERAL (SELECT unnest(range(CAST(floor(len(toks) / 20) AS BIGINT))) AS i)
+    ),
+    flagged AS (
+      SELECT doc_id, seg_idx,
+             row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) > 1 AS dup
+      FROM segs
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_segs,
+           CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segs,
+           CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) * 20 AS BIGINT) AS tokens_removed,
+           round(sum(CASE WHEN dup THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS dup_frac
+    FROM flagged GROUP BY doc_id ORDER BY doc_id
+    """,
+    "dedup",
+    "paragraph",
+    "segments",
+)
+def dedup_paragraph_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-grain (20-token segment) dedup audit — the linear-time
+    CCNet-style pass pretraining pipelines run before any fuzzy doc
+    matching. First occurrence by (doc_id, seg_idx) is canonical; later
+    copies count as removable boilerplate. One shuffle on the segment
+    text + one partial agg (operators/dedup.py paragraph_dup_stats)."""
+    from etl_file_sync_spark.operators.dedup import paragraph_dup_stats
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        paragraph_dup_stats(docs)
+        .select(F.col("id").alias("doc_id"), "n_segs", "n_dup_segs", "tokens_removed", "dup_frac")
+        .orderBy("doc_id")
+    )

@@ -456,3 +456,22 @@ def test_bigram_novelty_exact_small_case(spark):
     assert got[2] == (1, 2, 0)
     assert got[3] == (0, 0, 0)  # single word: no bigrams
     assert got[4] == (0, 0, 0)  # empty text
+
+
+def test_paragraph_dup_stats_planted(spark):
+    seg_a = " ".join(["w%d" % i for i in range(20)])
+    seg_b = " ".join(["x%d" % i for i in range(20)])
+    seg_c = " ".join(["y%d" % i for i in range(20)])
+    rows = [
+        (0, seg_a + " " + seg_b + " tail bits"),   # both segments canonical
+        (1, seg_a + " " + seg_c),                  # seg_a duplicated, seg_c canon
+        (2, seg_b + " " + seg_b),                  # first copy dups doc0, second dups first
+        (3, "short doc only"),                     # no complete segment -> absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r for r in D.paragraph_dup_stats(df).collect()}
+    assert set(got) == {0, 1, 2}
+    assert (got[0].n_segs, got[0].n_dup_segs) == (2, 0)
+    assert (got[1].n_segs, got[1].n_dup_segs) == (2, 1)  # seg_a copy dups doc0
+    assert (got[2].n_segs, got[2].n_dup_segs) == (2, 2)
+    assert got[2].tokens_removed == 40 and got[2].dup_frac == 1.0
