@@ -1,0 +1,170 @@
+"""Advanced SQL-surface queries: recursive CTE graph traversal and
+mergeable-sketch (Apache DataSketches HLL) aggregation lifecycles.
+
+Recursive CTEs landed in Spark 4.0 (SPARK-24497); the BFS below runs the
+SAME recursive SQL text in Spark and in the DuckDB oracle — only the
+edge-table CTE differs (Spark reads a registered temp view built by the
+exact-Jaccard operator, DuckDB restates the shingle math inline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_file_sync_spark.queries.registry import register, t
+
+# multi-source BFS over the undirected near-dup graph, bounded at 6 hops;
+# min(hop) per (src, node) collapses revisits from cyclic walks
+_BFS_SQL = """
+    WITH RECURSIVE
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM nd_edges
+      UNION ALL
+      SELECT id_b AS u, id_a AS v FROM nd_edges
+    ),
+    walk(src, node, hop) AS (
+      SELECT u, u, 0 FROM (SELECT DISTINCT u FROM edges)
+      UNION ALL
+      SELECT w.src, e.v, w.hop + 1
+      FROM walk w JOIN edges e ON e.u = w.node
+      WHERE w.hop < 6
+    )
+    SELECT src, node, CAST(min(hop) AS INTEGER) AS hops
+    FROM walk
+    WHERE src < node
+    GROUP BY src, node
+    ORDER BY src, node
+"""
+
+_EDGES_ORACLE = """
+    nd_edges AS (
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id AS id, array_to_string(w[i+1:i+3], ' ') AS s
+        FROM d, UNNEST(range(0, greatest(len(w) - 2, 1))) AS u(i)
+        WHERE array_to_string(w[i+1:i+3], ' ') <> ''
+      ),
+      sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+      common AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+        GROUP BY 1, 2
+      )
+      SELECT id_a, id_b
+      FROM common JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+      WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.5
+    )
+"""
+
+
+@register(
+    "sql_recursive_bfs_pairs",
+    "WITH RECURSIVE " + _EDGES_ORACLE.strip().rstrip() + ",\n"
+    + _BFS_SQL.replace("WITH RECURSIVE", "", 1).strip(),
+    "sql",
+    "recursive-cte",
+    "graph",
+)
+def sql_recursive_bfs_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise hop distance inside near-dup clusters via a Spark
+    recursive CTE (multi-source BFS over the exact-Jaccard edge graph,
+    6-hop bound) — the transitive-chaining diagnostic for dedup: hops>1
+    means two docs are merged only through intermediates.
+
+    The recursion is the SQL-surface parity demo; its UNION ALL walk
+    enumeration is exponential in clique degree, so the 100 TB path for
+    whole-corpus components stays operators/cluster.py (large/small-star
+    contraction). At this SF the generator plants isolated dup PAIRS
+    (every output row is hops=1); multi-hop traversal is proven on a
+    planted chain in tests/test_recursive.py, and
+    sql_recursive_hierarchy below exercises 5 recursion levels on
+    organic data."""
+    from etl_file_sync_spark.operators.dedup import jaccard_pairs
+
+    edges = jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.5).select("id_a", "id_b")
+    edges.createOrReplaceTempView("nd_edges")
+    return spark.sql(_BFS_SQL)
+
+
+@register("agg_hll_lifecycle", None, "agg", "sketch", "hll", "datasketches")
+def agg_hll_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch lifecycle (Apache DataSketches HLL, Spark 4
+    built-ins): per-(event_type, week) user sketches built with
+    hll_sketch_agg, rolled up with hll_union_agg to per-type totals —
+    the 100 TB cardinality pattern: sketches build map-side, merge
+    associatively across any re-aggregation level, and never re-scan
+    source data. Engine-specific binary sketches ⇒ rows-only driver
+    check; estimate accuracy vs exact distinct counts is asserted in
+    tests/test_sketches.py.
+
+    Output: (event_type, n_weeks, est_users_union, exact_users) — the
+    union estimate next to the exact count it approximates."""
+    ev = t(spark, sf_dir, "events")
+    weekly = (
+        ev.groupBy("event_type", F.weekofyear("ts").alias("week"))
+        .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    )
+    rolled = weekly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_weeks"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long").alias("est_users_union"),
+    )
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_users"))
+    return rolled.join(exact, "event_type").orderBy("event_type")
+
+
+@register("agg_approx_top_k", None, "agg", "sketch", "topk")
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_top_k (Spark 4 frequent-items sketch) over the corpus token
+    stream — the sketch answer to "most common tokens" that never holds
+    the full term dictionary per task. Engine-specific tie handling ⇒
+    rows-only; agreement with the exact top-k is asserted in
+    tests/test_sketches.py. Output: (term, cnt) for the top 10."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("term")).where(F.length("term") > 0)
+    return (
+        toks.agg(F.expr("approx_top_k(term, 10)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("term"), F.col("e.count").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("term"))
+    )
+
+
+_HIER_SQL = """
+    WITH RECURSIVE anc(anc_key, leaf_key, cents) AS (
+      SELECT c_custkey, c_custkey, cents FROM cust_cents
+      UNION ALL
+      SELECT CAST(floor(anc_key / 10.0) AS BIGINT), leaf_key, cents
+      FROM anc WHERE anc_key > 0
+    )
+    SELECT anc_key, CAST(count(*) AS BIGINT) AS n_desc,
+           sum(cents) AS subtree_cents
+    FROM anc
+    GROUP BY anc_key
+    HAVING count(*) > 1
+    ORDER BY anc_key
+"""
+
+
+@register(
+    "sql_recursive_hierarchy",
+    "WITH RECURSIVE cust_cents AS (\n"
+    "  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer\n"
+    "),\n" + _HIER_SQL.replace("WITH RECURSIVE", "", 1).strip(),
+    "sql",
+    "recursive-cte",
+    "hierarchy",
+)
+def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtree rollup over a decimal-prefix hierarchy (parent(k) =
+    floor(k/10)) of all customers — the BOM/org-chart recursive-CTE
+    pattern, 5 recursion levels deep on organic keys, aggregating
+    integer-cent balances bottom-up. Same recursive SQL text runs in
+    Spark (4.0+ WITH RECURSIVE) and the DuckDB oracle; each level is
+    one self-join the engine plans as an ordinary equi-join, so depth,
+    not fan-out, bounds the stage count at scale."""
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents")
+    )
+    cust.createOrReplaceTempView("cust_cents")
+    return spark.sql(_HIER_SQL)
