@@ -594,3 +594,49 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id", "media_type", "byte_len", F.round(F.element_at("feature", 1), 4).alias("f0")
     ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_image_dims",
+    """
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INTEGER)
+             WHEN 0 THEN 'image/png'
+             WHEN 1 THEN 'image/gif'
+             ELSE 'image/jpeg' END AS sniffed_type,
+           CAST(100 + doc_id % 900 AS INTEGER) AS width,
+           CAST(100 + (doc_id * 7) % 900 AS INTEGER) AS height
+    FROM documents WHERE doc_id < 300 ORDER BY doc_id
+    """,
+    "multimodal",
+    "binary",
+    "image-headers",
+)
+def multimodal_image_dims_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-header round-trip over the binary column: build spec-correct
+    PNG/GIF/JPEG headers (operators/multimodal.py synth_*), sniff the
+    format from magic numbers, then parse width/height back — PNG/GIF at
+    their spec-fixed offsets with pure JVM hex/conv expressions, JPEG via
+    the Arrow-batched SOF marker walk (iterative by nature — the
+    sanctioned slow path). The oracle predicts every value arithmetically,
+    so a parser bug anywhere in the chain hash-mismatches. Real corpus
+    images parse with the identical expressions — only the builders are
+    synthetic here (no image fixtures in the testdata)."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    w = (F.lit(100) + F.col("doc_id") % 900).cast("int")
+    h = (F.lit(100) + (F.col("doc_id") * 7) % 900).cast("int")
+    payload = (
+        F.when(F.col("doc_id") % 3 == 0, M.synth_png(w, h))
+        .when(F.col("doc_id") % 3 == 1, M.synth_gif(w, h))
+        .otherwise(M.synth_jpeg(w, h))
+    )
+    base = M.sniff_media_type(docs.select("doc_id", payload.alias("payload")))
+    jvm_part = (
+        M.parse_png_gif_dims(base.filter(F.col("sniffed_type") != "image/jpeg"))
+        .select("doc_id", "sniffed_type", "width", "height")
+    )
+    jpeg_part = (
+        M.jpeg_dims(base.filter(F.col("sniffed_type") == "image/jpeg"))
+        .select("doc_id", "sniffed_type", "width", "height")
+    )
+    return jvm_part.unionByName(jpeg_part).orderBy("doc_id")
