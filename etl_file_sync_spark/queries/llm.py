@@ -640,3 +640,18 @@ def multimodal_image_dims_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "sniffed_type", "width", "height")
     )
     return jvm_part.unionByName(jpeg_part).orderBy("doc_id")
+
+
+@register("sim_topk_pq", None, "similarity", "pq", "ann", "compression")
+def sim_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN top-5 (product quantization, 16 subspaces × 32
+    codewords ⇒ 16 B/vector vs 512 B raw) with ADC lookup-table scoring
+    and exact-cosine rerank of a 100-candidate shortlist. Approximate ⇒
+    rows-only driver check; recall ≥0.95 vs brute force asserted in
+    tests/test_operators.py. The scan never touches float vectors —
+    operators/pq.py documents the 100 TB memory math."""
+    from etl_file_sync_spark.operators.pq import pq_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 40 == 0)
+    return pq_topk(e, q, k=5).orderBy("query_id", "nn_rank")

@@ -475,3 +475,26 @@ def test_paragraph_dup_stats_planted(spark):
     assert (got[1].n_segs, got[1].n_dup_segs) == (2, 1)  # seg_a copy dups doc0
     assert (got[2].n_segs, got[2].n_dup_segs) == (2, 2)
     assert got[2].tokens_removed == 40 and got[2].dup_frac == 1.0
+
+
+def test_pq_recall_vs_brute_force(spark, sf_dir):
+    from etl_file_sync_spark.operators import pq as PQ
+
+    e = load_table(spark, sf_dir, "embeddings").cache()
+    q = e.filter(F.col("vec_id") % 40 == 0)
+    brute = {(r.query_id, r.neighbor_id) for r in S.cosine_topk(e, q, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in PQ.pq_topk(e, q, k=5).collect()}
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.95, f"PQ recall {recall}"
+
+
+def test_pq_codes_compress_and_roundtrip_shape(spark, sf_dir):
+    from etl_file_sync_spark.operators import pq as PQ
+
+    e = load_table(spark, sf_dir, "embeddings")
+    C = PQ.pq_train(e, m=16, k=32, iters=2)
+    assert C.shape == (16, 32, 4)
+    codes = PQ.pq_encode(e, C)
+    row = codes.first()
+    assert len(row.codes) == 16 and all(0 <= c < 32 for c in row.codes)
+    assert codes.count() == e.count()
