@@ -168,3 +168,77 @@ def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cust.createOrReplaceTempView("cust_cents")
     return spark.sql(_HIER_SQL)
+
+
+_LATERAL_SQL = """
+    SELECT r.r_name, t.n_name, t.bal
+    FROM region r,
+    LATERAL (
+      SELECT n.n_name, sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS bal
+      FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+      WHERE n.n_regionkey = r.r_regionkey
+      GROUP BY n.n_name
+      ORDER BY bal DESC, n_name
+      LIMIT 2
+    ) t
+    ORDER BY r_name, bal DESC, n_name
+"""
+
+
+@register("sql_lateral_topn", _LATERAL_SQL, "sql", "lateral", "correlated")
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY/LIMIT: top-2
+    nations by customer balance inside each region — the SQL spelling of
+    top-k-per-group. Identical SQL text runs in both engines (integer
+    cents keep the sums exact); Catalyst decorrelates the lateral into a
+    window-rank plan rather than re-executing per outer row."""
+    from etl_file_sync_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
+
+
+@register(
+    "join_null_safe",
+    """
+    WITH a AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE CAST(o_orderkey % 5 AS BIGINT) END AS bucket_key
+      FROM orders WHERE o_orderkey <= 2000
+    ),
+    b AS (
+      SELECT CAST(k AS BIGINT) AS bucket_key, lbl FROM (VALUES
+        (0, 'zero'), (1, 'one'), (2, 'two'), (3, 'three'), (4, 'four'),
+        (NULL, 'missing')) v(k, lbl)
+    )
+    SELECT b.lbl, CAST(count(a.o_orderkey) AS BIGINT) AS n_orders
+    FROM a JOIN b ON a.bucket_key IS NOT DISTINCT FROM b.bucket_key
+    GROUP BY b.lbl ORDER BY b.lbl
+    """,
+    "join",
+    "null-safe",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    the NULL dimension row instead of silently dropping — the lookup
+    semantics a curation pipeline wants for 'unknown' buckets. Spark
+    plans eqNullSafe as an ordinary hash join key (NULLs hash like any
+    value), so this stays a broadcast join, not a nested loop."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    a = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None).cast("bigint"))
+        .otherwise((F.col("o_orderkey") % 5).cast("bigint"))
+        .alias("bucket_key"),
+    )
+    b = spark.createDataFrame(
+        [(0, "zero"), (1, "one"), (2, "two"), (3, "three"), (4, "four"), (None, "missing")],
+        "bucket_key bigint, lbl string",
+    )
+    return (
+        a.join(F.broadcast(b), a["bucket_key"].eqNullSafe(b["bucket_key"]))
+        .groupBy("lbl")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("lbl")
+    )
