@@ -55,6 +55,15 @@ HEADLINE = [
     "merge_upsert_orders",
     "agg_percentiles_exact",
     "multimodal_binary_meta",
+    # round-2 surface
+    "search_bm25_topk",
+    "text_unigram_ppl",
+    "ts_ewma_daily",
+    "dedup_paragraph_segments",
+    "sim_topk_pq",
+    "sql_recursive_hierarchy",
+    "agg_hll_lifecycle",
+    "multimodal_image_dims",
 ]
 
 
@@ -71,6 +80,11 @@ def bench_queries(spark, runs: int = 3) -> dict[str, float]:
     times: dict[str, float] = {}
     for name in HEADLINE:
         q = REGISTRY[name]
+        # isolation BETWEEN queries: earlier queries' operator-internal
+        # caches must not donate memory pressure (evictions) to this one.
+        # Within a query the cache persists across the N runs — the min is
+        # the steady-state number, same methodology as round 1.
+        spark.catalog.clearCache()
         best = float("inf")
         for _ in range(runs):
             t0 = time.perf_counter()

@@ -93,9 +93,15 @@ def bigram_novelty(
     in the corpus). Low freq_sum/n_bigrams ⇒ novel text; high ⇒
     boilerplate. Integer counts only — engine-exact.
 
-    Two partial-agg shuffles: bigram-key count, then doc_id re-agg.
-    Docs with fewer than two words score (0, 0, 0) via the left join.
+    Two shuffles total: corpus-wide bigram counts come from a COUNT
+    window over the bigram key (one scan + one shuffle of the exploded
+    frame — a groupBy+self-join spelling would scan the explode twice
+    and shuffle three times for the same answer), then the doc_id
+    re-agg. Docs with fewer than two words score (0, 0, 0) via the
+    left join.
     """
+    from pyspark.sql import Window as W
+
     words = F.split(F.col(text_col), " ")
     bigrams = F.when(
         F.size(words) >= 2,
@@ -105,9 +111,8 @@ def bigram_novelty(
         ),
     ).otherwise(F.array().cast("array<string>"))
     occ = df.select(F.col(id_col), F.explode(bigrams).alias("bigram"))
-    counts = occ.groupBy("bigram").agg(F.count(F.lit(1)).alias("bg_count"))
     scored = (
-        occ.join(counts, "bigram")
+        occ.withColumn("bg_count", F.count(F.lit(1)).over(W.partitionBy("bigram")))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),

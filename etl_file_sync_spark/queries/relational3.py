@@ -245,13 +245,22 @@ def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the shuffle carries digests, not rows."""
     l = t(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    # one percentile buffer per COLUMN, not per quantile: the array-
+    # probability form sorts the cents values once for all three cuts
+    # (3 separate aggregates each keep their own sort buffer — ~2x the
+    # memory and time for identical output)
     return (
         l.groupBy("l_returnflag")
         .agg(
             F.percentile("l_quantity", F.lit(0.5)).alias("med_qty"),
-            F.percentile(cents, F.lit(0.25)).alias("p25_cents"),
-            F.percentile(cents, F.lit(0.75)).alias("p75_cents"),
-            F.percentile(cents, F.lit(0.9)).alias("p90_cents"),
+            F.percentile(cents, F.array(F.lit(0.25), F.lit(0.75), F.lit(0.9))).alias("pc"),
+        )
+        .select(
+            "l_returnflag",
+            "med_qty",
+            F.col("pc")[0].alias("p25_cents"),
+            F.col("pc")[1].alias("p75_cents"),
+            F.col("pc")[2].alias("p90_cents"),
         )
         .orderBy("l_returnflag")
     )
