@@ -498,3 +498,56 @@ def test_pq_codes_compress_and_roundtrip_shape(spark, sf_dir):
     row = codes.first()
     assert len(row.codes) == 16 and all(0 <= c < 32 for c in row.codes)
     assert codes.count() == e.count()
+
+
+def test_asof_directions_match_pandas_merge_asof(spark):
+    left = pd.DataFrame(
+        {"k": [1, 1, 1, 2, 2, 3], "t": [5.0, 10.0, 3.0, 7.0, 1.0, 4.0], "lv": list("abcdef")}
+    )
+    right = pd.DataFrame({"k": [1, 1, 2, 3], "rt": [4.0, 9.0, 7.0, 2.0], "rv": [100, 200, 300, 400]})
+    sl, sr = spark.createDataFrame(left), spark.createDataFrame(right)
+    for direction in ("backward", "forward", "nearest"):
+        expected = (
+            pd.merge_asof(
+                left.sort_values("t"), right.sort_values("rt"),
+                by="k", left_on="t", right_on="rt", direction=direction,
+            )
+            .sort_values(["k", "t"])[["k", "t", "rv"]]
+            .reset_index(drop=True)
+        )
+        got = (
+            asof_join(sl, sr, "k", "t", "rt", ["rv"], direction=direction)
+            .orderBy("k", "t")
+            .toPandas()[["k", "t", "rv"]]
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, expected, check_dtype=False), direction
+
+
+def test_asof_tolerance_matches_pandas(spark):
+    left = pd.DataFrame({"k": [1, 1, 1], "t": [5.0, 10.0, 30.0], "lv": list("abc")})
+    right = pd.DataFrame({"k": [1, 1], "rt": [4.0, 9.0], "rv": [100, 200]})
+    expected = (
+        pd.merge_asof(
+            left.sort_values("t"), right.sort_values("rt"),
+            by="k", left_on="t", right_on="rt", tolerance=2.0,
+        )
+        .sort_values(["k", "t"])[["k", "t", "rv"]]
+        .reset_index(drop=True)
+    )
+    got = (
+        asof_join(
+            spark.createDataFrame(left), spark.createDataFrame(right),
+            "k", "t", "rt", ["rv"], tolerance=2.0,
+        )
+        .orderBy("k", "t")
+        .toPandas()[["k", "t", "rv"]]
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expected, check_dtype=False)
+    # forward + tolerance: the 30.0 row has no following quote -> null
+    fwd = asof_join(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        "k", "t", "rt", ["rv"], direction="forward", tolerance=2.0,
+    ).orderBy("t").collect()
+    assert [r.rv for r in fwd] == [None, None, None]
