@@ -340,3 +340,83 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory_sink(agg, "stream_session_sink", "complete").orderBy(
         "user_id", "session_start"
     )
+
+
+@register(
+    "stream_stateful_threshold",
+    """
+    WITH c AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             sum(CAST(round(value * 100) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents,
+             row_number()
+               OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           CAST(min(ts) AS TIMESTAMP) AS cross_ts,
+           CAST(min(rn) AS INTEGER) AS n_events_at_cross,
+           CAST(min_by(cum_cents, rn) AS BIGINT) AS cum_cents_at_cross
+    FROM c WHERE cum_cents >= 50000
+    GROUP BY user_id ORDER BY user_id
+    """,
+    "streaming",
+    "stateful",
+    "applyInPandasWithState",
+)
+def stream_stateful_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per
+    user, detect the first event where cumulative spend crosses $500 —
+    the alerting/entitlement pattern no built-in windowed agg expresses
+    (the emission depends on the running state, not a time window).
+
+    State is (cum_cents, n_events, done); each invocation folds its
+    batch sorted by (ts, event_id) into the state and emits at most one
+    crossing row per user. The single-file parquet replay delivers one
+    micro-batch, which makes the run deterministic and lets the DuckDB
+    oracle restate the semantics as a running-sum window; cross-batch
+    state carry for the same operator shape is exercised in
+    tests/test_streaming.py.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from etl_file_sync_spark.streaming import events_stream, run_to_memory_sink
+
+    def fold(key, pdfs, state):
+        if state.exists:
+            cum, n, done = state.get
+        else:
+            cum, n, done = 0, 0, 0
+        if done:
+            return
+        batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        cents = (batch["value"] * 100).round().astype("int64")
+        for ts_v, ev_id, c in zip(batch["ts"], batch["event_id"], cents):
+            cum += int(c)
+            n += 1
+            if cum >= 50000:
+                state.update((cum, n, 1))
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "cross_ts": [ts_v],
+                        "n_events_at_cross": [n],
+                        "cum_cents_at_cross": [cum],
+                    }
+                )
+                return
+        state.update((cum, n, 0))
+
+    stream = events_stream(spark, sf_dir)
+    crossed = stream.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType="user_id long, cross_ts timestamp, n_events_at_cross int, cum_cents_at_cross long",
+        stateStructType="cum long, n long, done int",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory_sink(crossed, "stream_stateful_threshold_sink", "update").orderBy(
+        "user_id"
+    )
