@@ -655,3 +655,22 @@ def sim_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 40 == 0)
     return pq_topk(e, q, k=5).orderBy("query_id", "nn_rank")
+
+
+@register("graph_pagerank_neardup", None, "graph", "pagerank", "iterative")
+def graph_pagerank_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the exact-Jaccard near-dup graph — centrality inside
+    dup clusters identifies the canonical representative a curation run
+    should keep (the most-connected variant). Iterative dataflow: one
+    node-keyed shuffle per round, lineage checkpointed (operators/
+    graph.py). Float-sum ulps ⇒ rows-only; power-iteration ground truth
+    in tests/test_graph.py. Output rounded for run-to-run stability."""
+    from etl_file_sync_spark.operators.dedup import jaccard_pairs
+    from etl_file_sync_spark.operators.graph import pagerank
+
+    edges = jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.5).select("id_a", "id_b")
+    return (
+        pagerank(edges, iters=15)
+        .select(F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank"))
+        .orderBy("doc_id")
+    )
