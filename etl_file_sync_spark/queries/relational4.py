@@ -271,3 +271,82 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "o_orderkey", "second_orderkey")
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+@register(
+    "win_count_distinct",
+    """
+    SELECT o_orderkey,
+           CAST(count(DISTINCT o_custkey) OVER (
+             PARTITION BY o_orderpriority
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS running_distinct_custs
+    FROM orders WHERE o_orderkey <= 1000
+    ORDER BY o_orderkey
+    """,
+    "window",
+    "distinct",
+)
+def win_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) per group — Spark has no DISTINCT window
+    aggregate, so it is spelled size(collect_set(...)) over the same
+    frame; the oracle uses the native DISTINCT window. The collect_set
+    state is bounded by the distinct-key cardinality per partition —
+    fine for dimension-sized keys, not for unbounded ones (that regime
+    is the HLL sketch in agg_hll_lifecycle)."""
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    w = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            F.size(F.collect_set("o_custkey").over(w)).cast("long").alias("running_distinct_custs"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "dq_histogram_equidepth",
+    """
+    WITH b AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             ntile(10) OVER (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey)
+               AS bucket
+      FROM orders
+    )
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           min(cents) AS lo_cents, max(cents) AS hi_cents
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    "dq",
+    "histogram",
+    "ntile",
+)
+def dq_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram of order totals — the DQ profile
+    that resists skew where equi-width bins collapse. ntile over a
+    unique total order (cents, orderkey) is engine-identical; the global
+    sort is the cost, which at 100 TB becomes approx_percentile
+    boundaries + one bucketing pass (agg_approx_sketches shows that
+    path)."""
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    b = o.select(
+        cents.alias("cents"),
+        F.ntile(10).over(W.orderBy(cents, F.col("o_orderkey"))).alias("bucket"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("cents").alias("lo_cents"), F.max("cents").alias("hi_cents"))
+        .orderBy("bucket")
+    )

@@ -63,3 +63,39 @@ def colocated_join(spark: SparkSession, left_table: str, right_table: str, on: l
     will broadcast instead, which is also shuffle-free.
     """
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_mb: int = 128,
+) -> int:
+    """Compact a small-file parquet directory into ~target_file_mb files.
+
+    The small-files pathology: a streaming sink or over-parallel write
+    leaves thousands of KB-scale files, and every later scan pays task
+    scheduling + footer reads per file. Compaction reads once and
+    rewrites at the target size; the file count comes from the ACTUAL
+    on-disk byte size (not a row-count guess, which breaks on wide/
+    narrow schemas). Returns the number of files written.
+
+    At 100 TB this runs per partition-directory (compact the partitions
+    whose file count drifted, not the table) — combine with
+    write_partitioned and run under AQE so the final coalesce adapts.
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src_path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_path)
+    df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
+    written = sum(
+        1 for f in os.listdir(dst_path) if f.endswith(".parquet")
+    )
+    return written

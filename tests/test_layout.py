@@ -83,3 +83,15 @@ def test_dynamic_partition_pruning_from_filtered_dim(spark, sf_dir, tmp_path):
     n = joined.count()
     exp = o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).count()
     assert n == exp
+
+
+def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "shattered")
+    dst = str(tmp_path / "compact")
+    o = load_table(spark, sf_dir, "orders")
+    o.repartition(32).write.parquet(src)
+    import os
+    assert sum(1 for f in os.listdir(src) if f.endswith(".parquet")) == 32
+    written = L.compact_parquet(spark, src, dst, target_file_mb=128)
+    assert written < 32
+    assert spark.read.parquet(dst).count() == o.count()
