@@ -242,3 +242,39 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("n_orders"))
         .orderBy("lbl")
     )
+
+
+@register(
+    "scalar_variant_ops",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k_val,
+           CASE WHEN json_valid(props) THEN 'OBJECT' ELSE NULL END AS vtype,
+           CAST(json_extract(props, '$.missing') AS INTEGER) AS absent_path
+    FROM events WHERE event_id < 500 ORDER BY event_id
+    """,
+    "scalar",
+    "variant",
+    "semi-structured",
+)
+def scalar_variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured columns (Spark 4): parse_json once into a
+    variant, then typed variant_get path extraction — the open-format
+    answer to schema-on-read JSON that keeps a binary columnar encoding
+    instead of re-parsing strings per access. Missing paths yield NULL
+    (not an error), matching the reference's lenient JSON posture
+    (SURVEY.md §1.3). Oracle restates the paths with DuckDB JSON
+    functions over the raw string."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    v = ev.select("event_id", F.parse_json("props").alias("v"))
+    return v.select(
+        "event_id",
+        F.expr("variant_get(v, '$.k', 'int')").alias("k_val"),
+        F.expr("schema_of_variant(v)").startswith("OBJECT").alias("_is_obj"),
+        F.expr("variant_get(v, '$.missing', 'int')").alias("absent_path"),
+    ).select(
+        "event_id",
+        "k_val",
+        F.when(F.col("_is_obj"), "OBJECT").alias("vtype"),
+        "absent_path",
+    ).orderBy("event_id")

@@ -134,6 +134,25 @@ class MiniFTPServer:
                         data.sendall(fh.read())
                     data.close()
                     send("226 done")
+                elif verb == "NLST":
+                    path = self._resolve(cwd, arg or ".")
+                    if not os.path.isdir(path):
+                        send("550 not a directory")
+                        continue
+                    send("150 opening data")
+                    data, _ = data_listener.accept()
+                    names = sorted(
+                        n for n in os.listdir(path) if os.path.isfile(os.path.join(path, n))
+                    )
+                    data.sendall(("\r\n".join(names) + "\r\n").encode() if names else b"")
+                    data.close()
+                    send("226 done")
+                elif verb == "SIZE":
+                    path = self._resolve(cwd, arg)
+                    if not os.path.isfile(path):
+                        send("550 no such file")
+                    else:
+                        send(f"213 {os.path.getsize(path)}")
                 elif verb == "STOR":
                     try:
                         path = self._resolve(cwd, arg)
