@@ -213,3 +213,55 @@ def test_metrics_listener_counts_batches_and_rows(spark, tmp_path):
         assert listener.metrics.queries_stopped >= 1
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_left_outer_stream_stream_join_emits_nulls_after_watermark(spark, tmp_path):
+    """Watermarked LEFT OUTER stream-stream join: an unmatched left row
+    must be emitted WITH NULL right side once the watermark passes its
+    join window — the state-eviction semantics that distinguish a
+    streaming outer join from buffering forever."""
+    import datetime as dt
+
+    lsrc = tmp_path / "lo_left"
+    rsrc = tmp_path / "lo_right"
+    lsrc.mkdir(); rsrc.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # left: two impressions; right: one click matching only imp 'a'
+    def _wp(df, path, col):
+        df[col] = df[col].astype("datetime64[us]")  # micros: immune to the
+        # session-wide nanosAsLong conf the events replay source sets
+        df.to_parquet(path)
+
+    _wp(pd.DataFrame({"ad": ["a", "b"], "lts": [t0, t0]}), lsrc / "b0.parquet", "lts")
+    _wp(pd.DataFrame({"ad": ["a"], "rts": [t0 + dt.timedelta(seconds=30)]}), rsrc / "b0.parquet", "rts")
+    left = (
+        spark.readStream.schema("ad string, lts timestamp").parquet(str(lsrc))
+        .withWatermark("lts", "1 minute")
+    )
+    right = (
+        spark.readStream.schema("ad string, rts timestamp").parquet(str(rsrc))
+        .withWatermark("rts", "1 minute")
+        .withColumnRenamed("ad", "r_ad")
+    )
+    joined = left.join(
+        right,
+        F.expr("ad = r_ad AND rts BETWEEN lts AND lts + INTERVAL 2 MINUTES"),
+        "leftOuter",
+    )
+    q = joined.writeStream.outputMode("append").format("memory").queryName("lo_sink").start()
+    try:
+        q.processAllAvailable()
+        # advance both watermarks far past the join window so 'b' expires
+        late = t0 + dt.timedelta(hours=1)
+        _wp(pd.DataFrame({"ad": ["zz"], "lts": [late]}), lsrc / "b1.parquet", "lts")
+        _wp(pd.DataFrame({"ad": ["zz2"], "rts": [late]}), rsrc / "b1.parquet", "rts")
+        q.processAllAvailable()
+        _wp(pd.DataFrame({"ad": ["zz3"], "lts": [late + dt.timedelta(minutes=5)]}), lsrc / "b2.parquet", "lts")
+        _wp(pd.DataFrame({"ad": ["zz4"], "rts": [late + dt.timedelta(minutes=5)]}), rsrc / "b2.parquet", "rts")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT ad, rts FROM lo_sink").collect()
+    got = {r.ad: r.rts for r in rows}
+    assert got.get("a") is not None, "matched pair must carry the click time"
+    assert "b" in got and got["b"] is None, "expired unmatched left row must emit with NULL right"
