@@ -138,7 +138,7 @@ _HIER_SQL = """
       FROM anc WHERE anc_key > 0
     )
     SELECT anc_key, CAST(count(*) AS BIGINT) AS n_desc,
-           sum(cents) AS subtree_cents
+           CAST(sum(cents) AS BIGINT) AS subtree_cents
     FROM anc
     GROUP BY anc_key
     HAVING count(*) > 1
@@ -174,7 +174,7 @@ _LATERAL_SQL = """
     SELECT r.r_name, t.n_name, t.bal
     FROM region r,
     LATERAL (
-      SELECT n.n_name, sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS bal
+      SELECT n.n_name, CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal
       FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
       WHERE n.n_regionkey = r.r_regionkey
       GROUP BY n.n_name

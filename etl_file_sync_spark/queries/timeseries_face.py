@@ -15,7 +15,7 @@ from etl_file_sync_spark.queries.registry import register, t
 _DAILY_TYPE = """
     daily AS (
       SELECT event_type AS key, CAST(ts AS DATE) AS day,
-             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
       FROM events GROUP BY event_type, CAST(ts AS DATE)
     )
 """
@@ -113,7 +113,7 @@ def ts_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
       SELECT user_id AS key, CAST(ts AS DATE) AS day,
-             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
       FROM events WHERE user_id < 30 GROUP BY user_id, CAST(ts AS DATE)
     ),
     span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),

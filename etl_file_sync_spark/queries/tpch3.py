@@ -47,7 +47,7 @@ def _rev_e4():
     """
     WITH supply AS (
       SELECT l_partkey AS sp_partkey, l_suppkey AS sp_suppkey,
-             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS supply_cents
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS supply_cents
       FROM lineitem
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation   ON s_nationkey = n_nationkey
@@ -198,8 +198,8 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH val AS (
       SELECT l_partkey AS p_partkey,
-             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                 * CAST(l_quantity AS BIGINT)) AS value_cents
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS value_cents
       FROM lineitem
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation   ON s_nationkey = n_nationkey

@@ -52,11 +52,64 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _kind(series: pd.Series) -> str:
+    """Coarse dtype kind of a result column, as the driver's value-hash
+    would see it after .toPandas()/.df(). int-vs-float divergence here is
+    exactly the DuckDB-HUGEINT class that broke sql_recursive_hierarchy /
+    sql_lateral_topn in round 2 even though values were equal."""
+    import datetime
+    import decimal
+
+    import numpy as np
+
+    dt = series.dtype
+    if pd.api.types.is_bool_dtype(dt):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dt):
+        return "int"
+    if pd.api.types.is_float_dtype(dt):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(dt):
+        return "timestamp"
+    v = next(
+        (x for x in series if x is not None and not (isinstance(x, float) and math.isnan(x))),
+        None,
+    )
+    if v is None:
+        return "empty"
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, (int, np.integer)):
+        return "int"
+    if isinstance(v, (float, np.floating, decimal.Decimal)):
+        return "float"
+    if isinstance(v, datetime.datetime):
+        return "timestamp"
+    if isinstance(v, datetime.date):
+        return "date"
+    if isinstance(v, str):
+        return "str"
+    if isinstance(v, (list, np.ndarray)):
+        return "array"
+    if isinstance(v, dict):
+        return "map"
+    return "other"
+
+
 def assert_frames_match(spark_df, duck_rel, float_tol: float = 1e-9) -> None:
     """Compare a Spark DataFrame against a DuckDB relation result."""
     sp = canon(spark_df.toPandas())
     dk = canon(duck_rel.df())
     assert list(sp.columns) == list(dk.columns), f"columns differ: {list(sp.columns)} vs {list(dk.columns)}"
+    for c in sp.columns:
+        ka, kb = _kind(sp[c]), _kind(dk[c])
+        if "empty" in (ka, kb):
+            continue
+        assert ka == kb, (
+            f"dtype-kind mismatch on col {c}: spark={ka} vs oracle={kb} "
+            f"(spark dtype {sp[c].dtype}, oracle dtype {dk[c].dtype}) — "
+            "this diverges the driver's value hash; cast in the shared SQL"
+        )
     assert len(sp) == len(dk), f"row counts differ: {len(sp)} vs {len(dk)}"
     for c in sp.columns:
         a, b = sp[c], dk[c]
