@@ -247,7 +247,9 @@ def md5_stratified_sample(
     return df.filter(bucket < (rate * F.lit(float(2**32))).cast("bigint"))
 
 
-def hash_sample(df: DataFrame, id_col: str, rate_pct: int, salt: int = 0) -> DataFrame:
+def hash_sample(
+    df: DataFrame, id_col: str, rate_pct: int, salt: int = 0, hash_fn: str = "xxhash"
+) -> DataFrame:
     """Deterministic, reproducible sampling: keep rows whose 64-bit hash
     of (id, salt) falls in the lowest rate_pct% of the hash space.
 
@@ -255,9 +257,24 @@ def hash_sample(df: DataFrame, id_col: str, rate_pct: int, salt: int = 0) -> Dat
     — stable across runs, partitionings and cluster sizes, and different
     salts give independent samples. The standard trick for carving
     held-out splits from a 100 TB corpus.
+
+    hash_fn: 'xxhash' (default, fastest — engine-internal values) or
+    'md5' (first 8 hex chars of md5("<id>:<salt>") — standardized, so the
+    kept set is reproducible by ANY engine and oracle-checkable).
     """
-    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(salt)), F.lit(100))
-    return df.filter(bucket < rate_pct)
+    if hash_fn == "xxhash":
+        h = F.xxhash64(F.col(id_col), F.lit(salt))
+    elif hash_fn == "md5":
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(salt)))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    return df.filter(F.pmod(h, F.lit(100)) < rate_pct)
 
 
 def chunk_documents(

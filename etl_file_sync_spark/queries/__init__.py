@@ -6,6 +6,7 @@ from etl_file_sync_spark.queries import (  # noqa: F401
     llm,
     llm2,
     llm3,
+    llm4,
     merge_face,
     pipeline_face,
     relational,
