@@ -86,8 +86,15 @@ def jaccard_pairs(
     |shingles| rows; a 100 TB run would checkpoint it instead).
     """
     sh = shingles(df, id_col, text_col, n)
+    # Cache BEFORE the stop-shingle cut: the hot-set scan, the per-doc
+    # sizes, and both self-join sides all replay from this one explode
+    # pass; caching after the cut would recompute the explode for the
+    # hot scan and again for the cache fill (the r2 3.3x regression).
+    # The anti-join itself is a broadcast hash probe over in-memory
+    # rows, so replaying it per consumer costs no shuffle or scan.
+    sh = sh.cache()
     if max_df_frac is not None:
-        n_docs = df.count()  # scalar aggregate — metadata, not data
+        n_docs = df.count()  # parquet footer metadata for raw tables, not a data scan
         hot = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("_df"))
@@ -95,7 +102,6 @@ def jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sh = sh.cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
