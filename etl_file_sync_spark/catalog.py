@@ -37,15 +37,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; read it as int64 nanos (legacy conf) and truncate to
-    a microsecond timestamp — the DuckDB oracle applies the matching
-    CAST(ts AS TIMESTAMP) truncation, so values agree exactly."""
+    """events.ts has shipped as either parquet TIMESTAMP(MICROS) (current
+    testdata) or TIMESTAMP(NANOS) — the latter Spark's vectorized reader
+    rejects, so it is read as int64 nanos (legacy conf) and truncated to
+    a microsecond timestamp. Either way the result column is a plain
+    microsecond timestamp, matching the DuckDB oracle's TIMESTAMP."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        # Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as
+        # TIMESTAMP_NTZ, which watermarks reject; with the session TZ
+        # pinned to UTC the cast is instant-preserving and keeps the
+        # DuckDB oracle (NTZ semantics) in exact agreement.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -43,18 +43,25 @@ def asof_join(
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
 
+    # _rt (the matched right timestamp) is only consumed by the nearest
+    # overlay and the tolerance filter; the default backward/forward
+    # no-tolerance path skips carrying it through the window entirely.
+    need_rt = tolerance is not None or direction == "nearest"
+
     lt = F.col(left_time)
     l_tagged = left.withColumn("_t", lt).withColumn("_side", F.lit(1))
     for c in right_vals:
         l_tagged = l_tagged.withColumn(f"_rv_{c}", F.lit(None).cast(right.schema[c].dataType))
-    l_tagged = l_tagged.withColumn("_rt", F.lit(None).cast(right.schema[right_time].dataType))
-    r_tagged = right.select(
+    r_cols = [
         F.col(on),
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),
         *[F.col(c).alias(f"_rv_{c}") for c in right_vals],
-        F.col(right_time).alias("_rt"),
-    )
+    ]
+    if need_rt:
+        l_tagged = l_tagged.withColumn("_rt", F.lit(None).cast(right.schema[right_time].dataType))
+        r_cols.append(F.col(right_time).alias("_rt"))
+    r_tagged = right.select(*r_cols)
     for c in left.columns:
         if c not in (on,):
             r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
@@ -63,7 +70,7 @@ def asof_join(
     # _side: left=1, right=0. Non-strict backward: a right row at equal
     # _t IS visible => right sorts before left at ties (ascending
     # _side). Strict: right sorts after left. Forward mirrors.
-    carry = [f"_rv_{c}" for c in right_vals] + ["_rt"]
+    carry = [f"_rv_{c}" for c in right_vals] + (["_rt"] if need_rt else [])
 
     def _carried(frame, back: bool, suffix: str):
         if back:

@@ -1,9 +1,10 @@
 """Replay the events table as a Structured Streaming source.
 
-FileStreamSource needs a directory, and events.parquet carries nanosecond
-timestamps (see catalog._load_events) — this module owns both quirks so
-streaming queries and tests share one code path. In production the source
-is Kafka: swap readStream.format, keep every operator downstream.
+FileStreamSource needs a directory, and events.parquet has shipped with
+either microsecond or nanosecond timestamps (see catalog._load_events) —
+this module owns both quirks so streaming queries and tests share one
+code path. In production the source is Kafka: swap readStream.format,
+keep every operator downstream.
 """
 
 from __future__ import annotations
@@ -28,10 +29,23 @@ def events_stream(spark: SparkSession, sf_dir: str, stage_dir: str | None = None
     if not os.path.exists(link):
         os.symlink(f"{sf_dir}/events.parquet", link)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.sql.types import LongType
+
+    # Sniff the footer once (batch read) to learn which vintage of the
+    # testdata this is: int64 nanos (legacy) or a real timestamp column.
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    if isinstance(batch_schema["ts"].dataType, LongType):
+        return (
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .parquet(stage)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+    # TIMESTAMP_NTZ → TIMESTAMP: watermarks require the latter; with a
+    # UTC session TZ the cast is instant-preserving (see catalog.py).
     return (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(batch_schema)
         .parquet(stage)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
     )
 
 
