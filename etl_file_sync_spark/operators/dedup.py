@@ -254,6 +254,57 @@ def minhash_lsh_candidates(
     )
 
 
+def exact_collapse(df: DataFrame, id_col: str, key) -> tuple[DataFrame, DataFrame]:
+    """Collapse byte-identical rows before a near-dup pipeline.
+
+    Returns (reps, membership): `reps` keeps one representative row (the
+    min id) per distinct `key` value; `membership` maps (_rep, _member)
+    for every input row. Identical rows are the LSH worst case — they
+    collide in EVERY band, so a cluster of k identical docs costs
+    k²·bands candidate rows; collapsing first makes that cost k·0 and is
+    exactly what a production 100 TB pipeline does (exact dedup pass
+    before near-dedup). expand_pairs() restores the full pair set, so
+    collapse is output-invariant.
+    """
+    key_col = F.col(key) if isinstance(key, str) else key
+    clusters = df.select(F.col(id_col).alias("_m"), key_col.alias("_k")).groupBy("_k").agg(
+        F.min("_m").alias("_rep"), F.collect_list("_m").alias("_members")
+    )
+    membership = clusters.select("_rep", F.explode("_members").alias("_member"))
+    reps = df.join(
+        clusters.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
+    )
+    return reps, membership
+
+
+def expand_pairs(pairs: DataFrame, membership: DataFrame, score_col: str, exact_score) -> DataFrame:
+    """Inverse of exact_collapse for pair outputs: map representative
+    pairs back to all member pairs, and emit intra-cluster pairs (the
+    byte-identical ones) with the exact-match score. Pair identity
+    (id_a < id_b) is preserved; no pair is emitted twice because each id
+    belongs to exactly one cluster."""
+    ma = membership.select(F.col("_rep").alias("id_a"), F.col("_member").alias("_a"))
+    mb = membership.select(F.col("_rep").alias("id_b"), F.col("_member").alias("_b"))
+    cross = (
+        pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("_a", "_b").alias("id_a"),
+            F.greatest("_a", "_b").alias("id_b"),
+            F.col(score_col),
+        )
+    )
+    x, y = membership.alias("x"), membership.alias("y")
+    intra = x.join(
+        y, (F.col("x._rep") == F.col("y._rep")) & (F.col("x._member") < F.col("y._member"))
+    ).select(
+        F.col("x._member").alias("id_a"),
+        F.col("y._member").alias("id_b"),
+        F.lit(exact_score).cast("double").alias(score_col),
+    )
+    return cross.unionByName(intra)
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -263,10 +314,29 @@ def minhash_dedup_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     hash_fn: str = "xxhash",
+    collapse_exact: bool = True,
 ) -> DataFrame:
-    """Full MinHash near-dup pipeline: signatures → LSH candidates →
-    signature-similarity estimate filter. Returns (id_a, id_b, est_jaccard).
+    """Full MinHash near-dup pipeline: exact-collapse → signatures → LSH
+    candidates → signature-similarity estimate filter. Returns
+    (id_a, id_b, est_jaccard).
+
+    collapse_exact pre-groups byte-identical texts (sha2 digest) and
+    runs LSH on unique texts only — output-invariant (identical texts
+    have identical signatures, so their pairs score exactly 1.0 either
+    way) but linear instead of quadratic·bands on exact-dup clusters.
     """
+    if collapse_exact:
+        # null/empty texts have no shingles and never pair in the LSH
+        # path — keep them singleton clusters so collapse stays
+        # output-invariant.
+        key = F.when(
+            F.length(F.coalesce(F.col(text_col), F.lit(""))) > 0, F.sha2(F.col(text_col), 256)
+        ).otherwise(F.concat(F.lit("_s"), F.col(id_col).cast("string")))
+        reps, membership = exact_collapse(df, id_col, key)
+        rep_pairs = minhash_dedup_pairs(
+            reps, id_col, text_col, n, num_perm, bands, threshold, hash_fn, collapse_exact=False
+        )
+        return expand_pairs(rep_pairs, membership, "est_jaccard", 1.0)
     sig = minhash_signatures(df, id_col, text_col, n, num_perm, hash_fn).cache()
     cand = minhash_lsh_candidates(sig, bands, num_perm // bands)
     sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
@@ -488,6 +558,7 @@ def srp_near_dup_pairs(
     n_planes: int = 192,
     bands: int = 16,
     seed: int = 7,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Embedding near-dup pairs via SRP-LSH candidates + exact verify.
 
@@ -497,8 +568,27 @@ def srp_near_dup_pairs(
     Approximate-recall by nature (tuned ≥0.99 at threshold 0.9 with the
     defaults: 16 bands × 12 bits); use embedding_dup_pairs when the
     threshold sits inside the background cosine bulk.
+
+    collapse_exact pre-groups byte-identical vectors (grouping on the
+    raw array — exact equality, no digest collisions) so replicas cost
+    one signature instead of colliding in every band; output-invariant
+    because identical vectors pair at cosine exactly 1.0.
     """
     from etl_file_sync_spark.operators.similarity import cosine_expr
+
+    if collapse_exact:
+        # zero-norm vectors have null cosine (never pair in the verify
+        # filter) — keep them singletons so collapse is output-invariant.
+        vd = F.col(vec_col).cast("array<double>")
+        norm_sq = F.aggregate(vd, F.lit(0.0), lambda a, x: a + x * x)
+        key = F.when(
+            norm_sq > 0, F.sha2(F.concat_ws(",", F.col(vec_col).cast("array<string>")), 256)
+        ).otherwise(F.concat(F.lit("_s"), F.col(id_col).cast("string")))
+        reps, membership = exact_collapse(df, id_col, key)
+        rep_pairs = srp_near_dup_pairs(
+            reps, id_col, vec_col, threshold, n_planes, bands, seed, collapse_exact=False
+        )
+        return expand_pairs(rep_pairs, membership, "cosine", 1.0)
 
     sig = srp_signatures(df, id_col, vec_col, n_planes, seed)
     cand = minhash_lsh_candidates(sig, bands, n_planes // bands)
