@@ -85,7 +85,13 @@ def jaccard_pairs(
     frame is cached for the self-join's two scans (small: |docs|·
     |shingles| rows; a 100 TB run would checkpoint it instead).
     """
-    sh = shingles(df, id_col, text_col, n)
+    # The shingle STRING only matters for equality — collapse it to an
+    # 8-byte xxhash64 right after the explode, so the cache, the hot-set
+    # aggregation, and above all the self-join shuffle move fixed-width
+    # bigints instead of ~20-byte strings. A within-doc or cross-doc
+    # collision would perturb one pair's intersection count; at 2^64
+    # key space that is a ~1e-11 event corpus-wide.
+    sh = shingles(df, id_col, text_col, n).select("id", F.xxhash64("shingle").alias("shingle"))
     # Cache BEFORE the stop-shingle cut: the hot-set scan, the per-doc
     # sizes, and both self-join sides all replay from this one explode
     # pass; caching after the cut would recompute the explode for the
