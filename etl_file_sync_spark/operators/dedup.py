@@ -665,3 +665,59 @@ def paragraph_dup_stats(
             F.round(F.col("n_dup_segs") / F.col("n_segs"), 4).alias("dup_frac"),
         )
     )
+
+
+def ngram_span_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", window: int = 8
+) -> DataFrame:
+    """Cross-document substring-duplication audit (the span-level exact
+    dedup of "Deduplicating Training Data Makes Language Models Better",
+    Lee et al. 2022, re-expressed relationally): every `window`-token
+    sliding span of every doc, counted as duplicated when the identical
+    span also appears in at least one OTHER doc.
+
+    Returns (id, n_windows, n_dup_windows, dup_frac) — docs shorter than
+    `window` tokens report 0/0/0.0.
+
+    Shape: one explode of size ~|tokens| per doc, one distinct+groupBy
+    over the span key for cross-doc counts, one broadcast-ish semi join
+    back. The span string is the join key in both engines, so the result
+    is value-exact oracle-checkable; a 100 TB run would hash spans to
+    bigints first (see jaccard_pairs) and accept the ~1e-11 collision.
+    """
+    toks = F.split(F.col(text_col), " ")
+    spans = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - window),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, window)),
+    )
+    occ = (
+        df.where(F.size(toks) >= window)
+        .select(F.col(id_col).alias("id"), F.explode(spans).alias("span"))
+    )
+    shared = (
+        occ.distinct()
+        .groupBy("span")
+        .agg(F.count(F.lit(1)).alias("_docs"))
+        .filter(F.col("_docs") >= 2)
+        .select("span")
+    )
+    dup = occ.join(shared, "span", "left_semi").groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_dup_windows")
+    )
+    totals = occ.groupBy("id").agg(F.count(F.lit(1)).alias("n_windows"))
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(totals, "id", "left")
+        .join(dup, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.when(
+                F.coalesce("n_windows", F.lit(0)) > 0,
+                F.coalesce("n_dup_windows", F.lit(0)) / F.col("n_windows"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+    )

@@ -130,3 +130,59 @@ def bigram_novelty(
             F.coalesce("n_hapax", F.lit(0)).cast("long").alias("n_hapax"),
         )
     )
+
+
+def domain_cap(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    cap: int = 10,
+) -> DataFrame:
+    """Per-domain document cap — the standard curation guard against one
+    crawl domain dominating the mixture. Keeps at most `cap` docs per
+    domain, chosen by md5-priority (engine-independent, reproducible,
+    and unbiased w.r.t. document content).
+
+    One shuffle: row_number over (domain, md5-order). At 100 TB the
+    window partitions by domain — skewed mega-domains are exactly the
+    rows the cap discards, so the tail a single task must sort is
+    bounded by the domain's doc count, and a two-phase pre-filter
+    (keep only per-partition top-cap) bounds even that.
+    """
+    from pyspark.sql import Window as W
+
+    pri = F.md5(F.col(id_col).cast("string"))
+    rn = F.row_number().over(W.partitionBy(domain_col).orderBy(pri, F.col(id_col)))
+    return df.withColumn("_rn", rn).filter(F.col("_rn") <= cap).drop("_rn")
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    k: int = 100,
+    seed: str = "w",
+) -> DataFrame:
+    """Weighted sampling without replacement via priority keys: each row
+    draws a reproducible md5 uniform u and gets priority u/weight;
+    the k smallest priorities win, so heavier rows win more often
+    (priority sampling, Duffield et al.). md5 keeps the draw
+    engine-independent; 13 hex chars = 52 bits so u is exact in a
+    double and u/w is one correctly-rounded IEEE op — value-exact
+    across engines.
+
+    Scale shape: a global top-k (TakeOrderedAndProject) — per-partition
+    heaps then one k-row merge on the driver, never a full sort.
+    """
+    u = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed))), 1, 13),
+        16,
+        10,
+    ).cast("bigint")
+    pri = u / F.col(weight_col)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("priority", pri)
+        .orderBy("priority", id_col)
+        .limit(k)
+    )

@@ -1,6 +1,7 @@
 """Assemble the full query registry (import side effects register)."""
 
 from etl_file_sync_spark.queries import (  # noqa: F401
+    behavior,
     advanced,
     dq,
     llm,

@@ -1,0 +1,302 @@
+"""Behavioral analytics + curation-sampling queries (round 3).
+
+Funnels, retention cohorts, and gap-interpolated resampling over the
+events stream table; per-domain caps, weighted priority sampling, and
+span-level substring dedup over documents. All value-exact against the
+DuckDB oracle: counts are BIGINT, every float is produced by a single
+correctly-rounded IEEE op on exact integers, and random draws are
+md5-seeded.
+
+Reference parity: the reference repo is a Kafka→FTP file-sync pipeline
+with no analytics face (/root/reference/README.md:1-60); these queries
+belong to the LLM-pipeline / analytics extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from etl_file_sync_spark.queries.registry import register, t
+
+
+@register(
+    "funnel_user_conversion",
+    """
+    WITH v AS (
+      SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id AND CAST(e.ts AS TIMESTAMP) > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id AND CAST(e.ts AS TIMESTAMP) > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT stage, users FROM (
+      SELECT 'view' AS stage, CAST(count(*) AS BIGINT) AS users FROM v
+      UNION ALL
+      SELECT 'view>click', CAST(count(*) AS BIGINT) FROM c
+      UNION ALL
+      SELECT 'view>click>purchase', CAST(count(*) AS BIGINT) FROM p
+    ) ORDER BY stage
+    """,
+    "behavior",
+    "funnel",
+)
+def funnel_user_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel: a user advances a stage only
+    with an event strictly after their earliest prior-stage event.
+
+    Three per-user aggregations, each co-partitioned on user_id — AQE
+    plans the stage-to-stage joins; no all-events self-join.
+    """
+    e = t(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    rows = (
+        v.agg(F.lit("view").alias("stage"), F.count(F.lit(1)).cast("long").alias("users"))
+        .unionByName(
+            c.agg(F.lit("view>click").alias("stage"), F.count(F.lit(1)).cast("long").alias("users"))
+        )
+        .unionByName(
+            p.agg(
+                F.lit("view>click>purchase").alias("stage"),
+                F.count(F.lit(1)).cast("long").alias("users"),
+            )
+        )
+    )
+    return rows.orderBy("stage")
+
+
+@register(
+    "retention_cohorts",
+    """
+    WITH f AS (
+      SELECT user_id, CAST(date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS DATE) AS cw
+      FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS aw
+      FROM events
+    )
+    SELECT f.cw AS cohort_week,
+           CAST((a.aw - f.cw) / 7 AS BIGINT) AS week_offset,
+           CAST(count(*) AS BIGINT) AS users
+    FROM f JOIN a ON f.user_id = a.user_id
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "behavior",
+    "retention",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users grouped by first-seen week,
+    counted in each later week they were active.
+
+    Two shuffles (per-user min, distinct user-weeks) then a user_id
+    equi-join — the cohort dimension never materializes per-event rows.
+    """
+    e = t(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).cast("date").alias("cw"))
+    a = e.select("user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("aw")).distinct()
+    return (
+        f.join(a, "user_id")
+        .select(
+            # timestamp, not date: DuckDB materializes DATE as
+            # datetime64 while Spark DATE stays python date objects —
+            # the driver's hash treats those as different kinds.
+            F.col("cw").cast("timestamp").alias("cohort_week"),
+            (F.datediff(F.col("aw"), F.col("cw")) / 7).cast("long").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@register(
+    "ts_resample_interpolate",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events WHERE user_id % 10 = 0 GROUP BY 1, 2
+    ),
+    bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+    grid AS (
+      SELECT user_id, CAST(g.gd AS DATE) AS day
+      FROM bounds, UNNEST(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS g(gd)
+    ),
+    joined AS (
+      SELECT g.user_id, g.day, d.cnt FROM grid g
+      LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+    ),
+    filled AS (
+      SELECT user_id, day, cnt,
+        last_value(cnt IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc,
+        last_value(CASE WHEN cnt IS NOT NULL THEN day END IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        first_value(cnt IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc,
+        first_value(CASE WHEN cnt IS NOT NULL THEN day END IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM joined
+    )
+    SELECT user_id, day,
+      CASE WHEN cnt IS NOT NULL THEN CAST(cnt AS DOUBLE)
+           ELSE pc + (nc - pc) * (day - pd) / (nd - pd) END AS value,
+      (cnt IS NULL) AS interpolated
+    FROM filled ORDER BY user_id, day
+    """,
+    "timeseries",
+    "interpolate",
+)
+def ts_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily resample of per-user event counts with linear interpolation
+    over gap days (between each user's first and last active day).
+
+    The day grid comes from sequence() per user (no calendar table
+    shuffle); carry-forward/backward pairs come from one window sort per
+    direction. The interpolation arithmetic is integer-exact until a
+    single double division, so the oracle matches bit-for-bit.
+    Filtered to user_id % 10 = 0 to keep the oracle frame small while
+    exercising every code path.
+    """
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    daily = (
+        e.select("user_id", F.col("ts").cast("date").alias("day"))
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    bounds = daily.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    )
+    joined = grid.join(daily, ["user_id", "day"], "left")
+    wb = W.partitionBy("user_id").orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    wf = W.partitionBy("user_id").orderBy("day").rowsBetween(0, W.unboundedFollowing)
+    day_if = F.when(F.col("cnt").isNotNull(), F.col("day"))
+    filled = (
+        joined.withColumn("pc", F.last("cnt", ignorenulls=True).over(wb))
+        .withColumn("pd", F.last(day_if, ignorenulls=True).over(wb))
+        .withColumn("nc", F.first("cnt", ignorenulls=True).over(wf))
+        .withColumn("nd", F.first(day_if, ignorenulls=True).over(wf))
+    )
+    value = F.when(F.col("cnt").isNotNull(), F.col("cnt").cast("double")).otherwise(
+        F.col("pc")
+        + (F.col("nc") - F.col("pc"))
+        * F.datediff(F.col("day"), F.col("pd"))
+        / F.datediff(F.col("nd"), F.col("pd"))
+    )
+    return filled.select(
+        "user_id",
+        F.col("day").cast("timestamp").alias("day"),  # dtype parity with DuckDB DATE
+        value.alias("value"),
+        F.col("cnt").isNull().alias("interpolated"),
+    ).orderBy("user_id", "day")
+
+
+@register(
+    "sample_domain_cap",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 10 ORDER BY source, doc_id
+    """,
+    "sampling",
+    "curation",
+)
+def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap each source domain at 10 documents, selected by reproducible
+    md5 priority (operators/mix.py::domain_cap)."""
+    from etl_file_sync_spark.operators.mix import domain_cap
+
+    d = t(spark, sf_dir, "documents")
+    return domain_cap(d, cap=10).select("doc_id", "source").orderBy("source", "doc_id")
+
+
+@register(
+    "sample_weighted_priority",
+    """
+    SELECT doc_id, source, n_chars, priority FROM (
+      SELECT doc_id, source, n_chars,
+             ('0x' || substr(md5(doc_id::VARCHAR || ':w'), 1, 13))::UBIGINT::BIGINT / n_chars
+               AS priority
+      FROM documents WHERE n_chars > 0
+    ) ORDER BY priority, doc_id LIMIT 100
+    """,
+    "sampling",
+    "weighted",
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted sample of 100 docs without replacement
+    (operators/mix.py::weighted_priority_sample): priority = md5-uniform
+    / n_chars, k smallest win — longer docs proportionally likelier."""
+    from etl_file_sync_spark.operators.mix import weighted_priority_sample
+
+    d = t(spark, sf_dir, "documents")
+    return weighted_priority_sample(d, "doc_id", "n_chars", k=100).select(
+        "doc_id", "source", "n_chars", "priority"
+    )
+
+
+@register(
+    "dedup_span_stats",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    occ AS (
+      SELECT doc_id, array_to_string(w[i+1:i+8], ' ') AS span
+      FROM d, UNNEST(range(0, len(w) - 7)) AS u(i)
+      WHERE len(w) >= 8
+    ),
+    shared AS (
+      SELECT span FROM (SELECT DISTINCT doc_id, span FROM occ)
+      GROUP BY span HAVING count(*) >= 2
+    ),
+    dup AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows
+      FROM occ WHERE span IN (SELECT span FROM shared) GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows FROM occ GROUP BY doc_id)
+    SELECT d2.doc_id AS id,
+           CAST(coalesce(t.n_windows, 0) AS BIGINT) AS n_windows,
+           CAST(coalesce(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+           CASE WHEN coalesce(t.n_windows, 0) > 0
+                THEN coalesce(p.n_dup_windows, 0) / t.n_windows
+                ELSE 0.0 END AS dup_frac
+    FROM documents d2
+    LEFT JOIN totals t ON d2.doc_id = t.doc_id
+    LEFT JOIN dup p ON d2.doc_id = p.doc_id
+    ORDER BY id
+    """,
+    "dedup",
+    "substring",
+)
+def dedup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level (8-token sliding window) cross-document substring
+    duplication audit (operators/dedup.py::ngram_span_stats)."""
+    from etl_file_sync_spark.operators.dedup import ngram_span_stats
+
+    d = t(spark, sf_dir, "documents")
+    return ngram_span_stats(d, window=8).orderBy("id")
