@@ -64,6 +64,12 @@ HEADLINE = [
     "sql_recursive_hierarchy",
     "agg_hll_lifecycle",
     "multimodal_image_dims",
+    # round-3 surface
+    "dedup_span_stats",
+    "funnel_user_conversion",
+    "retention_cohorts",
+    "ts_resample_interpolate",
+    "sample_weighted_priority",
 ]
 
 
