@@ -551,3 +551,73 @@ def test_asof_tolerance_matches_pandas(spark):
         "k", "t", "rt", ["rv"], direction="forward", tolerance=2.0,
     ).orderBy("t").collect()
     assert [r.rv for r in fwd] == [None, None, None]
+
+
+# -- round-3 operators ----------------------------------------------------
+
+
+def test_ngram_span_stats_planted(spark):
+    from etl_file_sync_spark.operators.dedup import ngram_span_stats
+
+    shared = "one two three four five six seven eight"  # exactly 8 tokens
+    rows = [
+        (1, shared + " tail1 tail2"),          # 3 windows, 1 shared
+        (2, "x " + shared),                    # 2 windows, 1 shared
+        (3, "totally different words here nine ten eleven twelve"),  # no dup
+        (4, "short text"),                     # < 8 tokens -> 0/0/0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r for r in ngram_span_stats(df, window=8).collect()}
+    assert (got[1].n_windows, got[1].n_dup_windows) == (3, 1)
+    assert (got[2].n_windows, got[2].n_dup_windows) == (2, 1)
+    assert (got[3].n_windows, got[3].n_dup_windows) == (1, 0)
+    assert (got[4].n_windows, got[4].n_dup_windows, got[4].dup_frac) == (0, 0, 0.0)
+    assert abs(got[1].dup_frac - 1 / 3) < 1e-12
+
+
+def test_domain_cap_keeps_at_most_cap(spark):
+    from etl_file_sync_spark.operators.mix import domain_cap
+
+    rows = [(i, "big" if i < 40 else "small") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = domain_cap(df, cap=5).groupBy("source").count().collect()
+    counts = {r.source: r["count"] for r in out}
+    assert counts == {"big": 5, "small": 5}
+    # deterministic: same input -> same kept set
+    a = sorted(r.doc_id for r in domain_cap(df, cap=5).collect())
+    b = sorted(r.doc_id for r in domain_cap(df, cap=5).collect())
+    assert a == b
+
+
+def test_weighted_priority_sample_favors_heavy(spark):
+    from etl_file_sync_spark.operators.mix import weighted_priority_sample
+
+    # 200 light docs (w=1) vs 200 heavy docs (w=100): heavy docs should
+    # dominate the kept set (probability a light doc beats a heavy one
+    # is ~1%); also rows with weight<=0 are never sampled.
+    rows = [(i, 1) for i in range(200)] + [(200 + i, 100) for i in range(200)] + [(999, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    kept = weighted_priority_sample(df, "doc_id", "n_chars", k=100).collect()
+    assert len(kept) == 100
+    heavy = sum(1 for r in kept if r.doc_id >= 200)
+    assert heavy > 80
+    assert all(r.doc_id != 999 for r in kept)
+
+
+def test_exact_collapse_expand_is_output_invariant(spark):
+    from etl_file_sync_spark.operators.dedup import minhash_dedup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = []
+    for g in range(5):
+        text = base + f" group{g}"
+        for m in range(4):  # 4 byte-identical copies per group
+            rows.append((g * 10 + m, text))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    on = minhash_dedup_pairs(df, collapse_exact=True).collect()
+    off = minhash_dedup_pairs(df, collapse_exact=False).collect()
+    key = lambda r: ((r.id_a, r.id_b), r.est_jaccard)  # noqa: E731
+    assert sorted(map(key, on)) == sorted(map(key, off))
+    # within-group pairs (byte-identical copies) score exactly 1.0
+    intra = [r.est_jaccard for r in on if r.id_a // 10 == r.id_b // 10]
+    assert intra and set(intra) == {1.0}
