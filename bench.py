@@ -100,11 +100,22 @@ def bench_queries(spark, runs: int = 3) -> dict[str, float]:
     return times
 
 
-def bench_pipeline_files(spark, n_files: int = 1000) -> float:
+def bench_pipeline_files(spark, n_files: int = 1000, _warmed: list = []) -> float:
     """1,000-file local→local bulk transfer through the full pipeline —
-    mirrors the reference's bulk E2E benchmark shape (test_e2e.py:397-491)."""
+    mirrors the reference's bulk E2E benchmark shape (test_e2e.py:397-491).
+
+    The first invocation in a session runs a small untimed batch first:
+    the timed number is steady-state bulk throughput (the reference's
+    21.73 files/s is likewise a warm bulk measurement), not Python
+    worker-pool spin-up — after 40 clearCache'd queries the idle worker
+    pool has been recycled and a cold run measures process forks.
+    """
     from etl_file_sync_spark.pipeline.config import ServerConfig, servers_dataframe
     from etl_file_sync_spark.pipeline.sink import run_manifest_batch
+
+    if not _warmed:
+        _warmed.append(True)
+        bench_pipeline_files(spark, n_files=50)
 
     root = tempfile.mkdtemp(prefix="bench_files_")
     src_dir, dst_dir = os.path.join(root, "src"), os.path.join(root, "dst")
