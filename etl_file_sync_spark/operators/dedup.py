@@ -721,3 +721,41 @@ def ngram_span_stats(
             .alias("dup_frac"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Directional shingle containment |A∩B| / |A| — catches quotes,
+    excerpts, and test-set contamination that symmetric Jaccard misses
+    (a 50-token quote inside a 5000-token doc has tiny Jaccard but
+    containment ≈ 1 in the quote's direction).
+
+    Returns (id_a, id_b, n_common, containment) for ordered pairs where
+    the SMALLER side's containment crosses `threshold` — containment is
+    max(c/|A|, c/|B|), reported with id_a < id_b. Same shuffle shape as
+    jaccard_pairs: one hashed-shingle self-join, never all-pairs.
+    """
+    sh = shingles(df, id_col, text_col, n).select("id", F.xxhash64("shingle").alias("shingle"))
+    sh = sh.cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        pairs.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .withColumn(
+            "containment", F.col("n_common") / F.least(F.col("n_a"), F.col("n_b"))
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "n_common", F.round("containment", 4).alias("containment"))
+    )

@@ -105,3 +105,36 @@ def check_constraints(df: DataFrame, constraints: list[Constraint]) -> DataFrame
     for p in pieces[1:]:
         out = out.unionByName(p)
     return out
+
+
+def robust_outliers(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Median/MAD outlier flags per group — the robust z-score screen
+    (|x - median| > k * MAD) used to quarantine length/score anomalies
+    before they skew a mixture. percentile_disc-style medians (exact
+    data values via two-element interpolation-free selection) keep the
+    arithmetic integer-exact and oracle-comparable.
+
+    Two grouped aggregations (median, then MAD over |x - median|), both
+    partial-aggregated on the group key; the flags join is co-partitioned
+    on the same key. No window over raw rows.
+    """
+    med = df.groupBy(key_col).agg(
+        F.expr(f"percentile_disc(0.5) WITHIN GROUP (ORDER BY {value_col})").alias("med")
+    )
+    dev = (
+        df.join(med, key_col)
+        .withColumn("_adev", F.abs(F.col(value_col) - F.col("med")))
+    )
+    mad = dev.groupBy(key_col).agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY _adev)").alias("mad")
+    )
+    return (
+        dev.join(mad, key_col)
+        .withColumn("is_outlier", F.col("_adev") > F.lit(k) * F.col("mad"))
+        .drop("_adev")
+    )

@@ -300,3 +300,81 @@ def dedup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     return ngram_span_stats(d, window=8).orderBy("id")
+
+
+@register(
+    "dedup_containment_pairs",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, array_to_string(w[i+1:i+3], ' ') AS s
+      FROM d, UNNEST(range(0, greatest(len(w) - 2, 1))) AS u(i)
+      WHERE array_to_string(w[i+1:i+3], ' ') <> ''
+    ),
+    sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY id),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b, c.n_common,
+           round(c.n_common / least(sa.n_sh, sb.n_sh), 4) AS containment
+    FROM common c
+    JOIN sizes sa ON c.id_a = sa.id
+    JOIN sizes sb ON c.id_b = sb.id
+    WHERE c.n_common / least(sa.n_sh, sb.n_sh) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+    "dedup",
+    "contamination",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle containment (operators/dedup.py::
+    containment_pairs) — quote/excerpt/contamination detection that
+    symmetric Jaccard misses."""
+    from etl_file_sync_spark.operators.dedup import containment_pairs
+
+    d = t(spark, sf_dir, "documents")
+    return containment_pairs(d, threshold=0.8).orderBy("id_a", "id_b")
+
+
+@register(
+    "dq_robust_outliers",
+    """
+    WITH med AS (
+      SELECT source, percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS med
+      FROM documents GROUP BY source
+    ),
+    dev AS (
+      SELECT d.doc_id, d.source, d.n_chars, m.med, abs(d.n_chars - m.med) AS adev
+      FROM documents d JOIN med m ON d.source = m.source
+    ),
+    mad AS (
+      SELECT source, percentile_disc(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+      FROM dev GROUP BY source
+    )
+    SELECT v.doc_id, v.source, v.n_chars, CAST(v.med AS BIGINT) AS med,
+           CAST(a.mad AS BIGINT) AS mad,
+           v.adev > 3.0 * a.mad AS is_outlier
+    FROM dev v JOIN mad a ON v.source = a.source
+    ORDER BY doc_id
+    """,
+    "dq",
+    "outliers",
+)
+def dq_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier screen on document lengths per source
+    (operators/profile.py::robust_outliers) — integer-exact medians via
+    percentile_disc, no interpolation."""
+    from etl_file_sync_spark.operators.profile import robust_outliers
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    out = robust_outliers(d, "source", "n_chars", k=3.0)
+    return out.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.col("med").cast("long").alias("med"),
+        F.col("mad").cast("long").alias("mad"),
+        "is_outlier",
+    ).orderBy("doc_id")
