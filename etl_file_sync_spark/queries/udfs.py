@@ -175,12 +175,13 @@ def udaf_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     "applyInPandas",
 )
 def udf_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cogrouped applyInPandas: orders and lineitems cogrouped on the
-    order key, reconciled per group in pandas (header total vs summed
-    line revenue) — the two-sided Arrow UDF surface
-    (GroupedData.cogroup), distinct from single-input applyInPandas.
-    Cogroup shuffles BOTH sides on the key once; inside each group the
-    merge is a vectorized pandas reduce. The oracle restates it as a
+    """Cogrouped applyInPandas: orders and lineitems cogrouped on a
+    64-way hash BUCKET of the order key, reconciled inside each bucket
+    with one vectorized pandas groupby+join (header total vs summed line
+    revenue) — the two-sided Arrow UDF surface (GroupedData.cogroup),
+    distinct from single-input applyInPandas. Cogroup shuffles BOTH
+    sides once; bucket grain amortizes the per-group Python round-trip
+    over thousands of orders (per-order grain costs ~ms per key). The oracle restates it as a
     grouped left join. Revenue is reconciled in integer 1e-4-dollar
     units (prices/discounts are exact 2-decimal values) so the sum is
     order-independent and bit-identical across engines — a float
@@ -188,6 +189,8 @@ def udf_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary depending on summation order."""
 
     def reconcile(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # One invocation per BUCKET, not per order: the merge inside is a
+        # vectorized pandas groupby+join over every order in the bucket.
         if len(left) == 0:
             return pd.DataFrame(
                 columns=["orderkey", "custkey", "order_total", "lineitem_revenue_e4", "n_lines"]
@@ -195,18 +198,25 @@ def udf_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         if len(right):
             cents = np.rint(right["l_extendedprice"].to_numpy() * 100).astype("int64")
             disc = np.rint(right["l_discount"].to_numpy() * 100).astype("int64")
-            rev_e4 = int((cents * (100 - disc)).sum())
+            li = pd.DataFrame(
+                {"orderkey": right["l_orderkey"].to_numpy(), "rev": cents * (100 - disc)}
+            )
+            agg = li.groupby("orderkey", sort=False).agg(
+                lineitem_revenue_e4=("rev", "sum"), n_lines=("rev", "size")
+            )
         else:
-            rev_e4 = 0
-        return pd.DataFrame(
-            {
-                "orderkey": left["o_orderkey"].iloc[:1],
-                "custkey": left["o_custkey"].iloc[:1],
-                "order_total": round(float(left["o_totalprice"].iloc[0]), 2),
-                "lineitem_revenue_e4": rev_e4,
-                "n_lines": len(right),
-            }
+            agg = pd.DataFrame(columns=["lineitem_revenue_e4", "n_lines"])
+        out = (
+            left.rename(
+                columns={"o_orderkey": "orderkey", "o_custkey": "custkey", "o_totalprice": "order_total"}
+            )
+            .drop(columns=["bucket"])
+            .join(agg, on="orderkey")
         )
+        out["order_total"] = out["order_total"].round(2)
+        out["lineitem_revenue_e4"] = out["lineitem_revenue_e4"].fillna(0).astype("int64")
+        out["n_lines"] = out["n_lines"].fillna(0).astype("int32")
+        return out
 
     o = (
         t(spark, sf_dir, "orders")
@@ -222,7 +232,14 @@ def udf_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount").join(
         F.broadcast(o.select(F.col("o_orderkey").alias("l_orderkey"))), "l_orderkey", "left_semi"
     )
-    out = o.groupBy("o_orderkey").cogroup(l.groupBy("l_orderkey")).applyInPandas(
+    # Cogroup at BUCKET grain (hash of the key mod 64), not per order:
+    # cogrouped applyInPandas pays one Python round-trip per group, so
+    # per-order groups cost ~ms each while per-bucket groups amortize
+    # thousands of orders into one vectorized pandas merge. Same output,
+    # same co-shuffle; this is the grain a 100 TB cogroup must use.
+    ob = o.withColumn("bucket", F.pmod(F.xxhash64("o_orderkey"), F.lit(64)))
+    lb = l.withColumn("bucket", F.pmod(F.xxhash64("l_orderkey"), F.lit(64)))
+    out = ob.groupBy("bucket").cogroup(lb.groupBy("bucket")).applyInPandas(
         reconcile,
         schema="orderkey long, custkey long, order_total double, lineitem_revenue_e4 long, n_lines int",
     )
