@@ -88,3 +88,37 @@ def test_q20_semi_join_chain(spark, sf_dir):
 
     plan = physical_plan(REGISTRY["q20_potential_promotion"].build(spark, sf_dir))
     assert "LeftSemi" in plan
+
+
+def test_weighted_sample_is_topk_with_pushdown(spark, sf_dir):
+    """Weighted priority sampling must be a single pushed-filter scan +
+    TakeOrderedAndProject — a global Sort here would be the 100 TB bug."""
+    from etl_file_sync_spark.plans import physical_plan
+
+    df = REGISTRY["sample_weighted_priority"].build(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "GreaterThan(n_chars" in str(pushed_filters(df))
+    assert count_exchanges(df) == 0
+
+
+def test_span_stats_never_cartesian(spark, sf_dir):
+    """Span dedup must stay equi-join shaped (shared-span semi join) —
+    no BroadcastNestedLoop/Cartesian anywhere in the plan."""
+    from etl_file_sync_spark.plans import physical_plan
+
+    plan = physical_plan(REGISTRY["dedup_span_stats"].build(spark, sf_dir))
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_funnel_pushes_event_type_filters(spark, sf_dir):
+    """Each funnel stage scans only its event type via a pushed filter
+    and joins per-user aggregates, never raw-event self-joins."""
+    from etl_file_sync_spark.plans import physical_plan
+
+    df = REGISTRY["funnel_user_conversion"].build(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "EqualTo(event_type,view)" in plan
+    assert "EqualTo(event_type,click)" in plan
+    assert "EqualTo(event_type,purchase)" in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
