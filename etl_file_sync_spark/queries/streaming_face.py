@@ -420,3 +420,4 @@ def stream_stateful_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory_sink(crossed, "stream_stateful_threshold_sink", "update").orderBy(
         "user_id"
     )
+

@@ -1,0 +1,112 @@
+"""Spark 4 typed-state streaming (transformWithStateInPandas).
+
+The successor API to applyInPandasWithState: a StatefulProcessor class
+with per-variable typed state (ValueState/ListState/MapState, optional
+TTL and timers) instead of one packed tuple. The runtime requires
+`google.protobuf` for its state-server wire protocol, which this image
+does not ship — so the operator lives here behind an import gate (same
+policy as the delta/iceberg/jdbc sources in sources/io.py) and is
+exercised by an env-gated test; the registry's stateful query
+(`stream_stateful_threshold`, queries/streaming_face.py) uses the
+applyInPandasWithState surface that runs everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class StatefulApiUnavailable(RuntimeError):
+    """transformWithStateInPandas needs google.protobuf at runtime."""
+
+
+def _require_protobuf() -> None:
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - present on real clusters
+        raise StatefulApiUnavailable(
+            "transformWithStateInPandas requires the protobuf package "
+            "(pip install protobuf on the cluster image)"
+        ) from exc
+
+
+def running_max_stream(stream: DataFrame) -> DataFrame:
+    """Per-user running purchase maximum via three ValueStates:
+    (max integer cents, earliest ts reaching it, lifetime count).
+    Update-mode emission once per user per micro-batch.
+
+    Input: a streaming frame with (user_id, ts, value) purchase rows.
+    """
+    _require_protobuf()
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningMax(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.max_cents = handle.getValueState("max_cents", "v long")
+            self.max_ts = handle.getValueState("max_ts", "v timestamp")
+            self.n = handle.getValueState("n", "v long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            best = self.max_cents.get()[0] if self.max_cents.exists() else None
+            best_ts = self.max_ts.get()[0] if self.max_ts.exists() else None
+            n = self.n.get()[0] if self.n.exists() else 0
+            for pdf in rows:
+                if len(pdf) == 0:
+                    continue
+                cents = (pdf["value"] * 100).round().astype("int64")
+                n += len(pdf)
+                b = int(cents.max())
+                if best is None or b > best:
+                    best = b
+                    best_ts = pdf.loc[cents == b, "ts"].min()
+                elif b == best:
+                    best_ts = min(best_ts, pdf.loc[cents == b, "ts"].min())
+            if best is None:
+                return iter([])
+            self.max_cents.update((best,))
+            self.max_ts.update((best_ts,))
+            self.n.update((n,))
+            return iter(
+                [
+                    pd.DataFrame(
+                        {
+                            "user_id": [key[0]],
+                            "max_cents": [best],
+                            "first_max_ts": [best_ts],
+                            "n_purchases": [n],
+                        }
+                    )
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.select("user_id", "ts", "value").groupBy("user_id").transformWithStateInPandas(
+        RunningMax(),
+        outputStructType="user_id long, max_cents long, first_max_ts timestamp, n_purchases long",
+        outputMode="update",
+        timeMode="none",
+    )
+
+
+def running_max_batch_truth(purchases: DataFrame) -> DataFrame:
+    """The batch restatement the streaming result must converge to."""
+    m = purchases.groupBy("user_id").agg(
+        F.max(F.round(F.col("value") * 100).cast("long")).alias("max_cents"),
+        F.count(F.lit(1)).alias("n_purchases"),
+    )
+    p = purchases.select(
+        "user_id", "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return (
+        p.join(m, (p.user_id == m.user_id) & (p.cents == m.max_cents))
+        .groupBy(m.user_id, "max_cents", "n_purchases")
+        .agg(F.min("ts").alias("first_max_ts"))
+        .select("user_id", "max_cents", "first_max_ts", "n_purchases")
+    )

@@ -5,6 +5,7 @@ stateful operator via applyInPandasWithState."""
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -265,3 +266,47 @@ def test_left_outer_stream_stream_join_emits_nulls_after_watermark(spark, tmp_pa
     got = {r.ad: r.rts for r in rows}
     assert got.get("a") is not None, "matched pair must carry the click time"
     assert "b" in got and got["b"] is None, "expired unmatched left row must emit with NULL right"
+
+
+def test_transform_with_state_running_max(spark, tmp_path):
+    """Spark 4 typed-state surface (transformWithStateInPandas). The
+    runtime needs google.protobuf (absent in this image -> clean skip;
+    runs on any real cluster image)."""
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import functions as F
+
+    from etl_file_sync_spark.streaming import events_stream, run_to_memory_sink
+    from etl_file_sync_spark.streaming.stateful import (
+        running_max_batch_truth,
+        running_max_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    stream = events_stream(spark, sf_dir, str(tmp_path / "stage")).filter(
+        F.col("event_type") == "purchase"
+    )
+    got = run_to_memory_sink(
+        running_max_stream(stream), "tws_running_max_sink", "update"
+    ).orderBy("user_id")
+    from etl_file_sync_spark.catalog import load_table
+
+    truth = running_max_batch_truth(
+        load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    ).orderBy("user_id")
+    assert [r.asDict() for r in got.collect()] == [r.asDict() for r in truth.collect()]
+
+
+def test_stateful_api_gate_raises_cleanly(spark):
+    try:
+        import google.protobuf  # noqa: F401
+
+        pytest.skip("protobuf present; gate inactive")
+    except ImportError:
+        pass
+    from etl_file_sync_spark.streaming.stateful import (
+        StatefulApiUnavailable,
+        running_max_stream,
+    )
+
+    with pytest.raises(StatefulApiUnavailable):
+        running_max_stream(spark.createDataFrame([], "user_id long, ts timestamp, value double"))
