@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-FORMATS = ("parquet", "orc", "csv", "json", "text")
+FORMATS = ("parquet", "orc", "csv", "json", "text", "xml")
 GATED_FORMATS = ("delta", "iceberg", "hudi", "jdbc", "avro")
 
 
@@ -42,6 +42,8 @@ def read_any(
         options.setdefault("header", "true")
         if schema is None:
             options.setdefault("inferSchema", "true")
+    if fmt == "xml":
+        options.setdefault("rowTag", "row")  # Spark 4 built-in XML source
     return reader.format(fmt).options(**options).load(path)
 
 
@@ -67,6 +69,9 @@ def write_any(
         writer = writer.partitionBy(*partition_by)
     if fmt == "csv":
         options.setdefault("header", "true")
+    if fmt == "xml":
+        options.setdefault("rowTag", "row")
+        options.setdefault("rootTag", "rows")
     writer.format(fmt).options(**options).save(path)
 
 

@@ -65,4 +65,14 @@ def test_gated_formats_fail_loudly(spark, nation, tmp_path):
     with pytest.raises(NotImplementedError, match="jdbc"):
         write_any(nation, str(tmp_path / "x"), "jdbc")
     with pytest.raises(ValueError, match="unknown format"):
-        read_any(spark, str(tmp_path), "xml")
+        read_any(spark, str(tmp_path), "sequencefile")
+
+
+def test_xml_roundtrip(spark, nation, tmp_path):
+    """Spark 4 ships the (formerly external) XML source built-in."""
+    path = str(tmp_path / "nation_xml")
+    write_any(nation, path, "xml")
+    back = read_any(spark, path, "xml").select(*nation.columns)
+    assert sorted(r.n_name for r in back.collect()) == sorted(
+        r.n_name for r in nation.collect()
+    )
