@@ -54,16 +54,20 @@ OPS = [
 TIERS = ["sf0.001", "sf0.01", "sf0.1"]
 ROOT = "/root/testdata"
 
+# x100 spot-check (SPARK_GRAFT_SCALE_X100=1): the dup-pair emitters on
+# 500k docs / 200k vectors with planted dup groups of 100
+X100_OPS = ["dedup_exact_groups", "dedup_minhash_pairs", "dedup_embedding_srp", "dedup_span_stats"]
 
-def synthesize_10x(spark, src_dir: str, out_dir: str) -> None:
-    """Replicate documents/embeddings 10x with planted dup groups of 10."""
+
+def synthesize_10x(spark, src_dir: str, out_dir: str, factor: int = 10) -> None:
+    """Replicate documents/embeddings `factor`x with planted dup groups."""
     os.makedirs(out_dir, exist_ok=True)
-    reps = spark.range(10).withColumnRenamed("id", "rep")
+    reps = spark.range(factor).withColumnRenamed("id", "rep")
     docs = load_table(spark, src_dir, "documents")
     (
         docs.crossJoin(F.broadcast(reps))
         .select(
-            (F.col("doc_id") * 10 + F.col("rep")).alias("doc_id"),
+            (F.col("doc_id") * factor + F.col("rep")).alias("doc_id"),
             # half the replicas byte-identical (exact dups), half with a
             # one-token suffix (near dups a shingle/minhash path must catch)
             F.when(F.col("rep") % 2 == 0, F.col("text"))
@@ -82,7 +86,7 @@ def synthesize_10x(spark, src_dir: str, out_dir: str) -> None:
     (
         emb.crossJoin(F.broadcast(reps))
         .select(
-            (F.col(id_col) * 10 + F.col("rep")).alias(id_col),
+            (F.col(id_col) * factor + F.col("rep")).alias(id_col),
             *[c for c in emb.columns if c != id_col],
         )
         .repartition(32)
@@ -150,6 +154,32 @@ def main() -> None:
             cells.append(f"{round(sec, 2)}s / {rows}r")
         growth = tiers["sf0.1x10"][name][0] / max(tiers["sf0.1"][name][0], 1e-9)
         lines.append(f"| {name} | " + " | ".join(cells) + f" | {round(growth, 1)}x |")
+    if os.environ.get("SPARK_GRAFT_SCALE_X100"):
+        hundo = tempfile.mkdtemp(prefix="sf01x100_")
+        try:
+            synthesize_10x(spark, os.path.join(ROOT, "sf0.1"), hundo, factor=100)
+            lines += [
+                "",
+                "## 100x spot-check (500k docs / 200k vectors, dup groups of 100)",
+                "",
+                "Pair emission is output-bound, not comparison-bound — the",
+                "candidate generators stay linear while the PAIR OUTPUT grows",
+                "quadratically inside planted dup groups (groups of 100 emit",
+                "C(100,2) pairs each). sec/output-row is the scale signal here.",
+                "",
+                "| operator | sec | output rows |",
+                "|---|---|---|",
+            ]
+            for name in X100_OPS:
+                spark.catalog.clearCache()
+                best, rows = float("inf"), 0
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    rows = REGISTRY[name].build(spark, hundo).count()
+                    best = min(best, time.perf_counter() - t0)
+                lines.append(f"| {name} | {round(best, 2)}s | {rows} |")
+        finally:
+            shutil.rmtree(hundo, ignore_errors=True)
     lines.append("")
     Path(__file__).resolve().parent.parent.joinpath("SCALE.md").write_text("\n".join(lines))
     print("\n".join(lines))
