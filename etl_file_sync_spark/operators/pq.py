@@ -47,15 +47,26 @@ def pq_train(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_train: int = 20_000,
 ) -> np.ndarray:
     """Train per-subspace codebooks; returns C with shape (m, k, d//m).
 
     Init: the k id-smallest vectors' subvectors (deterministic). Each
     Lloyd round is one Arrow pass emitting per-(subspace, codeword)
     partial sums — aggregate metadata, not data, reaches the driver.
+
+    Codebooks are trained on a deterministic hash-sample of at most
+    `max_train` vectors (the FAISS practice): k-means centroids converge
+    on a bounded sample, so training cost stays constant while the
+    ENCODE/scan passes — the ones that must see every vector — remain
+    the only full-data work. Below `max_train` rows this is a no-op.
     """
     spark = df.sparkSession
     v = _normalized_matrix_stream(df, id_col, vec_col)
+    n = v.count()
+    if n > max_train:
+        rate = -(-n // max_train)  # ceil division
+        v = v.filter(F.pmod(F.xxhash64(F.col("id")), F.lit(rate)) == 0)
     seed_rows = v.orderBy("id").limit(k).collect()  # k rows — tiny by design
     S0 = np.array([list(r.v) for r in seed_rows], dtype=np.float64)
     S0 = S0 / np.linalg.norm(S0, axis=1, keepdims=True)

@@ -10,7 +10,7 @@ conservative). A linear-ish sec ratio between 10x tiers — versus the
 evidence that candidate generation (LSH banding, blocking, bucketing),
 not an all-pairs scan, carries the scale.
 
-Timing is min-of-3 per (operator, tier); the first run absorbs
+Timing is min-of-4 per (operator, tier); the first run absorbs
 residual codegen. Run on an otherwise idle box — the ratios, not the
 absolute seconds, are the signal.
 """
@@ -111,7 +111,7 @@ def bench_tier(spark, sf_dir: str) -> dict[str, tuple[float, int]]:
         # caches from earlier ops must not donate eviction pressure
         spark.catalog.clearCache()
         best, rows = float("inf"), 0
-        for _ in range(3):
+        for _ in range(4):
             t0 = time.perf_counter()
             df = q.build(spark, sf_dir)
             rows = df.count()
