@@ -76,3 +76,34 @@ def two_phase_agg(
     return phase1.groupBy(key).agg(
         F.sum("_n").alias("n_rows"), F.sum("_nd").alias("n_distinct")
     )
+
+
+def key_skew_report(
+    df: DataFrame, key_col: str, top: int = 20, skew_factor: float = 10.0
+) -> DataFrame:
+    """Per-key skew diagnostic for a prospective join/groupBy key: the
+    `top` heaviest keys with their row counts, share of total (×1e6,
+    integer-exact), and a flag when the key exceeds `skew_factor`× the
+    mean key load — the keys a salted_join or AQE skew split must absorb.
+
+    One partial-agg groupBy + a global top-k (TakeOrderedAndProject);
+    totals ride along as a broadcast scalar, so the report costs one
+    shuffle regardless of input size.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("_total"), F.count(F.lit(1)).alias("_nkeys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            "cnt",
+            F.expr("cnt * 1000000L div _total").alias("share_ppm"),
+            (F.col("cnt") * F.col("_nkeys") > F.lit(skew_factor) * F.col("_total")).alias(
+                "is_skewed"
+            ),
+        )
+        .orderBy(F.col("cnt").desc(), "key")
+        .limit(top)
+    )

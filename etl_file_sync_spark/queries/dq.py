@@ -102,3 +102,31 @@ def lsh_calibration_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bands int, rows_per_band int, num_perm int, recall_at_threshold double, "
         "fp_at_half_threshold double, est_candidate_pairs long",
     )
+
+
+@register(
+    "dq_key_skew",
+    """
+    WITH counts AS (
+      SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY o_custkey
+    ),
+    totals AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+                      CAST(count(*) AS BIGINT) AS nkeys FROM counts)
+    SELECT c.key, c.cnt,
+           CAST((c.cnt * 1000000) // t.total AS BIGINT) AS share_ppm,
+           c.cnt * t.nkeys > 10.0 * t.total AS is_skewed
+    FROM counts c, totals t
+    ORDER BY c.cnt DESC, c.key LIMIT 20
+    """,
+    "dq",
+    "skew",
+)
+def dq_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic on orders.o_custkey
+    (operators/skew.py::key_skew_report) — surfaces the keys a
+    salted_join or AQE skew split must absorb."""
+    from etl_file_sync_spark.operators.skew import key_skew_report
+
+    o = t(spark, sf_dir, "orders")
+    return key_skew_report(o, "o_custkey", top=20, skew_factor=10.0)
