@@ -234,3 +234,126 @@ def pq_topk(
         .filter(F.col("nn_rank") <= k)
         .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "nn_rank")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    every: int = 50,
+    nprobe: int = 3,
+    shortlist: int = 100,
+    m: int = 16,
+    kcent: int = 32,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 10_000,
+    kmeans_iters: int = 0,
+) -> DataFrame:
+    """IVF+PQ: the billion-scale serving composition — coarse cells
+    prune the scan (IVF), PQ codes compress what remains, ADC scores
+    only (query, probed-cell vector) pairs, and a small exact rerank
+    restores true cosines. Per query the work is
+    O(nprobe · avg_cell · m) table lookups instead of O(n · d) floats.
+
+    At 100 TB the corpus is written partitioned by centroid_id with a
+    codes column; probing prunes partitions at scan time and the raw
+    vector column is read only for the ~shortlist rerank rows.
+
+    Returns (query_id, neighbor_id, cosine, nn_rank) — the same
+    contract as cosine_topk / ivf_topk / pq_topk.
+    """
+    from etl_file_sync_spark.operators.similarity import (
+        QuerySideTooLarge,
+        cosine_expr,
+        ivf_assign,
+        kmeans_centroids,
+        make_centroids,
+    )
+
+    spark = corpus.sparkSession
+    if kmeans_iters > 0:
+        cents = kmeans_centroids(corpus, every, kmeans_iters, id_col, vec_col).cache()
+    else:
+        cents = make_centroids(corpus, every, id_col, vec_col).cache()
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)  # (id_col, v, centroid_id)
+
+    C = pq_train(corpus, m, kcent, iters, id_col, vec_col)
+    codes = pq_encode(assigned.select(id_col, F.col("v").alias(vec_col)), C, id_col, vec_col)
+    coded = codes.join(
+        assigned.select(F.col(id_col).alias("id"), "centroid_id"), "id"
+    )  # (id, v, codes, centroid_id)
+
+    # probe selection + LUTs: the query side is contract-small, like pq_topk
+    qrows = (
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv"))
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(qrows) > max_queries:
+        raise QuerySideTooLarge(f"ivfpq_topk query side exceeds max_queries={max_queries}")
+    qids = np.array([r.qid for r in qrows], dtype=np.int64)
+    Q = np.array([list(r.qv) for r in qrows], dtype=np.float64)
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    from etl_file_sync_spark.operators.similarity import _centroid_matrix
+
+    cids, Cn = _centroid_matrix(cents)
+    npr = min(nprobe, len(cids))
+    top_cells = np.argsort(-(Q @ Cn.T), axis=1, kind="stable")[:, :npr]  # (nq, npr)
+    probes = spark.createDataFrame(
+        [(int(q), int(c)) for qi, q in enumerate(qids) for c in cids[top_cells[qi]]],
+        "query_id long, centroid_id long",
+    )
+
+    mm, kk, ss = C.shape
+    lut = np.einsum("qms,mks->qmk", Q.reshape(len(Q), mm, ss), C)  # (nq, m, k)
+    blut = spark.sparkContext.broadcast((qids, lut))
+
+    # candidate pairs: codes of probed cells only, then LUT-score per pair
+    cand = coded.join(F.broadcast(probes), "centroid_id").filter(
+        F.col("query_id") != F.col("id")
+    )
+
+    def adc_pairs(batches):
+        q_ids, L = blut.value
+        pos = {int(q): i for i, q in enumerate(q_ids)}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qi = np.array([pos[q] for q in pdf["query_id"]], dtype=np.int64)
+            codes_m = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (n, m)
+            scores = np.zeros(len(pdf))
+            for j in range(L.shape[1]):
+                scores += L[qi, j, codes_m[:, j]]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].values,
+                    "neighbor_id": pdf["id"].values,
+                    "pq_score": scores,
+                }
+            )
+
+    scored = cand.select("query_id", "id", "codes").mapInPandas(
+        adc_pairs, "query_id long, neighbor_id long, pq_score double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("pq_score").desc(), F.col("neighbor_id"))
+    short = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv"))
+    nv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("nv"))
+    rer = (
+        short.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .withColumn("cosine", cosine_expr(F.col("qv"), F.col("nv")))
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        rer.withColumn("nn_rank", F.row_number().over(w2))
+        .filter(F.col("nn_rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "nn_rank")
+    )

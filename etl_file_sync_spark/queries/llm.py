@@ -674,3 +674,19 @@ def graph_pagerank_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank"))
         .orderBy("doc_id")
     )
+
+
+@register("sim_topk_ivfpq", None, "similarity", "ivf", "pq", "ann")
+def sim_topk_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed ANN top-5 — the billion-scale serving shape:
+    coarse cells prune the scan (nprobe=3), PQ codes compress what
+    remains (16 B/vector), ADC scores only probed-cell pairs, exact
+    rerank restores true cosines. Approximate ⇒ rows-only driver
+    check; recall vs brute force asserted in tests/test_operators.py.
+    operators/pq.py::ivfpq_topk documents the partition-pruning layout
+    at 100 TB."""
+    from etl_file_sync_spark.operators.pq import ivfpq_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 40 == 0)
+    return ivfpq_topk(e, q, k=5).orderBy("query_id", "nn_rank")

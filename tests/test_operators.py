@@ -621,3 +621,28 @@ def test_exact_collapse_expand_is_output_invariant(spark):
     # within-group pairs (byte-identical copies) score exactly 1.0
     intra = [r.est_jaccard for r in on if r.id_a // 10 == r.id_b // 10]
     assert intra and set(intra) == {1.0}
+
+
+def test_ivfpq_recall_vs_bruteforce(spark):
+    from etl_file_sync_spark.catalog import load_table
+    from etl_file_sync_spark.operators.pq import ivfpq_topk
+    from etl_file_sync_spark.operators.similarity import cosine_topk
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") % 40 == 0)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(e, q, k=5).collect()
+    }
+    # bounded probe on structureless uniform vectors: same bar as plain
+    # IVF (the coarse quantizer is the bottleneck; PQ+rerank loses ~0)
+    got = {(r.query_id, r.neighbor_id) for r in ivfpq_topk(e, q, k=5).collect()}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.5, f"IVF+PQ recall {recall:.3f} < 0.5"
+    # the production budget: k-means cells + nprobe=8 (measured 0.985)
+    wide = {
+        (r.query_id, r.neighbor_id)
+        for r in ivfpq_topk(e, q, k=5, nprobe=8, kmeans_iters=5).collect()
+    }
+    wide_recall = len(wide & truth) / len(truth)
+    assert wide_recall >= 0.9, f"IVF+PQ wide recall {wide_recall:.3f} < 0.9"
