@@ -70,6 +70,9 @@ HEADLINE = [
     "retention_cohorts",
     "ts_resample_interpolate",
     "sample_weighted_priority",
+    "dedup_containment_pairs",
+    "dq_key_skew",
+    "sim_topk_ivfpq",
 ]
 
 

@@ -95,6 +95,7 @@ def test_weighted_sample_is_topk_with_pushdown(spark, sf_dir):
     TakeOrderedAndProject — a global Sort here would be the 100 TB bug."""
     from etl_file_sync_spark.plans import physical_plan
 
+    spark.catalog.clearCache()  # a cached documents table would replace the parquet scan
     df = REGISTRY["sample_weighted_priority"].build(spark, sf_dir)
     plan = physical_plan(df)
     assert "TakeOrderedAndProject" in plan
@@ -116,6 +117,7 @@ def test_funnel_pushes_event_type_filters(spark, sf_dir):
     and joins per-user aggregates, never raw-event self-joins."""
     from etl_file_sync_spark.plans import physical_plan
 
+    spark.catalog.clearCache()
     df = REGISTRY["funnel_user_conversion"].build(spark, sf_dir)
     plan = physical_plan(df)
     assert "EqualTo(event_type,view)" in plan
