@@ -693,6 +693,7 @@ def ngram_span_stats(
     occ = (
         df.where(F.size(toks) >= window)
         .select(F.col(id_col).alias("id"), F.explode(spans).alias("span"))
+        .cache()  # three consumers (shared-set, dup counts, totals) — one explode pass
     )
     shared = (
         occ.distinct()
