@@ -378,3 +378,37 @@ def dq_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mad").cast("long").alias("mad"),
         "is_outlier",
     ).orderBy("doc_id")
+
+
+@register(
+    "agg_mode_per_group",
+    """
+    WITH counts AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY source, lang
+    ),
+    ranked AS (
+      SELECT source, lang, cnt,
+             row_number() OVER (PARTITION BY source ORDER BY cnt DESC, lang) AS rn
+      FROM counts
+    )
+    SELECT source, lang AS modal_lang, cnt AS n_docs
+    FROM ranked WHERE rn = 1 ORDER BY source
+    """,
+    "aggregation",
+    "mode",
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group (most frequent lang per source,
+    ties to the lexicographically first value): count + row_number —
+    two partial-agg shuffles, no collect, the exact-mode spelling that
+    scales where mode() built-ins don't exist."""
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("source", "lang").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = W.partitionBy("source").orderBy(F.col("cnt").desc(), "lang")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("modal_lang"), F.col("cnt").alias("n_docs"))
+        .orderBy("source")
+    )
