@@ -273,24 +273,70 @@ def exact_collapse(df: DataFrame, id_col: str, key) -> tuple[DataFrame, DataFram
     collapse is output-invariant.
     """
     key_col = F.col(key) if isinstance(key, str) else key
-    clusters = df.select(F.col(id_col).alias("_m"), key_col.alias("_k")).groupBy("_k").agg(
-        F.min("_m").alias("_rep"), F.collect_list("_m").alias("_members")
-    )
-    membership = clusters.select("_rep", F.explode("_members").alias("_member"))
+    keyed = df.select(F.col(id_col).alias("_m"), key_col.alias("_k"))
+    # membership WITHOUT collect_list: a mega-cluster of identical
+    # boilerplate (the exact skew case this pass targets) would pile
+    # millions of ids into one aggregation row. min() partial-aggregates
+    # map-side; the join back fans out to (_rep, _member) rows that stay
+    # distributed, and AQE splits the hot key if one digest dominates.
+    reps_map = keyed.groupBy("_k").agg(F.min("_m").alias("_rep"))
+    membership = keyed.join(reps_map, "_k").select("_rep", F.col("_m").alias("_member"))
     reps = df.join(
-        clusters.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
+        reps_map.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
     )
     return reps, membership
 
 
-def expand_pairs(pairs: DataFrame, membership: DataFrame, score_col: str, exact_score) -> DataFrame:
+def expand_pairs(
+    pairs: DataFrame,
+    membership: DataFrame,
+    score_col: str,
+    exact_score,
+    max_group_pairs: int | None = None,
+) -> DataFrame:
     """Inverse of exact_collapse for pair outputs: map representative
     pairs back to all member pairs, and emit intra-cluster pairs (the
     byte-identical ones) with the exact-match score. Pair identity
     (id_a < id_b) is preserved; no pair is emitted twice because each id
-    belongs to exactly one cluster."""
-    ma = membership.select(F.col("_rep").alias("id_a"), F.col("_member").alias("_a"))
-    mb = membership.select(F.col("_rep").alias("id_b"), F.col("_member").alias("_b"))
+    belongs to exactly one cluster.
+
+    max_group_pairs caps the quadratic blow-up: full expansion of a
+    k-member cluster costs C(k,2) intra pairs (and k·m cross pairs
+    against an m-member cluster) — a pathological 10⁶-copy cluster
+    (think: 10⁶ crawls of an empty page) would emit ~5·10¹¹ rows from
+    one group. With the cap set, clusters whose intra-pair count would
+    exceed it switch to REPRESENTATIVE form: intra pairs become the
+    (rep, member) star (k−1 rows — the same dedup decision, since every
+    member is an exact copy of the rep), and cross pairs keep only the
+    representative. Below the cap the pair contract is unchanged.
+    None (default) expands everything.
+    """
+    if max_group_pairs is not None:
+        import math
+
+        # largest k with C(k,2) <= max_group_pairs
+        size_cutoff = (1 + math.isqrt(1 + 8 * max_group_pairs)) // 2
+        sized = membership.join(
+            membership.groupBy("_rep").agg(F.count(F.lit(1)).alias("_k")), "_rep"
+        )
+        small = sized.filter(F.col("_k") <= size_cutoff).select("_rep", "_member")
+        big = sized.filter(F.col("_k") > size_cutoff)
+        # cross expansion: capped clusters participate via their rep only
+        cross_members = small.unionByName(
+            big.select("_rep", F.col("_rep").alias("_member")).distinct()
+        )
+        # intra for capped clusters: the (rep, member) star — rep is the
+        # min id, so id_a < id_b holds by construction
+        star = big.filter(F.col("_member") != F.col("_rep")).select(
+            F.col("_rep").alias("id_a"),
+            F.col("_member").alias("id_b"),
+            F.lit(exact_score).cast("double").alias(score_col),
+        )
+    else:
+        small = cross_members = membership
+        star = None
+    ma = cross_members.select(F.col("_rep").alias("id_a"), F.col("_member").alias("_a"))
+    mb = cross_members.select(F.col("_rep").alias("id_b"), F.col("_member").alias("_b"))
     cross = (
         pairs.join(ma, "id_a")
         .join(mb, "id_b")
@@ -300,7 +346,7 @@ def expand_pairs(pairs: DataFrame, membership: DataFrame, score_col: str, exact_
             F.col(score_col),
         )
     )
-    x, y = membership.alias("x"), membership.alias("y")
+    x, y = small.alias("x"), small.alias("y")
     intra = x.join(
         y, (F.col("x._rep") == F.col("y._rep")) & (F.col("x._member") < F.col("y._member"))
     ).select(
@@ -308,7 +354,8 @@ def expand_pairs(pairs: DataFrame, membership: DataFrame, score_col: str, exact_
         F.col("y._member").alias("id_b"),
         F.lit(exact_score).cast("double").alias(score_col),
     )
-    return cross.unionByName(intra)
+    out = cross.unionByName(intra)
+    return out.unionByName(star) if star is not None else out
 
 
 def minhash_dedup_pairs(
@@ -321,6 +368,7 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
     hash_fn: str = "xxhash",
     collapse_exact: bool = True,
+    max_group_pairs: int | None = None,
 ) -> DataFrame:
     """Full MinHash near-dup pipeline: exact-collapse → signatures → LSH
     candidates → signature-similarity estimate filter. Returns
@@ -330,6 +378,8 @@ def minhash_dedup_pairs(
     runs LSH on unique texts only — output-invariant (identical texts
     have identical signatures, so their pairs score exactly 1.0 either
     way) but linear instead of quadratic·bands on exact-dup clusters.
+    max_group_pairs bounds the re-expansion of pathological exact-dup
+    clusters (see expand_pairs).
     """
     if collapse_exact:
         # null/empty texts have no shingles and never pair in the LSH
@@ -342,7 +392,7 @@ def minhash_dedup_pairs(
         rep_pairs = minhash_dedup_pairs(
             reps, id_col, text_col, n, num_perm, bands, threshold, hash_fn, collapse_exact=False
         )
-        return expand_pairs(rep_pairs, membership, "est_jaccard", 1.0)
+        return expand_pairs(rep_pairs, membership, "est_jaccard", 1.0, max_group_pairs)
     sig = minhash_signatures(df, id_col, text_col, n, num_perm, hash_fn).cache()
     cand = minhash_lsh_candidates(sig, bands, num_perm // bands)
     sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
@@ -565,6 +615,7 @@ def srp_near_dup_pairs(
     bands: int = 16,
     seed: int = 7,
     collapse_exact: bool = True,
+    max_group_pairs: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via SRP-LSH candidates + exact verify.
 
@@ -594,7 +645,7 @@ def srp_near_dup_pairs(
         rep_pairs = srp_near_dup_pairs(
             reps, id_col, vec_col, threshold, n_planes, bands, seed, collapse_exact=False
         )
-        return expand_pairs(rep_pairs, membership, "cosine", 1.0)
+        return expand_pairs(rep_pairs, membership, "cosine", 1.0, max_group_pairs)
 
     sig = srp_signatures(df, id_col, vec_col, n_planes, seed)
     cand = minhash_lsh_candidates(sig, bands, n_planes // bands)
@@ -693,7 +744,12 @@ def ngram_span_stats(
     occ = (
         df.where(F.size(toks) >= window)
         .select(F.col(id_col).alias("id"), F.explode(spans).alias("span"))
-        .cache()  # three consumers (shared-set, dup counts, totals) — one explode pass
+        # three consumers (shared-set, dup counts, totals) — one explode
+        # pass. Cache lifecycle is the CALLER's (same contract as
+        # jaccard_pairs): the returned frame is lazy, so this operator
+        # cannot unpersist; long-lived sessions should clearCache()
+        # between invocations (bench.py does) or checkpoint instead.
+        .cache()
     )
     shared = (
         occ.distinct()
@@ -742,6 +798,9 @@ def containment_pairs(
     jaccard_pairs: one hashed-shingle self-join, never all-pairs.
     """
     sh = shingles(df, id_col, text_col, n).select("id", F.xxhash64("shingle").alias("shingle"))
+    # cache lifecycle is the CALLER's (same contract as jaccard_pairs):
+    # the result is lazy so unpersist here would defeat the reuse;
+    # long-lived sessions clearCache() between invocations.
     sh = sh.cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")

@@ -284,3 +284,55 @@ def test_salted_join_rejects_outer(spark):
     small = spark.createDataFrame([(1, "a")], "k long, lbl string")
     with pytest.raises(ValueError, match="inner/left"):
         salted_join(big, small, "k", how="full")
+
+
+def test_expand_pairs_cap_bounds_mega_cluster(spark):
+    """A planted 100k-copy exact-dup group must expand to bounded output
+    (the representative star, k-1 rows), not C(100k,2) ≈ 5e9 pairs."""
+    from etl_file_sync_spark.operators.dedup import exact_collapse, expand_pairs
+
+    n = 100_000
+    df = spark.range(n).select(F.col("id").alias("doc_id"), F.lit("same text").alias("text"))
+    reps, membership = exact_collapse(df, "doc_id", F.sha2(F.col("text"), 256))
+    assert reps.count() == 1
+    rep_pairs = spark.createDataFrame([], "id_a long, id_b long, est_jaccard double")
+    out = expand_pairs(rep_pairs, membership, "est_jaccard", 1.0, max_group_pairs=1000)
+    assert out.count() == n - 1  # star: (rep=0, member) for every copy
+    sample = out.orderBy("id_b").limit(3).collect()
+    assert [(r.id_a, r.id_b, r.est_jaccard) for r in sample] == [
+        (0, 1, 1.0), (0, 2, 1.0), (0, 3, 1.0)
+    ]
+
+
+def test_expand_pairs_cap_noop_below_cutoff(spark):
+    """Below the cap the pair contract is byte-identical to uncapped."""
+    from etl_file_sync_spark.operators.dedup import minhash_dedup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = []
+    for g in range(4):
+        text = base + f" group{g}"
+        for m in range(5):  # C(5,2)=10 <= cap
+            rows.append((g * 10 + m, text))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = minhash_dedup_pairs(df, max_group_pairs=10).collect()
+    plain = minhash_dedup_pairs(df).collect()
+    key = lambda r: ((r.id_a, r.id_b), r.est_jaccard)  # noqa: E731
+    assert sorted(map(key, capped)) == sorted(map(key, plain))
+
+
+def test_expand_pairs_cap_keeps_cross_cluster_rep_pairs(spark):
+    """Capped clusters still surface near-dup relations ACROSS clusters
+    via their representative (the cross side is capped too)."""
+    from etl_file_sync_spark.operators.dedup import exact_collapse, expand_pairs
+
+    rows = [(i, "aaa") for i in range(10)] + [(100 + i, "bbb") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    reps, membership = exact_collapse(df, "doc_id", F.col("text"))
+    rep_pairs = spark.createDataFrame([(0, 100, 0.9)], "id_a long, id_b long, score double")
+    out = expand_pairs(rep_pairs, membership, "score", 1.0, max_group_pairs=3).collect()
+    # per cluster: star of 9; cross: rep-rep only
+    stars = [r for r in out if r.score == 1.0]
+    cross = [r for r in out if r.score == 0.9]
+    assert len(stars) == 18 and len(cross) == 1
+    assert (cross[0].id_a, cross[0].id_b) == (0, 100)
