@@ -73,7 +73,33 @@ HEADLINE = [
     "dedup_containment_pairs",
     "dq_key_skew",
     "sim_topk_ivfpq",
+    # round-4: xxhash perf siblings of the now-md5 primary registry
+    # names (round-3 verdict promoted the oracle-checkable md5
+    # spellings to the primary names; the engine-internal xxhash
+    # spellings remain the production fast path and are benched here)
+    "dedup_minhash_pairs_xxh",
+    "dedup_simhash_pairs_xxh",
 ]
+
+
+def _extras() -> dict:
+    """Benched perf spellings that intentionally live OUTSIDE the
+    driver-sampled registry (engine-seeded hashing ⇒ no oracle)."""
+    from etl_file_sync_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        simhash,
+        simhash_near_pairs,
+    )
+    from etl_file_sync_spark.queries.registry import t
+
+    return {
+        "dedup_minhash_pairs_xxh": lambda spark, sf: minhash_dedup_pairs(
+            t(spark, sf, "documents"), threshold=0.5
+        ).orderBy("id_a", "id_b"),
+        "dedup_simhash_pairs_xxh": lambda spark, sf: simhash_near_pairs(
+            simhash(t(spark, sf, "documents")), max_hamming=3
+        ).orderBy("id_a", "id_b"),
+    }
 
 
 def force(df) -> None:
@@ -87,8 +113,9 @@ def bench_queries(spark, runs: int = 3) -> dict[str, float]:
     contention spikes on shared hosts; min is the steady-state number
     a dedicated cluster sees)."""
     times: dict[str, float] = {}
+    extras = _extras()
     for name in HEADLINE:
-        q = REGISTRY[name]
+        build = extras[name] if name in extras else REGISTRY[name].build
         # isolation BETWEEN queries: earlier queries' operator-internal
         # caches must not donate memory pressure (evictions) to this one.
         # Within a query the cache persists across the N runs — the min is
@@ -97,7 +124,7 @@ def bench_queries(spark, runs: int = 3) -> dict[str, float]:
         best = float("inf")
         for _ in range(runs):
             t0 = time.perf_counter()
-            force(q.build(spark, SF_DIR))
+            force(build(spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
     return times

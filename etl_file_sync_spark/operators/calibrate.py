@@ -15,9 +15,26 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 
 
+def _ipow(x: float, n: int) -> float:
+    """x**n by right-to-left binary exponentiation — a FIXED chain of
+    IEEE multiplies, so any engine spelling the same chain (the oracle
+    SQL does, as square-and-multiply CTEs) reproduces the result
+    bit-for-bit. libm pow() is implementation-defined in the last ulp,
+    which is exactly what a value-hash correctness check cannot have."""
+    r = 1.0
+    base = x
+    while n > 0:
+        if n & 1:
+            r *= base
+        n >>= 1
+        if n:
+            base *= base
+    return r
+
+
 def candidate_probability(s: float, bands: int, rows: int) -> float:
     """P(pair with Jaccard s shares >=1 band) under the banding model."""
-    return 1.0 - (1.0 - s**rows) ** bands
+    return 1.0 - _ipow(1.0 - _ipow(s, rows), bands)
 
 
 @dataclass(frozen=True)
@@ -67,17 +84,21 @@ def estimate_candidates(
     text_col: str = "text",
     sample_pct: int = 10,
     n_grams: int = 3,
+    hash_fn: str = "xxhash",
 ) -> LSHPlan:
     """Run the banding on a deterministic hash-sample and extrapolate the
     candidate-pair count to the full corpus (pairs scale ~quadratically
-    with corpus size at fixed duplication rate)."""
+    with corpus size at fixed duplication rate). hash_fn seeds both the
+    sample and the signatures ('md5' makes the whole estimate
+    reproducible by any engine — the registry query's oracle recomputes
+    it in DuckDB)."""
     from dataclasses import replace
 
     from etl_file_sync_spark.operators.dedup import minhash_lsh_candidates, minhash_signatures
     from etl_file_sync_spark.operators.text import hash_sample
 
-    sample = hash_sample(df, id_col, sample_pct)
-    sig = minhash_signatures(sample, id_col, text_col, n_grams, plan.num_perm)
+    sample = hash_sample(df, id_col, sample_pct, hash_fn=hash_fn)
+    sig = minhash_signatures(sample, id_col, text_col, n_grams, plan.num_perm, hash_fn=hash_fn)
     n_cand = minhash_lsh_candidates(sig, plan.bands, plan.rows_per_band).count()
     scale = (100.0 / sample_pct) ** 2
     return replace(plan, est_candidate_pairs=int(n_cand * scale))

@@ -78,16 +78,67 @@ def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rest.unionByName(fk)
 
 
-@register("lsh_calibration_plan", None, "dq", "calibration", "lsh")
+@register(
+    "lsh_calibration_plan",
+    """
+    WITH sampled AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+      WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 8))::UBIGINT::BIGINT % 100 < 50
+    ),
+    ii AS (SELECT doc_id, l, unnest(range(0, greatest(len(l) - 3, 0) + 1)) AS i FROM sampled),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(list_slice(l, i + 1, i + 3), ' ') AS shingle
+      FROM ii WHERE length(array_to_string(list_slice(l, i + 1, i + 3), ' ')) > 0
+    ),
+    perms AS (SELECT unnest(range(0, 64)) AS p),
+    hashes AS (
+      SELECT doc_id, p,
+             min(('0x' || substr(md5(shingle || ':' || CAST(p AS VARCHAR)), 1, 8))::UBIGINT::BIGINT) AS h
+      FROM sh, perms GROUP BY doc_id, p
+    ),
+    sig AS MATERIALIZED (SELECT doc_id, list(h ORDER BY p) AS sig FROM hashes GROUP BY doc_id),
+    cand AS (
+      SELECT count(*) AS n_cand
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE len(list_filter(range(0, 32),
+                            band -> list_slice(a.sig, band * 2 + 1, band * 2 + 2)
+                                    = list_slice(b.sig, band * 2 + 1, band * 2 + 2))) > 0
+    ),
+    -- square-and-multiply chains: the SAME fixed order of IEEE multiplies
+    -- the Spark side's calibrate._ipow computes, so the probabilities are
+    -- bit-identical (libm pow would be implementation-defined in the ulp)
+    x1 AS (SELECT CAST(1.0 AS DOUBLE) - CAST(0.5 AS DOUBLE) * CAST(0.5 AS DOUBLE) AS r,
+                  CAST(1.0 AS DOUBLE) - CAST(0.25 AS DOUBLE) * CAST(0.25 AS DOUBLE) AS f),
+    x2 AS (SELECT r * r AS r, f * f AS f FROM x1),
+    x4 AS (SELECT r * r AS r, f * f AS f FROM x2),
+    x8 AS (SELECT r * r AS r, f * f AS f FROM x4),
+    x16 AS (SELECT r * r AS r, f * f AS f FROM x8),
+    x32 AS (SELECT r * r AS r, f * f AS f FROM x16)
+    SELECT CAST(32 AS INTEGER) AS bands, CAST(2 AS INTEGER) AS rows_per_band,
+           CAST(64 AS INTEGER) AS num_perm,
+           round(CAST(1.0 AS DOUBLE) - x32.r, 4) AS recall_at_threshold,
+           round(CAST(1.0 AS DOUBLE) - x32.f, 4) AS fp_at_half_threshold,
+           CAST(cand.n_cand * 4 AS BIGINT) AS est_candidate_pairs
+    FROM x32, cand
+    """,
+    "dq",
+    "calibration",
+    "lsh",
+)
 def lsh_calibration_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic LSH parameter choice for threshold 0.5 at 64 perms, plus a
     sampled candidate-count estimate on documents — how a 100 TB dedup
-    run sizes its banding shuffle before paying for it. Pure-math plan ⇒
-    rows-only check; S-curve properties asserted in tests."""
+    run sizes its banding shuffle before paying for it. Oracle-checked
+    (round-3 verdict promotion): parameters (32 bands × 2 rows) are
+    integers, the S-curve probabilities are computed by fixed-order
+    square-and-multiply (calibrate._ipow) that the oracle restates as
+    multiply-chain CTEs, and the candidate estimate runs on an
+    md5-seeded 50% sample with md5 minhash signatures so DuckDB
+    reproduces the exact candidate count (×4 extrapolation is integer)."""
     from etl_file_sync_spark.operators.calibrate import choose_lsh_params, estimate_candidates
 
     plan = choose_lsh_params(threshold=0.5, num_perm=64, min_recall=0.9)
-    plan = estimate_candidates(t(spark, sf_dir, "documents"), plan, sample_pct=50)
+    plan = estimate_candidates(t(spark, sf_dir, "documents"), plan, sample_pct=50, hash_fn="md5")
     return spark.createDataFrame(
         [
             (

@@ -67,16 +67,8 @@ def dedup_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.5).orderBy("id_a", "id_b")
 
 
-@register("dedup_minhash_pairs", None, "dedup", "minhash", "lsh")
-def dedup_minhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(64 perms) + LSH(16 bands) near-dup candidates with estimated
-    Jaccard >= 0.5. Approximate ⇒ rows-only driver check; recall vs the
-    exact Jaccard verifier is asserted in tests/test_dedup.py."""
-    return D.minhash_dedup_pairs(t(spark, sf_dir, "documents"), threshold=0.5).orderBy("id_a", "id_b")
-
-
 @register(
-    "dedup_minhash_pairs_md5",
+    "dedup_minhash_pairs",
     """
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
     ii AS (SELECT doc_id, l, unnest(range(0, greatest(len(l) - 3, 0) + 1)) AS i FROM w),
@@ -108,22 +100,25 @@ def dedup_minhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "minhash",
     "lsh",
 )
-def dedup_minhash_pairs_md5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The MinHash→LSH pipeline made VALUE-EXACT oracle-checkable: min-
-    hashes are md5-derived (standardized hash ⇒ DuckDB reproduces the
-    exact signatures), LSH candidates are any-shared-band pairs (the
-    oracle restates banding as band-slice equality — bucket-hash values
-    are an engine detail, shared-band membership is the semantics), and
-    the 64-perm similarity estimate filters at 0.5. The xxhash variant
-    (dedup_minhash_pairs) stays the fast path; this one proves the
-    pipeline end-to-end against an independent engine."""
+def dedup_minhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64 perms) + LSH(16 bands) near-dup pairs, est. Jaccard
+    >= 0.5, VALUE-EXACT oracle-checkable: min-hashes are md5-derived
+    (standardized hash ⇒ DuckDB reproduces the exact signatures), LSH
+    candidates are any-shared-band pairs (the oracle restates banding as
+    band-slice equality — bucket-hash values are an engine detail,
+    shared-band membership is the semantics), and the 64-perm similarity
+    estimate filters at 0.5. The xxhash64 spelling
+    (minhash_dedup_pairs(hash_fn="xxhash")) is the production fast path —
+    benched as dedup_minhash_pairs_xxh in bench.py, recall-tested in
+    tests/ — but engine-seeded, so the oracle-checkable md5 spelling owns
+    the registry name (round-3 verdict)."""
     return D.minhash_dedup_pairs(
         t(spark, sf_dir, "documents"), threshold=0.5, hash_fn="md5"
     ).orderBy("id_a", "id_b")
 
 
 @register(
-    "dedup_simhash_pairs_md5",
+    "dedup_simhash_pairs",
     """
     WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
     h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::UBIGINT::BIGINT AS th FROM toks),
@@ -144,27 +139,22 @@ def dedup_minhash_pairs_md5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup",
     "simhash",
 )
-def dedup_simhash_pairs_md5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash made VALUE-EXACT oracle-checkable: md5-derived 60-bit
-    token hashes (standardized ⇒ DuckDB reproduces the exact simhash),
-    16-bit-block LSH banding for candidates (pigeonhole-complete for
-    hamming <= 3, so banding equals the oracle's exhaustive hamming
-    scan), hamming verify. The xxhash variant stays the fast path."""
+def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3), VALUE-EXACT oracle-
+    checkable: md5-derived 60-bit token hashes (standardized ⇒ DuckDB
+    reproduces the exact simhash), 16-bit-block LSH banding for
+    candidates (pigeonhole-complete for hamming <= 3, so banding equals
+    the oracle's exhaustive hamming scan), hamming verify. The 64-bit
+    xxhash spelling (simhash(hash_fn="xxhash")) is the production fast
+    path — benched as dedup_simhash_pairs_xxh in bench.py — but engine-
+    seeded, so the md5 spelling owns the registry name (round-3
+    verdict)."""
     sim = D.simhash(t(spark, sf_dir, "documents"), hash_fn="md5")
     return (
         D.simhash_near_pairs(sim, max_hamming=3)
         .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
         .orderBy("id_a", "id_b")
     )
-
-
-@register("dedup_simhash_pairs", None, "dedup", "simhash")
-def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(64-bit) near-dup pairs with hamming <= 3 via 16-bit block
-    banding (pigeonhole-complete for the threshold, so this is exact for
-    hamming<=3 — but the hash itself is engine-seeded ⇒ rows-only check)."""
-    sim = D.simhash(t(spark, sf_dir, "documents"))
-    return D.simhash_near_pairs(sim, max_hamming=3).orderBy("id_a", "id_b")
 
 
 @register(
@@ -583,12 +573,27 @@ def multimodal_binary_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_features", None, "multimodal", "mapInPandas")
+@register(
+    "multimodal_features",
+    """
+    SELECT doc_id, 'text/plain' AS media_type,
+           octet_length(encode(text)) AS byte_len,
+           round(('0x' || substr(sha256(text), 1, 2))::UBIGINT::DOUBLE / 255.0, 4) AS f0
+    FROM documents ORDER BY doc_id
+    """,
+    "multimodal",
+    "mapInPandas",
+)
 def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads (decode step
     stubbed — see operators.multimodal.decode_stub). Plumbing is real:
-    schema, batching, per-partition iteration. Rows-only driver check;
-    value determinism asserted in tests/test_multimodal.py."""
+    schema, batching, per-partition iteration. Oracle-checked (round-3
+    verdict promotion): the stub feature is sha256-digest arithmetic, so
+    DuckDB predicts every value — f0 = digest_byte0/255.0 is a single
+    correctly-rounded IEEE division on exact integers, and the 4-decimal
+    round can never land on a tie (10000·b/255 = 2000b/51 is never a
+    half-integer). A parser/batching bug anywhere in the mapInPandas
+    chain hash-mismatches."""
     media = M.attach_binary_payload(t(spark, sf_dir, "documents"))
     feats = M.extract_features(media)
     return feats.select(
@@ -657,21 +662,55 @@ def sim_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(e, q, k=5).orderBy("query_id", "nn_rank")
 
 
-@register("graph_pagerank_neardup", None, "graph", "pagerank", "iterative")
+_NEARDUP_EDGES_SQL = """
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id AS id, array_to_string(w[i+1:i+3], ' ') AS s
+        FROM d, UNNEST(range(0, greatest(len(w) - 2, 1))) AS u(i)
+        WHERE array_to_string(w[i+1:i+3], ' ') <> ''
+      ),
+      sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+      common AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+        GROUP BY 1, 2
+      )
+      SELECT CAST(id_a AS BIGINT) AS src, CAST(id_b AS BIGINT) AS dst
+      FROM common JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+      WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.5
+"""
+
+
+def _neardup_pagerank_oracle() -> str:
+    from etl_file_sync_spark.queries.llm4 import _pagerank_oracle_sql
+
+    sql = _pagerank_oracle_sql(15, edges_sql=_NEARDUP_EDGES_SQL)
+    return sql.replace("SELECT node, CAST(round(pr * 1000000) AS BIGINT) AS rank_micro",
+                       "SELECT node AS doc_id, CAST(round(pr * 1000000) AS BIGINT) AS rank_micro")
+
+
+@register("graph_pagerank_neardup", _neardup_pagerank_oracle(), "graph", "pagerank", "iterative")
 def graph_pagerank_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the exact-Jaccard near-dup graph — centrality inside
     dup clusters identifies the canonical representative a curation run
     should keep (the most-connected variant). Iterative dataflow: one
     node-keyed shuffle per round, lineage checkpointed (operators/
-    graph.py). Float-sum ulps ⇒ rows-only; power-iteration ground truth
-    in tests/test_graph.py. Output rounded for run-to-run stability."""
+    graph.py). Value-exact oracle-checked (round-3 verdict promotion):
+    the oracle unrolls the same 15 power iterations over the same
+    jaccard>=0.5 edge CTE, and ranks are integer-scaled to micros —
+    cross-engine float contribution sums agree to ~1e-15, far inside the
+    1e-6 rounding grain (same argument as graph_pagerank_exact, which
+    has driver-passed since round 3)."""
     from etl_file_sync_spark.operators.dedup import jaccard_pairs
     from etl_file_sync_spark.operators.graph import pagerank
 
     edges = jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.5).select("id_a", "id_b")
     return (
         pagerank(edges, iters=15)
-        .select(F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank"))
+        .select(
+            F.col("node").alias("doc_id"),
+            F.round(F.col("rank") * 1000000).cast("bigint").alias("rank_micro"),
+        )
         .orderBy("doc_id")
     )
 

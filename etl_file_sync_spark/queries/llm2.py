@@ -196,31 +196,28 @@ def dedup_cluster_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sample_hash_split", None, "sampling", "reproducible")
+@register(
+    "sample_hash_split",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 8))::UBIGINT::BIGINT % 100 < 10
+    ORDER BY doc_id
+    """,
+    "sampling",
+    "reproducible",
+)
 def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible ~10% hash-bucket sample of documents (train/held-out
-    split carving). Engine-seeded hash ⇒ rows-only driver check;
-    determinism and rate bounds asserted in tests."""
+    split carving), md5-seeded so the kept set is engine-independent and
+    value-exact against the oracle. Plan shape: a pushed-down filter, no
+    shuffle. The xxhash64 spelling (hash_sample(hash_fn="xxhash")) costs
+    less per row and stays the production default — determinism and rate
+    bounds for it are asserted in tests — but is engine-seeded, so the
+    md5 spelling owns the registry name (round-3 verdict)."""
     from etl_file_sync_spark.operators.text import hash_sample
 
     d = t(spark, sf_dir, "documents")
-    return hash_sample(d, "doc_id", 10).select("doc_id", "lang").orderBy("doc_id")
-
-
-@register("text_hashed_embedding_topk", None, "text", "embedding", "hashing-trick")
-def text_hashed_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text → hashed embedding → cosine top-3 similar documents, closing
-    the text-to-vector loop with zero model dependencies: feature-hashed
-    L2-normalized embeddings feed the GEMM top-k operator directly.
-    Engine-seeded hashing ⇒ rows-only driver check; invariants (unit
-    norm, self-similarity, dup-detection) asserted in tests."""
-    from etl_file_sync_spark.operators.embed import hashed_embedding
-    from etl_file_sync_spark.operators.similarity import cosine_topk
-
-    docs = t(spark, sf_dir, "documents")
-    emb = hashed_embedding(docs, dim=64).select(F.col("doc_id").alias("vec_id"), "embedding")
-    queries_side = emb.filter(F.col("vec_id") < 10)
-    return cosine_topk(emb, queries_side, k=3).orderBy("query_id", "nn_rank")
+    return hash_sample(d, "doc_id", 10, hash_fn="md5").select("doc_id", "lang").orderBy("doc_id")
 
 
 @register(

@@ -1,12 +1,14 @@
-"""Value-exact (md5-seeded) variants of engine-seeded operators.
+"""Value-exact (md5-seeded) spellings of engine-seeded operators.
 
-Round-2 verdict asked for the rows-only set to shrink: the production
-paths of hash-split sampling, hashed-embedding top-k, and PageRank use
-engine-internal hashing or float iteration, so the driver can only check
-row counts. Each query here re-expresses the operator with standardized
+Rounds 2-3 verdicts asked for the rows-only set to shrink: the
+xxhash/float spellings of hash-split sampling, hashed-embedding top-k,
+and PageRank are engine-internal, so the driver could only check row
+counts. Each query here re-expresses the operator with standardized
 hashing (md5) or integer-scaled output so the SAME result is computable
-by DuckDB and the driver's value-hash comparison applies. The pattern
-follows dedup_minhash_pairs_md5 (operators/dedup.py:180).
+by DuckDB and the driver's value-hash comparison applies. Per the
+round-3 verdict these value-exact spellings now OWN the primary registry
+names; the xxhash fast paths remain operator options (hash_fn="xxhash")
+benched as *_xxh entries in bench.py.
 
 Reference parity: the reference repo has no analytics surface
 (README.md:1-60 — it is a Kafka→FTP file-sync pipeline); these queries
@@ -22,29 +24,7 @@ from etl_file_sync_spark.queries.registry import register, t
 
 
 @register(
-    "sample_hash_split_md5",
-    """
-    SELECT doc_id, lang FROM documents
-    WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 8))::UBIGINT::BIGINT % 100 < 10
-    ORDER BY doc_id
-    """,
-    "sampling",
-    "reproducible",
-)
-def sample_hash_split_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reproducible ~10% hash-bucket sample of documents, md5-seeded so
-    the kept set is engine-independent and value-exact against the
-    oracle. Same plan shape as sample_hash_split (a pushed-down filter,
-    no shuffle); md5-over-string costs more per row than xxhash64, which
-    is why the production default stays xxhash."""
-    from etl_file_sync_spark.operators.text import hash_sample
-
-    d = t(spark, sf_dir, "documents")
-    return hash_sample(d, "doc_id", 10, hash_fn="md5").select("doc_id", "lang").orderBy("doc_id")
-
-
-@register(
-    "text_hashed_embedding_topk_md5",
+    "text_hashed_embedding_topk",
     """
     WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
     tk AS (SELECT doc_id, tok FROM toks WHERE len(tok) > 0),
@@ -78,7 +58,7 @@ def sample_hash_split_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding",
     "hashing-trick",
 )
-def text_hashed_embedding_topk_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_hashed_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashed (md5) sparse embeddings → cosine top-3 neighbors
     for 10 query docs, value-exact across engines: bucket weights are
     integer sign-sums, so dot products and squared norms are exact
@@ -133,23 +113,33 @@ def text_hashed_embedding_topk_md5(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-def _pagerank_oracle_sql(iters: int) -> str:
-    """Unrolled power iteration as chained CTEs — one (inflow, rank)
-    pair per iteration, so plain ANSI SQL (no aggregation inside a
-    recursive CTE, which engines restrict). Damping constants are
-    spelled as the same IEEE ops the Spark side computes."""
-    parts = [
-        """
-    WITH e0 AS (
+_NATION_EDGES_SQL = """
       SELECT CAST(n_nationkey AS BIGINT) AS src,
              CAST((n_nationkey + 1) % 25 AS BIGINT) AS dst FROM nation
       UNION ALL
       SELECT CAST(n_nationkey AS BIGINT), CAST(100 + n_regionkey AS BIGINT) FROM nation
+"""
+
+
+def _pagerank_oracle_sql(iters: int, edges_sql: str = _NATION_EDGES_SQL) -> str:
+    """Unrolled power iteration as chained CTEs — one (inflow, rank)
+    pair per iteration, so plain ANSI SQL (no aggregation inside a
+    recursive CTE, which engines restrict). Damping constants are
+    spelled as the same IEEE ops the Spark side computes. `edges_sql`
+    is a SELECT producing the directed edge list (src, dst); it is
+    symmetrized here exactly as operators/graph.py::pagerank does."""
+    # MATERIALIZED: the base CTEs are referenced by every unrolled
+    # iteration — without it DuckDB inlines (recomputes) the edge
+    # derivation 15+ times (measured 293s vs ~3s on the near-dup graph).
+    parts = [
+        f"""
+    WITH e0 AS MATERIALIZED (
+{edges_sql}
     ),
-    edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
-    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
-    nodes AS (SELECT DISTINCT src AS node FROM edges),
-    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    edges AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+    deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+    nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
     r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS pr FROM nodes)"""
     ]
     for k in range(1, iters + 1):
