@@ -93,15 +93,17 @@ def bigram_novelty(
     in the corpus). Low freq_sum/n_bigrams ⇒ novel text; high ⇒
     boilerplate. Integer counts only — engine-exact.
 
-    Two shuffles total: corpus-wide bigram counts come from a COUNT
-    window over the bigram key (one scan + one shuffle of the exploded
-    frame — a groupBy+self-join spelling would scan the explode twice
-    and shuffle three times for the same answer), then the doc_id
-    re-agg. Docs with fewer than two words score (0, 0, 0) via the
-    left join.
+    Skew-safe shape (round-3 verdict fix): corpus-wide bigram counts
+    come from partial-aggregated groupBys, never a COUNT window over
+    the raw bigram key — a window gets no map-side combine and no AQE
+    skew split, so at corpus scale the "of the"-class hot bigrams
+    become single-task stragglers. Here (1) per-(doc, bigram) counts
+    pre-aggregate within-doc repeats (combiner-friendly: the hot
+    bigram's rows are spread over every doc's map task), (2) the
+    corpus count aggregates those already-shrunk rows, and (3) the
+    join back is a plain equi-join AQE can skew-split. Docs with fewer
+    than two words score (0, 0, 0) via the left join.
     """
-    from pyspark.sql import Window as W
-
     words = F.split(F.col(text_col), " ")
     bigrams = F.when(
         F.size(words) >= 2,
@@ -111,12 +113,19 @@ def bigram_novelty(
         ),
     ).otherwise(F.array().cast("array<string>"))
     occ = df.select(F.col(id_col), F.explode(bigrams).alias("bigram"))
+    # cached: the corpus-count branch and the join branch both consume
+    # this frame — without it the explode + partial agg runs twice.
+    # Cache lifecycle is the caller's (jaccard_pairs contract); a
+    # 100 TB run would checkpoint instead.
+    doc_bg = occ.groupBy(id_col, "bigram").agg(F.count(F.lit(1)).alias("n_occ")).cache()
+    corpus = doc_bg.groupBy("bigram").agg(F.sum("n_occ").alias("bg_count"))
     scored = (
-        occ.withColumn("bg_count", F.count(F.lit(1)).over(W.partitionBy("bigram")))
+        doc_bg.join(corpus, "bigram")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("bg_count").alias("freq_sum"),
+            F.sum("n_occ").alias("n_bigrams"),
+            F.sum(F.col("n_occ") * F.col("bg_count")).alias("freq_sum"),
+            # bg_count == 1 forces n_occ == 1: the lone occurrence
             F.sum(F.when(F.col("bg_count") == 1, 1).otherwise(0)).alias("n_hapax"),
         )
     )

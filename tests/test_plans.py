@@ -124,3 +124,15 @@ def test_funnel_pushes_event_type_filters(spark, sf_dir):
     assert "EqualTo(event_type,click)" in plan
     assert "EqualTo(event_type,purchase)" in plan
     assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_bigram_novelty_partial_agg_no_window(spark, sf_dir):
+    """Round-4 de-skew: corpus bigram counts must come from partial-
+    aggregated groupBys (map-side combine + AQE skew-splittable join),
+    never a COUNT window over the raw bigram key (no combine, hot
+    "of the"-class bigrams become single-task stragglers at scale)."""
+    from etl_file_sync_spark.plans import full_plan
+
+    plan = full_plan(REGISTRY["text_bigram_novelty"].build(spark, sf_dir))
+    assert "partial_count" in plan, "corpus counts must map-side combine"
+    assert "Window" not in plan, "bigram counting must not use a window"
