@@ -94,7 +94,14 @@ def probe_all(
     out: list[HealthStatus] = []
     for server in discover_servers(env):
         if server.type == "local":
-            out.append(check_local_path(server.hostname, server.base_path or "/"))
+            if server.base_path:
+                out.append(check_local_path(server.hostname, server.base_path))
+            else:
+                # An unset base_path must not silently probe "/" (always
+                # writable as root → false healthy); report the misconfig.
+                out.append(
+                    HealthStatus(server.hostname, "local_path", False, "base_path not configured", 0.0)
+                )
             continue
         out.append(check_tcp(server.hostname, server.host, server.port, timeout))
         if deep and server.type == "ftp":

@@ -47,7 +47,7 @@ def test_tcp_probe_up_and_down(ftp_server):
     assert up.healthy and up.kind == "tcp" and up.latency_ms >= 0
     # Port 1 on localhost: nothing listens there.
     down = check_tcp("dead", "127.0.0.1", 1, timeout=0.5)
-    assert not down.healthy and "Error" in down.detail or not down.healthy
+    assert not down.healthy and down.detail
 
 
 def test_ftp_pool_probe_logs_in_and_noops(ftp_server):
@@ -86,6 +86,19 @@ def test_probe_all_covers_servers_and_kafka(ftp_server, tmp_path):
     assert by_key[("DST_LOCAL1", "local_path")].healthy
     assert by_key[("kafka", "tcp")].healthy
     assert healthy(statuses)
+
+
+def test_probe_all_unconfigured_local_base_path_is_unhealthy(ftp_server):
+    """A LOCAL server with no BASE_PATH must not fall back to probing
+    "/" (writable as root → false healthy); it reports the misconfig."""
+    env = _env_for(ftp_server) | {
+        "DST_LOCAL1_TYPE": "LOCAL",
+        "ETL_KAFKA_BOOTSTRAP": f"127.0.0.1:{ftp_server.port}",
+    }
+    statuses = probe_all(env=env, timeout=2)
+    st = {(s.target, s.kind): s for s in statuses}[("DST_LOCAL1", "local_path")]
+    assert not st.healthy and st.detail == "base_path not configured"
+    assert not healthy(statuses)
 
 
 def test_kafka_bootstrap_parsing():
