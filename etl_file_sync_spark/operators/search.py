@@ -69,40 +69,70 @@ def bm25_topk(
     Lucene-style idf = ln(1 + (N - df + 0.5)/(df + 0.5));
     tf term = tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl)).
 
-    Execution shape: postings are semi-filtered to the broadcast query
-    terms first, so the scoring joins move |query_terms| posting lists,
-    not the index; (N, avgdl) is a broadcast 1-row aggregate frame; the
-    final top-k is TakeOrderedAndProject. Deterministic: ordered by
-    (round(score,6) DESC, id) so engine ulp noise cannot reorder ranks.
+    Execution shape — index-free for a bounded query-term set: one
+    NARROW projection computes per-doc dl and per-query-term tf as JVM
+    array expressions (`size(filter(split(text)))`) — no token explode,
+    no (term, id) shuffle, no inverted index. That (id, dl, tf…) frame
+    (one row, |q|+2 ints per doc) is cached; corpus statistics
+    (N, avgdl, df per term) reduce it to ONE broadcast scalar row, and
+    scoring is a per-row expression over the same cache. The only wide
+    ops are the scalar aggregate and the final top-k
+    (TakeOrderedAndProject). At 100 TB this is two streaming passes over
+    a q+2-column projection of the corpus — strictly less data movement
+    than any postings build. For large/unbounded query sets (beyond ~32
+    terms the projection gets wide), build `postings()` bucketed by term
+    instead. Deterministic: ordered by (round(score,6) DESC, id) so
+    engine ulp noise cannot reorder ranks.
+
+    Cache lifecycle is the caller's (same contract as jaccard_pairs):
+    the result is lazy; long-lived sessions clearCache() between calls.
 
     Returns (doc_id, bm25, rnk) — bm25 rounded to 4 decimals.
     """
     from pyspark.sql import Window as W
 
-    spark = df.sparkSession
-    q = spark.createDataFrame([(t,) for t in query_terms], "term string")
-    post = postings(df, id_col, text_col)
-    dl = doc_lengths(df, id_col, text_col)
-    stats = dl.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    terms = list(dict.fromkeys(query_terms))  # dup query terms must not double-count
+    if not terms:
+        raise ValueError("bm25_topk requires at least one query term")
+    arr = F.filter(F.split(F.col(text_col), " "), lambda x: F.length(x) > 0)
+
+    def _tf(term: str):  # single-arg lambda: a 2-arg lambda would receive the array index
+        return F.size(F.filter(arr, lambda x: x == F.lit(term)))
+
+    per_doc = df.select(
+        F.col(id_col).alias("id"),
+        F.size(arr).alias("dl"),
+        *[_tf(t).alias(f"tf_{i}") for i, t in enumerate(terms)],
+    ).cache()
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).cast("double").alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
     )
-    dft = term_doc_freq(post)
-    hit = post.join(F.broadcast(q), "term")
-    scored = (
-        hit.join(F.broadcast(dft.join(F.broadcast(q), "term")), "term")
-        .join(dl, "id")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "contrib",
-            F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-            * (F.col("tf") * (k1 + 1.0))
-            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
-        )
-        .groupBy("id")
-        .agg(F.sum("contrib").alias("score"))
-    )
+    contribs = [
+        F.when(
+            F.col(f"tf_{i}") > 0,
+            F.log(F.lit(1.0) + (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5))
+            * (F.col(f"tf_{i}") * (k1 + 1.0))
+            / (F.col(f"tf_{i}") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        ).otherwise(F.lit(0.0))
+        for i in range(len(terms))
+    ]
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
     top = (
-        scored.orderBy(F.round("score", 6).desc(), F.col("id"))
+        per_doc.crossJoin(F.broadcast(stats))
+        .where(
+            F.col("tf_0") > 0
+            if len(terms) == 1
+            else F.greatest(*[F.col(f"tf_{i}") for i in range(len(terms))]) > 0
+        )
+        .withColumn("score", score)
+        .orderBy(F.round("score", 6).desc(), F.col("id"))
         .limit(k)
         .withColumn(
             "rnk", F.row_number().over(W.orderBy(F.round("score", 6).desc(), F.col("id")))
