@@ -187,8 +187,13 @@ def main() -> None:
     # measure the queries, not process spin-up
     force(REGISTRY["q06_forecast_revenue"].build(spark, SF_DIR))
     force(spark.range(1000).repartition(cpus).mapInPandas(lambda it: it, "id long"))
-    times = bench_queries(spark)
+    # Bulk transfer is measured BEFORE the query sweep: the reference's
+    # 21.73 files/s is a dedicated bulk E2E run, and measuring after 43
+    # clearCache'd queries inherits their JVM old-gen/GC pressure and
+    # Python-worker churn (r2→r3 "dip" 248→201 files/s was exactly this
+    # context noise — the same build measures 430-500 files/s isolated).
     files_per_sec = bench_pipeline_files(spark)
+    times = bench_queries(spark)
     out = {
         "metric": "headline query wall-clock at sf0.1 + bulk transfer throughput",
         "value": round(sum(times.values()), 3),
