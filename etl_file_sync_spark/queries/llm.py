@@ -647,6 +647,55 @@ def multimodal_image_dims_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jvm_part.unionByName(jpeg_part).orderBy("doc_id")
 
 
+@register(
+    "multimodal_pixel_stats",
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+             CAST(5 + doc_id % 13 AS INTEGER) AS width,
+             CAST(3 + doc_id % 5 AS INTEGER) AS height
+      FROM documents WHERE doc_id < 200
+    ),
+    grid AS (
+      SELECT d.doc_id, d.fmt, d.width, d.height, x.g AS x, y.g AS y
+      FROM docs d, generate_series(0, 17) x(g), generate_series(0, 7) y(g)
+      WHERE x.g < d.width AND y.g < d.height
+    )
+    SELECT doc_id, fmt, width, height,
+           CAST(SUM((doc_id + 2*x + 3*y) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((3*doc_id + x + 7*y) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((5*doc_id + 4*x + y) % 256) AS BIGINT) AS sum_b,
+           CAST(SUM(CASE WHEN y = 0 THEN (doc_id + 2*x) % 256 ELSE 0 END) AS BIGINT) AS top_row_sum_r
+    FROM grid GROUP BY 1, 2, 3, 4 ORDER BY doc_id
+    """,
+    "multimodal",
+    "pixel-decode",
+    "mapInPandas",
+)
+def multimodal_pixel_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode over the binary column: deterministic BMP/PPM
+    images (pixel values are modular functions of (doc_id, x, y) — see
+    operators/multimodal.py synth_pixel_image) are decoded by the
+    pure-Python codecs (24bpp bottom-up padded BMP, P6 PPM) and reduced
+    to per-channel byte sums plus the top-row red sum. The oracle
+    predicts every sum by exact integer arithmetic over the pixel grid,
+    so a codec bug anywhere — BGR order, row padding, the bottom-up
+    flip (top_row_sum_r is the canary), header offsets — hash-
+    mismatches. Closes the r3 'decode stubbed' gap for the formats this
+    container can decode without external libraries."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = M.attach_pixel_payload(docs)
+    stats = M.image_pixel_stats(media)
+    # fmt is a pure function of doc_id (even=bmp / odd=ppm) — re-derive it
+    # JVM-side rather than joining back through a second mapInPandas pass.
+    fmt = F.when(F.col("doc_id") % 2 == 0, "bmp").otherwise("ppm").alias("fmt")
+    return (
+        stats.select("doc_id", fmt, "width", "height", "sum_r", "sum_g", "sum_b", "top_row_sum_r")
+        .orderBy("doc_id")
+    )
+
+
 @register("sim_topk_pq", None, "similarity", "pq", "ann", "compression")
 def sim_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-compressed ANN top-5 (product quantization, 16 subspaces × 32

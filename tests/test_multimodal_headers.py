@@ -7,6 +7,8 @@ from __future__ import annotations
 import struct
 import zlib
 
+import pytest
+
 from etl_file_sync_spark.operators import multimodal as M
 
 
@@ -57,3 +59,58 @@ def test_jpeg_walker_handles_truncated_stream(spark):
     df = spark.createDataFrame([(0, bytearray(buf))], "doc_id long, payload binary")
     r = M.jpeg_dims(df).collect()[0]
     assert r.width is None and r.height is None
+
+
+# --- real pixel decode: BMP / PPM -------------------------------------
+
+
+def _hand_bmp_2x2() -> bytes:
+    """Hand-packed 2×2 24bpp BMP, independent of encode_bmp. Image
+    (top-first) rows: [(255,0,0), (0,255,0)] / [(0,0,255), (9,8,7)].
+    Stored bottom-up, BGR, rows padded 6→8 bytes."""
+    import struct
+
+    header = struct.pack("<2sIHHI", b"BM", 54 + 16, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, 16, 2835, 2835, 0, 0
+    )
+    bottom_row = bytes([255, 0, 0, 7, 8, 9]) + b"\x00\x00"  # BGR of (0,0,255),(9,8,7)
+    top_row = bytes([0, 0, 255, 0, 255, 0]) + b"\x00\x00"  # BGR of (255,0,0),(0,255,0)
+    return header + bottom_row + top_row
+
+
+def test_decode_bmp_hand_packed_bytes():
+    img = M.decode_bmp(_hand_bmp_2x2())
+    assert img.shape == (2, 2, 3)
+    assert img[0, 0].tolist() == [255, 0, 0]
+    assert img[0, 1].tolist() == [0, 255, 0]
+    assert img[1, 0].tolist() == [0, 0, 255]
+    assert img[1, 1].tolist() == [9, 8, 7]
+
+
+def test_decode_ppm_hand_packed_bytes():
+    buf = b"P6\n# a comment\n2 1\n255\n" + bytes([1, 2, 3, 4, 5, 6])
+    img = M.decode_ppm(buf)
+    assert img.shape == (1, 2, 3)
+    assert img[0, 0].tolist() == [1, 2, 3] and img[0, 1].tolist() == [4, 5, 6]
+
+
+def test_codec_round_trip_and_reject_paths():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)  # 7*3=21 → 3 pad bytes
+    assert np.array_equal(M.decode_bmp(M.encode_bmp(img)), img)
+    assert np.array_equal(M.decode_ppm(M.encode_ppm(img)), img)
+    assert M.decode_bmp(b"BM too short") is None
+    assert M.decode_ppm(b"P6\n2 2\n255\n\x00") is None  # truncated raster
+    assert M.decode_image(b"garbage") is None
+    with pytest.raises(NotImplementedError):
+        M.decode_image(_png(4, 4))
+
+
+def test_image_pixel_stats_null_row_for_undecodable(spark):
+    rows = [(0, bytearray(M.synth_pixel_image(0, 4, 3, "bmp"))), (1, bytearray(b"nope"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in M.image_pixel_stats(df).collect()}
+    assert got[0].width == 4 and got[0].height == 3 and got[0].sum_r is not None
+    assert got[1].width is None and got[1].sum_r is None
