@@ -296,6 +296,66 @@ def stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_outer_attribution_dedup",
+    """
+    WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+    p AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'),
+    v AS (SELECT event_id AS view_id, user_id, ts AS view_ts FROM ev WHERE event_type = 'view')
+    SELECT p.event_id, p.user_id, v.view_id
+    FROM p LEFT JOIN v ON p.user_id = v.user_id
+      AND v.view_ts >= p.ts - INTERVAL 30 MINUTE AND v.view_ts <= p.ts
+    ORDER BY p.event_id, v.view_id
+    """,
+    "streaming",
+    "stream-stream-join",
+    "left-outer",
+    "dedup",
+    "watermark",
+)
+def stream_outer_attribution_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful streaming: an at-least-once purchase stream
+    (unioned with itself — every purchase arrives twice) is exactly-onced
+    by dropDuplicatesWithinWatermark, then LEFT OUTER stream-stream
+    joined to the view stream with event-time range bounds — purchases
+    with no prior view must emit WITH NULL right side once the watermark
+    passes their join window (state eviction, not buffering forever).
+
+    Determinism: the replay source stages a far-future sentinel batch
+    (events_stream_with_flush) whose second micro-batch advances both
+    watermarks past all real state, so every outer-null row flushes
+    inside one processAllAvailable and the full DuckDB oracle (batch
+    LEFT JOIN over the distinct event set) hash-checks the result. On a
+    live Kafka feed the continuing stream plays the sentinel's role.
+    """
+    from etl_file_sync_spark.streaming import events_stream_with_flush, run_to_memory_sink
+
+    s1 = events_stream_with_flush(spark, sf_dir)
+    s2 = events_stream_with_flush(spark, sf_dir)
+    purchases = (
+        s1.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    )
+    deduped = (
+        purchases.unionByName(purchases)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    views = (
+        s2.filter(F.col("event_type") == "view")
+        .select(F.col("event_id").alias("view_id"), F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "10 minutes")
+    )
+    joined = deduped.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("view_ts") >= F.col("ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("view_ts") <= F.col("ts")),
+        "leftOuter",
+    ).select("event_id", "user_id", "view_id")
+    out = run_to_memory_sink(joined, "stream_outer_attr_sink", "append")
+    return out.filter(F.col("user_id") >= 0).orderBy("event_id", "view_id")
+
+
+@register(
     "stream_session_windows",
     """
     WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

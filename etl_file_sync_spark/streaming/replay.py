@@ -59,3 +59,52 @@ def run_to_memory_sink(df: DataFrame, name: str, mode: str = "complete") -> Data
         q.stop()
     spark = df.sparkSession
     return spark.table(name).localCheckpoint(eager=True)
+
+
+def events_stream_with_flush(
+    spark: SparkSession, sf_dir: str, flush_hours: int = 10
+) -> DataFrame:
+    """Streaming events with a far-future sentinel batch staged AFTER the
+    real data (maxFilesPerTrigger=1 ⇒ two micro-batches). The sentinel
+    rows (user_id = -1, one 'purchase' + one 'view', ts = max(ts) +
+    `flush_hours`) advance every downstream watermark past all real
+    event-time state, so outer-join null emissions and watermark-scoped
+    dedup state FLUSH deterministically inside one processAllAvailable —
+    the replay-side stand-in for a production stream's continuing flow.
+    Callers filter `user_id >= 0` from results.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import LongType
+
+    stage = tempfile.mkdtemp(prefix="events_flush_")
+    link = os.path.join(stage, "00_events.parquet")
+    os.symlink(f"{sf_dir}/events.parquet", link)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    is_nanos = isinstance(batch.schema["ts"].dataType, LongType)
+    hi = batch.agg(F.max("ts")).collect()[0][0]  # scalar pull, not a hot-path collect
+    sent = pd.DataFrame(
+        {
+            "event_id": pd.Series([-1, -2], dtype="int64"),
+            "ts": None,  # filled below per vintage
+            "user_id": pd.Series([-1, -1], dtype="int64"),
+            "event_type": ["purchase", "view"],
+            "value": [0.0, 0.0],
+            "props": ["{}", "{}"],
+        }
+    )
+    if is_nanos:
+        sent["ts"] = pd.Series([int(hi) + flush_hours * 3_600_000_000_000] * 2, dtype="int64")
+    else:
+        sent["ts"] = pd.Series([hi + pd.Timedelta(hours=flush_hours)] * 2).astype("datetime64[us]")
+    sent = sent[[f.name for f in batch.schema.fields]]
+    sent.to_parquet(os.path.join(stage, "01_flush.parquet"))
+    reader = spark.readStream.option("maxFilesPerTrigger", 1)
+    if is_nanos:
+        return (
+            reader.schema(EVENTS_RAW_SCHEMA)
+            .parquet(stage)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+    return reader.schema(batch.schema).parquet(stage).withColumn("ts", F.col("ts").cast("timestamp"))
