@@ -365,3 +365,69 @@ def unigram_doc_scores(
             F.round(F.exp(-F.col("avg_logp")), 2).alias("ppl"),
         )
     )
+
+
+def vocab_coverage(df: DataFrame, text_col: str = "text", min_count: int = 5) -> DataFrame:
+    """Corpus vocabulary build + per-document OOV audit — the tokenizer-
+    prep pass of a pretraining pipeline: vocab = tokens whose corpus
+    occurrence count ≥ `min_count`; each document reports how many of its
+    token OCCURRENCES fall outside that vocab.
+
+    Returns (doc_id, n_tokens, n_oov, oov_rate).
+
+    Scale shape: one explode → partial-aggregated groupBy(token) for the
+    corpus counts (combiner-friendly — the "the" key arrives at the
+    reducer as per-partition partials, not rows), one groupBy(token)
+    re-join of occurrences to vocab membership, one groupBy(doc) rollup.
+    The token-keyed join is the same shuffle the count already paid —
+    at 100 TB both sides would be bucketed by token. No windows over
+    skewed keys, no Python.
+    """
+    toks = (
+        df.select(F.col("doc_id"), F.explode(tokens(text_col)).alias("tok"))
+        .where(F.length("tok") > 0)
+    )
+    # (tok, n_in_doc) per doc: shrinks the join input from occurrences to
+    # distinct (doc, tok) pairs before the vocab join.
+    per_doc = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("n_occ"))
+    corpus = per_doc.groupBy("tok").agg(F.sum("n_occ").alias("corpus_n"))
+    joined = per_doc.join(corpus, "tok")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").alias("n_tokens"),
+            F.sum(F.when(F.col("corpus_n") < min_count, F.col("n_occ")).otherwise(F.lit(0))).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 4).alias("oov_rate"),
+        )
+    )
+
+
+# Fixed published-style weights for the logistic quality classifier —
+# (bias, len_score, ttr, stop_frac). Deterministic constants so both
+# engines compute the identical sigmoid input.
+LOGISTIC_QUALITY_WEIGHTS = (-1.5, 0.8, 2.0, 1.5)
+
+
+def with_logistic_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Model-based quality scoring as a vectorized inference pass: a
+    logistic classifier over cheap text features (length score, type-
+    token ratio, stopword fraction) with fixed weights — the shape of a
+    fasttext/linear quality filter applied corpus-wide. Pure JVM
+    expressions: at 100 TB this is a narrow map over the scan, no
+    shuffle at all. Adds `quality_prob` = σ(w·x) rounded to 4 decimals.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    len_score = F.least(n.cast("double") / 100.0, F.lit(10.0))
+    ttr = F.size(F.array_distinct(toks)) / n
+    stop_frac = (
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) / n
+    )
+    w0, w1, w2, w3 = LOGISTIC_QUALITY_WEIGHTS
+    z = F.lit(w0) + F.lit(w1) * len_score + F.lit(w2) * ttr + F.lit(w3) * stop_frac
+    return df.withColumn("quality_prob", F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4))

@@ -8,6 +8,7 @@ from etl_file_sync_spark.queries import (  # noqa: F401
     llm2,
     llm3,
     llm4,
+    llm5,
     merge_face,
     pipeline_face,
     relational,

@@ -1,0 +1,185 @@
+"""Round-4 additions: snapshot reconciliation, vocabulary coverage,
+logistic quality inference, duplication-aware sampling weights.
+
+Each query is fully DuckDB-oracle-checked; reference citations live in
+the operator modules (the reference has no analytics surface —
+SURVEY.md §2.2 — these extend the engine-only set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_file_sync_spark.operators import text as X
+from etl_file_sync_spark.queries.registry import register, t
+
+_STOPLIST_SQL = "['the','a','and','of','to','in','is','that']"
+
+
+@register(
+    "dq_snapshot_diff",
+    """
+    WITH old AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 89 = 0 THEN round(o_totalprice + 1.0, 2)
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 101 = 0
+    ),
+    d AS (
+      SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                  WHEN n.o_orderkey IS NULL THEN 'removed'
+                  WHEN o.o_totalprice <> n.o_totalprice
+                       OR o.o_orderstatus <> n.o_orderstatus THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+    )
+    SELECT status, count(*) AS n, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+    FROM d GROUP BY status ORDER BY status
+    """,
+    "dq",
+    "reconcile",
+    "diff",
+)
+def dq_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot reconciliation (operators/reconcile.py): the orders
+    table diffed against a planted next-wave snapshot (every 97th key
+    removed, every 89th price bumped, every 101st re-keyed as an add).
+    One narrow digest projection per side + ONE full outer join on the
+    key; the digest collapses the compared payload to 32 bytes so the
+    shuffle carries keys + hashes. The oracle re-derives each status by
+    direct column comparison — digest and comparison must agree row-for-
+    row or the counts/hash mismatch."""
+    from etl_file_sync_spark.operators.reconcile import diff_summary, snapshot_diff
+
+    old = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    keep = old.filter(F.col("o_orderkey") % 97 != 0)
+    mutated = keep.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 89 == 0, F.round(F.col("o_totalprice") + 1.0, 2)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    added = old.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 100000000
+    )
+    new = mutated.unionByName(added)
+    diff = snapshot_diff(old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"])
+    per_status = diff_summary(diff)
+    keys = diff.groupBy("status").agg(
+        F.min("o_orderkey").alias("min_key"), F.max("o_orderkey").alias("max_key")
+    )
+    return per_status.join(keys, "status").orderBy("status")
+
+
+@register(
+    "text_vocab_coverage",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS tok
+      FROM documents
+    ),
+    per_doc AS (SELECT doc_id, tok, count(*) AS n_occ FROM toks GROUP BY 1, 2),
+    corpus AS (SELECT tok, sum(n_occ) AS corpus_n FROM per_doc GROUP BY tok)
+    SELECT doc_id,
+           CAST(sum(n_occ) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN corpus_n < 5 THEN n_occ ELSE 0 END) AS BIGINT) AS n_oov,
+           round(sum(CASE WHEN corpus_n < 5 THEN n_occ ELSE 0 END) * 1.0 / sum(n_occ), 4) AS oov_rate
+    FROM per_doc JOIN corpus USING (tok)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    "text",
+    "vocab",
+    "tokenizer-prep",
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build (min corpus count 5) + per-document OOV
+    occurrence rate — the tokenizer-prep audit that decides vocab size
+    and flags documents that would shred into unknown tokens. See
+    operators/text.py vocab_coverage for the shuffle shape."""
+    return X.vocab_coverage(t(spark, sf_dir, "documents"), min_count=5).orderBy("doc_id")
+
+
+@register(
+    "text_quality_logistic",
+    f"""
+    WITH f AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), x -> length(x) > 0) AS l,
+             string_split(text, ' ') AS raw
+      FROM documents
+    ),
+    x AS (
+      SELECT doc_id, lang,
+             least(len(raw) / 100.0, 10.0) AS len_score,
+             len(list_distinct(raw)) * 1.0 / len(raw) AS ttr,
+             len(list_filter(raw, t -> list_contains({_STOPLIST_SQL}, t))) * 1.0 / len(raw) AS stop_frac
+      FROM f
+    )
+    SELECT doc_id, lang,
+           round(1.0 / (1.0 + exp(-(-1.5 + 0.8 * len_score + 2.0 * ttr + 1.5 * stop_frac))), 4)
+             AS quality_prob
+    FROM x ORDER BY doc_id
+    """,
+    "text",
+    "quality",
+    "model-inference",
+)
+def text_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-model quality inference (operators/text.py
+    with_logistic_quality): σ(w·x) over (length score, TTR, stopword
+    fraction) with fixed weights — the corpus-wide vectorized form of a
+    fasttext-style quality filter. Narrow JVM map, zero shuffle; the
+    oracle recomputes the identical sigmoid (doubles agree to ~1 ulp,
+    far inside the 4-decimal rounding grain)."""
+    return (
+        X.with_logistic_quality(t(spark, sf_dir, "documents"))
+        .select("doc_id", "lang", "quality_prob")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "sample_dup_weighted",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             count(*) OVER (PARTITION BY sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS group_size
+      FROM documents
+    )
+    SELECT doc_id, CAST(group_size AS BIGINT) AS group_size,
+           round(1.0 / group_size, 6) AS sample_weight
+    FROM g ORDER BY doc_id
+    """,
+    "sampling",
+    "dedup",
+    "mix",
+)
+def sample_dup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-aware sampling weights: every member of an exact-dup
+    cluster (normalized-text sha256 grain) gets weight 1/cluster_size, so
+    a corpus sampled by these weights sees each unique document with
+    equal expected mass — the soft alternative to hard dedup that
+    preserves natural duplication signal (Biderman et al. discuss both).
+    One groupBy on the 32-byte digest + a broadcast-friendly join back;
+    no windows over the raw text key. The digest groupBy is
+    combiner-friendly; at 100 TB the planted mega-cluster case stays one
+    reducer row (count), never a materialized member array."""
+    docs = t(spark, sf_dir, "documents")
+    keyed = docs.select("doc_id", F.sha2(X.normalize_text("text"), 256).alias("_k"))
+    sizes = keyed.groupBy("_k").agg(F.count(F.lit(1)).alias("group_size"))
+    return (
+        keyed.join(sizes, "_k")
+        .select(
+            "doc_id",
+            "group_size",
+            F.round(F.lit(1.0) / F.col("group_size"), 6).alias("sample_weight"),
+        )
+        .orderBy("doc_id")
+    )
