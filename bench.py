@@ -79,6 +79,12 @@ HEADLINE = [
     # spellings remain the production fast path and are benched here)
     "dedup_minhash_pairs_xxh",
     "dedup_simhash_pairs_xxh",
+    # round-4 surface
+    "multimodal_pixel_stats",
+    "dq_snapshot_diff",
+    "text_vocab_coverage",
+    "text_quality_logistic",
+    "sample_dup_weighted",
 ]
 
 

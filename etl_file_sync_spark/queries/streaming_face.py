@@ -219,6 +219,45 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_late_data_drop",
+    """
+    SELECT CAST(to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / 900) * 900) AS TIMESTAMP) AS window_start,
+           event_type, count(*) AS n_events
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "streaming",
+    "watermark",
+    "late-data",
+)
+def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics, value-checked: the replay source
+    (events_stream_with_late_replay) re-delivers every 7th event in a
+    SECOND micro-batch with its event time shifted 10 days into the
+    past — far below the watermark established by batch one — and a
+    flush sentinel third batch emits all append-mode windows. The
+    15-minute tumbling counts must equal the oracle's counts over the
+    ON-TIME events alone: if the engine aggregates even one late row,
+    a window's count (or a phantom past window) hash-mismatches.
+    """
+    from etl_file_sync_spark.streaming import run_to_memory_sink
+    from etl_file_sync_spark.streaming.replay import events_stream_with_late_replay
+
+    stream = events_stream_with_late_replay(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    out = run_to_memory_sink(agg, "stream_late_drop_sink", "append")
+    # the sentinel's own far-future window never emits (watermark stops
+    # short of it); guard against it anyway for replay-parameter changes
+    hi = t(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    return out.filter(F.col("window_start") <= hi).orderBy("window_start", "event_type")
+
+
+@register(
     "rollup_reaggregation",
     """
     WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type,

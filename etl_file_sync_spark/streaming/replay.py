@@ -108,3 +108,78 @@ def events_stream_with_flush(
             .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         )
     return reader.schema(batch.schema).parquet(stage).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def events_stream_with_late_replay(
+    spark: SparkSession,
+    sf_dir: str,
+    every_n: int = 7,
+    late_days: int = 10,
+    flush_hours: int = 10,
+) -> DataFrame:
+    """Streaming events staged as THREE micro-batches (maxFilesPerTrigger=1):
+
+    1. the real events,
+    2. the far-future flush sentinel (user_id = −1) — after this batch
+       the watermark is past every real window, so append-mode results
+       emit, AND the batch gap matters: Spark ≥3.5 filters late INPUT
+       with the watermark as of one batch earlier
+       (eventTimeWatermarkForLateEvents lags eventTimeWatermarkForEviction
+       — visible in the StateStoreSave physical node), so a late batch
+       must arrive ≥2 batches after the data that advanced the watermark,
+    3. a LATE batch — every `every_n`-th event re-delivered with its
+       event time shifted `late_days` into the past (re-keyed to negative
+       event_ids), far below the now-effective late-events watermark: a
+       correct watermarking operator MUST drop every one of them.
+
+    The late rows are the oracle's proof obligation: if the engine
+    wrongly aggregates them, every touched window's count shifts and the
+    value hash mismatches. Callers filter `user_id >= 0`.
+    """
+    import time
+
+    import pandas as pd
+
+    from pyspark.sql.types import LongType
+
+    stage = tempfile.mkdtemp(prefix="events_late_")
+    os.symlink(f"{sf_dir}/events.parquet", os.path.join(stage, "00_events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    is_nanos = isinstance(batch.schema["ts"].dataType, LongType)
+    pdf = pd.read_parquet(f"{sf_dir}/events.parquet")
+    late = pdf[pdf["event_id"] % every_n == 0].copy()
+    if is_nanos:
+        late["ts"] = late["ts"].astype("int64") - late_days * 86_400_000_000_000
+        hi = int(pdf["ts"].astype("int64").max())
+        flush_ts = hi + flush_hours * 3_600_000_000_000
+    else:
+        late["ts"] = (late["ts"] - pd.Timedelta(days=late_days)).astype("datetime64[us]")
+        flush_ts = (pdf["ts"].max() + pd.Timedelta(hours=flush_hours))
+    late["event_id"] = -late["event_id"] - 1_000_000  # distinct ids: re-delivery, not dupes
+    sent = pd.DataFrame(
+        {
+            "event_id": pd.Series([-1], dtype="int64"),
+            "ts": [flush_ts],
+            "user_id": pd.Series([-1], dtype="int64"),
+            "event_type": ["purchase"],
+            "value": [0.0],
+            "props": ["{}"],
+        }
+    )
+    if not is_nanos:
+        sent["ts"] = sent["ts"].astype("datetime64[us]")
+    sent = sent[[f.name for f in batch.schema.fields]]
+    # FileStreamSource orders batches by file MODIFICATION time, so the
+    # write order below IS the replay order: events → flush → late.
+    sent.to_parquet(os.path.join(stage, "01_flush.parquet"))
+    time.sleep(0.02)  # distinct mtimes on coarse-granularity filesystems
+    late.to_parquet(os.path.join(stage, "02_late.parquet"))
+    reader = spark.readStream.option("maxFilesPerTrigger", 1)
+    if is_nanos:
+        return (
+            reader.schema(EVENTS_RAW_SCHEMA)
+            .parquet(stage)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+    return reader.schema(batch.schema).parquet(stage).withColumn("ts", F.col("ts").cast("timestamp"))
