@@ -85,6 +85,7 @@ HEADLINE = [
     "text_vocab_coverage",
     "text_quality_logistic",
     "sample_dup_weighted",
+    "agg_embedding_centroids",
 ]
 
 

@@ -183,3 +183,39 @@ def sample_dup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "agg_embedding_centroids",
+    """
+    SELECT label, i - 1 AS dim,
+           round(avg(embedding[i]::DOUBLE), 6) AS c,
+           CAST(count(*) AS BIGINT) AS n
+    FROM embeddings, generate_series(1, 64) s(i)
+    GROUP BY label, i ORDER BY label, dim
+    """,
+    "aggregation",
+    "embedding",
+    "centroid",
+)
+def agg_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids — the class-prototype / k-means-step
+    primitive of embedding pipelines (SemDeDup's cluster means, nearest-
+    class-mean classification). Scale shape: ONE partial-aggregated
+    groupBy(label) with 64 fixed per-dimension avg aggregates — the
+    shuffle carries |labels| × 64 partial (sum, count) pairs, NOT the
+    N×64 exploded rows a posexplode spelling would move; the wide→long
+    unpivot happens after aggregation on |labels| rows. At 100 TB this
+    is the only centroid build that doesn't multiply the scan."""
+    e = t(spark, sf_dir, "embeddings")
+    dim = 64
+    aggs = [
+        F.avg(F.col("embedding")[i].cast("double")).alias(f"c{i}") for i in range(dim)
+    ] + [F.count(F.lit(1)).alias("n")]
+    wide = e.groupBy("label").agg(*aggs)
+    stack = ", ".join(f"{i}, c{i}" for i in range(dim))
+    return (
+        wide.selectExpr("label", "n", f"stack({dim}, {stack}) AS (dim, c_raw)")
+        .select("label", "dim", F.round("c_raw", 6).alias("c"), "n")
+        .orderBy("label", "dim")
+    )
