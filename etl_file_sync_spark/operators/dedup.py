@@ -819,3 +819,62 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "n_common", F.round("containment", 4).alias("containment"))
     )
+
+
+def semantic_dedup_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    sign_bits: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023) with a
+    DETERMINISTIC blocking key: vectors are bucketed by the sign pattern
+    of their first `sign_bits` coordinates (the zero-cost stand-in for
+    the paper's k-means cell assignment — same contract: candidates are
+    compared only within a cluster), pairwise exact cosine runs inside
+    each bucket only, and a vector is DROPPED when some same-bucket
+    vector with a SMALLER id is within `threshold` cosine (min-id
+    survivor rule — greedy, order-deterministic, and exactly restatable
+    in SQL, which keeps the whole operator value-oracle-checkable —
+    unlike seeded k-means).
+
+    Returns (id, bucket, status 'keep'|'drop') for every input vector.
+
+    Scale shape: the bucket equi-join bounds pair work at O(Σ b²) over
+    bucket sizes — at 100 TB raise `sign_bits` (k buckets = 2^bits) the
+    same way SemDeDup raises k; the join/cosine/aggregation are all JVM
+    expressions (zip_with / aggregate), no Python, no cross join.
+    """
+    bucket = F.concat_ws(
+        "", *[(F.col(vec_col)[i] > 0).cast("int").cast("string") for i in range(sign_bits)]
+    )
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        bucket.alias("bucket"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(f"{side}.v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    dominated = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .withColumn("cos", dot / (norm("a") * norm("b")))
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("b.id").alias("id"))
+        .distinct()
+    )
+    return (
+        v.join(dominated.withColumn("_drop", F.lit(1)), "id", "left")
+        .select(
+            "id",
+            "bucket",
+            F.when(F.col("_drop").isNotNull(), "drop").otherwise("keep").alias("status"),
+        )
+    )

@@ -219,3 +219,40 @@ def agg_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", "dim", F.round("c_raw", 6).alias("c"), "n")
         .orderBy("label", "dim")
     )
+
+
+@register(
+    "dedup_semantic_keep",
+    """
+    WITH v AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+             CAST(embedding[1] > 0 AS INTEGER)::VARCHAR ||
+             CAST(embedding[2] > 0 AS INTEGER)::VARCHAR ||
+             CAST(embedding[3] > 0 AS INTEGER)::VARCHAR ||
+             CAST(embedding[4] > 0 AS INTEGER)::VARCHAR AS bucket
+      FROM embeddings
+    ),
+    dominated AS (
+      SELECT DISTINCT b.id
+      FROM v a JOIN v b ON a.bucket = b.bucket AND a.id < b.id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+    )
+    SELECT v.id, v.bucket,
+           CASE WHEN d.id IS NULL THEN 'keep' ELSE 'drop' END AS status
+    FROM v LEFT JOIN dominated d USING (id)
+    ORDER BY v.id
+    """,
+    "dedup",
+    "semantic",
+    "embedding",
+)
+def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup with deterministic sign-pattern
+    buckets and the min-id survivor rule (operators/dedup.py
+    semantic_dedup_buckets) — keep/drop decision per vector, pairwise
+    cosine confined to buckets. The oracle restates bucket assignment,
+    cosine threshold, and survivor rule exactly, so blocking OR scoring
+    bugs hash-mismatch."""
+    from etl_file_sync_spark.operators.dedup import semantic_dedup_buckets
+
+    return semantic_dedup_buckets(t(spark, sf_dir, "embeddings")).orderBy("id")
