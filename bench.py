@@ -86,6 +86,7 @@ HEADLINE = [
     "text_quality_logistic",
     "sample_dup_weighted",
     "agg_embedding_centroids",
+    "dedup_semantic_keep",
 ]
 
 

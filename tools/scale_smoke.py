@@ -49,6 +49,10 @@ OPS = [
     "dedup_span_stats",
     "sample_domain_cap",
     "sample_weighted_priority",
+    "dedup_semantic_keep",
+    "text_vocab_coverage",
+    "sample_dup_weighted",
+    "dq_snapshot_diff",
 ]
 
 TIERS = ["sf0.001", "sf0.01", "sf0.1"]
