@@ -3,9 +3,10 @@
 `entry(spark)` runs the flagship query on sf0.001; `queries()` exposes the
 full registry (one entry per implemented operator, SURVEY.md §2);
 `oracle_sql()` supplies the DuckDB-equivalent SQL for every
-SQL-expressible query (approximate/engine-seeded operators — MinHash,
-SimHash, IVF, stubbed multimodal features — are rows-only by design and
-verified against exact ground truth in tests/).
+SQL-expressible query (the 7 rows-only entries are approximate by
+design — HLL/frequent-items/approx-top-k sketches and IVF/PQ/IVF+PQ
+ANN — each with a value-exact oracled sibling and accuracy/recall
+bounds in tests/).
 """
 
 from __future__ import annotations

@@ -256,3 +256,73 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_file_sync_spark.operators.dedup import semantic_dedup_buckets
 
     return semantic_dedup_buckets(t(spark, sf_dir, "embeddings")).orderBy("id")
+
+
+@register(
+    "asof_nearest_tolerance",
+    """
+    WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+    p AS (SELECT event_id, user_id, ts, round(value, 2) AS purchase_value
+          FROM ev WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, ts AS view_ts, round(max(value), 2) AS view_value
+          FROM ev WHERE event_type = 'view' GROUP BY user_id, ts),
+    cand AS (
+      SELECT p.event_id, abs(epoch(p.ts) - epoch(v.view_ts)) AS gap,
+             CASE WHEN v.view_ts <= p.ts THEN 0 ELSE 1 END AS fwd,
+             v.view_ts, v.view_value
+      FROM p JOIN v USING (user_id)
+      WHERE abs(epoch(p.ts) - epoch(v.view_ts)) <= 900
+    ),
+    best AS (
+      SELECT event_id, view_ts, view_value,
+             row_number() OVER (PARTITION BY event_id ORDER BY gap, fwd, view_ts) AS rn
+      FROM cand
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.purchase_value,
+           b.view_ts AS near_view_ts, b.view_value AS near_view_value
+    FROM p LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (event_id)
+    ORDER BY p.event_id
+    """,
+    "asof",
+    "join",
+    "nearest",
+    "tolerance",
+)
+def asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, NEAREST direction with a 15-minute tolerance
+    (operators/asof.py): each purchase pairs with the temporally closest
+    view either side, backward winning exact ties, and matches farther
+    than the tolerance become nulls. Still ONE shuffle on user_id (the
+    tagged-union window overlay — no range join, no candidate
+    explosion); the oracle restates nearest+tolerance as a bounded
+    candidate join + row_number, so direction, tie-break, and tolerance
+    semantics are all value-checked."""
+    from etl_file_sync_spark.operators.asof import asof_join
+
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 2).alias("purchase_value")
+    )
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts").alias("view_ts"))
+        .agg(F.round(F.max("value"), 2).alias("view_value"))
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_time="ts",
+        right_time="view_ts",
+        right_vals=["view_ts", "view_value"],
+        direction="nearest",
+        tolerance=F.expr("INTERVAL 15 MINUTES"),
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "purchase_value",
+        F.col("view_ts").alias("near_view_ts"),
+        F.col("view_value").alias("near_view_value"),
+    ).orderBy("event_id")
