@@ -849,10 +849,17 @@ def semantic_dedup_buckets(
     bucket = F.concat_ws(
         "", *[(F.col(vec_col)[i] > 0).cast("int").cast("string") for i in range(sign_bits)]
     )
+    # Norm is computed ONCE per vector here — recomputing it per pair
+    # would re-run a 64-element aggregate 2× for every candidate pair.
     v = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
         bucket.alias("bucket"),
+        F.sqrt(
+            F.aggregate(
+                F.col(vec_col).cast("array<double>"), F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        ).alias("nrm"),
     )
     a, b = v.alias("a"), v.alias("b")
     dot = F.aggregate(
@@ -860,12 +867,9 @@ def semantic_dedup_buckets(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm = lambda side: F.sqrt(  # noqa: E731
-        F.aggregate(F.col(f"{side}.v"), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
     dominated = (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
-        .withColumn("cos", dot / (norm("a") * norm("b")))
+        .withColumn("cos", dot / (F.col("a.nrm") * F.col("b.nrm")))
         .filter(F.col("cos") >= threshold)
         .select(F.col("b.id").alias("id"))
         .distinct()
