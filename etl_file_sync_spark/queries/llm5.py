@@ -326,3 +326,118 @@ def asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("view_ts").alias("near_view_ts"),
         F.col("view_value").alias("near_view_value"),
     ).orderBy("event_id")
+
+
+@register(
+    "mix_epoch_plan",
+    """
+    WITH counts AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+             CAST(round(sqrt(count(*) * 1.0) * 1000000) AS BIGINT) AS weight_q
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(weight_q) AS tot_w FROM counts)
+    SELECT source, n_chars_total, weight_q,
+           round(least(10000000.0 * weight_q / (tot_w * n_chars_total), 4.0), 6) AS repeat_factor,
+           CAST(round(n_chars_total * round(least(10000000.0 * weight_q / (tot_w * n_chars_total), 4.0), 6)) AS BIGINT)
+             AS effective_chars
+    FROM counts, tot ORDER BY source
+    """,
+    "mix",
+    "epochs",
+    "data-mixing",
+)
+def mix_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoching plan for a fixed training-token budget: each source gets
+    a repeat factor = budget · share / corpus_size, capped at 4 epochs
+    (the 'repeat small high-value sources, subsample the giant ones'
+    arithmetic of multi-source pretraining mixes; shares are sqrt-
+    temperature weights quantized to integers exactly like
+    operators/mix.py temperature_mixture_rates, so every step is
+    engine-reproducible). One combiner-friendly groupBy(source) + a
+    1-row broadcast total — nothing else moves."""
+    docs = t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("bigint").alias("n_chars_total"),
+        F.round(F.sqrt(F.count(F.lit(1)).cast("double")) * 1000000).cast("long").alias("weight_q"),
+    )
+    tot = counts.agg(F.sum("weight_q").alias("tot_w"))
+    repeat = F.round(
+        F.least(
+            F.lit(10000000.0) * F.col("weight_q") / (F.col("tot_w") * F.col("n_chars_total")),
+            F.lit(4.0),
+        ),
+        6,
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("repeat_factor", repeat)
+        .select(
+            "source",
+            "n_chars_total",
+            "weight_q",
+            "repeat_factor",
+            F.round(F.col("n_chars_total") * F.col("repeat_factor")).cast("bigint").alias("effective_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "dedup_keep_best_quality",
+    """
+    WITH q AS (
+      SELECT doc_id,
+             sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS k,
+             len(string_split(text, ' ')) AS n,
+             len(list_distinct(string_split(text, ' '))) * 1.0
+               / len(string_split(text, ' ')) AS ttr,
+             len(list_intersect(list_distinct(string_split(text, ' ')),
+                                ['the','a','and','of','to','in','is','that'])) AS stop_hits
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, k,
+             round(((CASE WHEN n BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END)
+                    + ttr + least(stop_hits / 4.0, 1.0)) / 3.0, 4) AS quality_score
+      FROM q
+    ),
+    ranked AS (
+      SELECT doc_id, k, quality_score,
+             count(*) OVER (PARTITION BY k) AS group_size,
+             row_number() OVER (PARTITION BY k ORDER BY quality_score DESC, doc_id) AS rn
+      FROM scored
+    )
+    SELECT doc_id, CAST(group_size AS BIGINT) AS group_size, quality_score
+    FROM ranked WHERE rn = 1 ORDER BY doc_id
+    """,
+    "dedup",
+    "canonical-selection",
+    "quality",
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical selection: within each exact-dup cluster (normalized-
+    sha256 grain) keep the HIGHEST-quality member (ties → lowest id) —
+    the curation rule that beats keep-first when crawls differ in
+    boilerplate. Spark side uses a combiner-friendly groupBy +
+    max_by(struct) — no window over the digest key, so a mega-cluster
+    stays a single reducer ROW (partial max), never a single-task
+    window partition; the oracle restates it as row_number."""
+    docs = X.with_quality_score(t(spark, sf_dir, "documents"))
+    keyed = docs.select(
+        "doc_id",
+        F.sha2(X.normalize_text("text"), 256).alias("_k"),
+        "quality_score",
+    )
+    best = keyed.groupBy("_k").agg(
+        F.expr("max_by(struct(doc_id, quality_score), struct(quality_score, -doc_id))").alias("_b"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return (
+        best.select(
+            F.col("_b.doc_id").alias("doc_id"),
+            "group_size",
+            F.col("_b.quality_score").alias("quality_score"),
+        )
+        .orderBy("doc_id")
+    )
