@@ -87,6 +87,8 @@ HEADLINE = [
     "sample_dup_weighted",
     "agg_embedding_centroids",
     "dedup_semantic_keep",
+    "dedup_keep_best_quality",
+    "mix_epoch_plan",
 ]
 
 
