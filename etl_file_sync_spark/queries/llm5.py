@@ -441,3 +441,77 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dq_population_stability",
+    """
+    WITH half AS (
+      SELECT o_totalprice,
+             CASE WHEN epoch(CAST(o_orderdate AS TIMESTAMP)) <
+                       (SELECT (epoch(CAST(min(o_orderdate) AS TIMESTAMP))
+                                + epoch(CAST(max(o_orderdate) AS TIMESTAMP))) / 2 FROM orders)
+                  THEN 'ref' ELSE 'cur' END AS era,
+             least(CAST(floor(o_totalprice / 60000.0) AS INTEGER), 9) AS bucket
+      FROM orders
+    ),
+    dist AS (
+      SELECT era, bucket, count(*) AS n FROM half GROUP BY era, bucket
+    ),
+    tot AS (SELECT era, sum(n) AS tot_n FROM dist GROUP BY era),
+    p AS (
+      SELECT bucket,
+             max(CASE WHEN era = 'ref' THEN n * 1.0 / tot_n END) AS p_ref,
+             max(CASE WHEN era = 'cur' THEN n * 1.0 / tot_n END) AS p_cur
+      FROM dist JOIN tot USING (era) GROUP BY bucket
+    )
+    SELECT bucket,
+           round(coalesce(p_ref, 0.0001), 6) AS p_ref,
+           round(coalesce(p_cur, 0.0001), 6) AS p_cur,
+           round((coalesce(p_cur, 0.0001) - coalesce(p_ref, 0.0001))
+                 * ln(coalesce(p_cur, 0.0001) / coalesce(p_ref, 0.0001)), 6) AS psi_term
+    FROM p ORDER BY bucket
+    """,
+    "dq",
+    "drift",
+    "psi",
+)
+def dq_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift audit: the o_totalprice
+    distribution of the later half of the order history vs the earlier
+    half, over 10 fixed-width buckets — the model-monitoring metric a
+    pipeline computes between snapshot waves (PSI > 0.2 ⇒ retrain /
+    investigate). Two combiner-friendly groupBys + a 2-row broadcast of
+    totals; absent buckets floor at 1e-4 exactly as the standard PSI
+    recipe does. Per-bucket terms are emitted (the scalar PSI is their
+    sum) so the oracle checks every bucket's contribution."""
+    o = t(spark, sf_dir, "orders")
+    ep = F.col("o_orderdate").cast("timestamp").cast("double")
+    mid = o.agg(
+        ((F.min(ep) + F.max(ep)) / 2).alias("_mid")
+    )
+    half = o.crossJoin(F.broadcast(mid)).select(
+        F.when(ep < F.col("_mid"), "ref").otherwise("cur").alias("era"),
+        F.least(F.floor(F.col("o_totalprice") / 60000.0).cast("int"), F.lit(9)).alias("bucket"),
+    )
+    dist = half.groupBy("era", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    tot = dist.groupBy("era").agg(F.sum("n").alias("tot_n"))
+    p = (
+        dist.join(tot, "era")
+        .groupBy("bucket")
+        .agg(
+            F.max(F.when(F.col("era") == "ref", F.col("n") / F.col("tot_n"))).alias("p_ref_raw"),
+            F.max(F.when(F.col("era") == "cur", F.col("n") / F.col("tot_n"))).alias("p_cur_raw"),
+        )
+    )
+    pr = F.coalesce(F.col("p_ref_raw"), F.lit(0.0001))
+    pc = F.coalesce(F.col("p_cur_raw"), F.lit(0.0001))
+    return (
+        p.select(
+            "bucket",
+            F.round(pr, 6).alias("p_ref"),
+            F.round(pc, 6).alias("p_cur"),
+            F.round((pc - pr) * F.log(pc / pr), 6).alias("psi_term"),
+        )
+        .orderBy("bucket")
+    )
