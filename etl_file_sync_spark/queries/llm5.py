@@ -515,3 +515,64 @@ def dq_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "dedup_nearest_jaccard",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, array_to_string(w[i+1:i+3], ' ') AS s
+      FROM d, UNNEST(range(0, greatest(len(w) - 2, 1))) AS u(i)
+      WHERE array_to_string(w[i+1:i+3], ' ') <> ''
+    ),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b, round(c * 1.0 / (sa.n_sh + sb.n_sh - c), 4) AS jaccard
+      FROM common JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+      WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.3
+    ),
+    directed AS (
+      SELECT id_a AS id, id_b AS neighbor_id, jaccard FROM pairs
+      UNION ALL
+      SELECT id_b AS id, id_a AS neighbor_id, jaccard FROM pairs
+    ),
+    ranked AS (
+      SELECT id, neighbor_id, jaccard,
+             row_number() OVER (PARTITION BY id ORDER BY jaccard DESC, neighbor_id) AS rn
+      FROM directed
+    )
+    SELECT id AS doc_id, neighbor_id, jaccard FROM ranked WHERE rn = 1 ORDER BY doc_id
+    """,
+    "dedup",
+    "jaccard",
+    "nearest-neighbor",
+)
+def dedup_nearest_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-similar document per document (3-gram Jaccard ≥ 0.3) — the
+    'explain this near-dup' / link-to-canonical view over the SAME
+    blocked shingle self-join as dedup_jaccard_pairs (no new shuffle
+    shape: pairs are symmetrized then reduced per doc with a
+    combiner-friendly max_by, ties → lowest neighbor id). Docs with no
+    neighbor above threshold are absent by contract."""
+    from etl_file_sync_spark.operators.dedup import jaccard_pairs
+
+    pairs = jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.3)
+    directed = pairs.select(
+        F.col("id_a").alias("id"), F.col("id_b").alias("neighbor_id"), "jaccard"
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("neighbor_id"), "jaccard")
+    )
+    best = directed.groupBy("id").agg(
+        F.expr("max_by(struct(neighbor_id, jaccard), struct(jaccard, -neighbor_id))").alias("_b")
+    )
+    return best.select(
+        F.col("id").alias("doc_id"),
+        F.col("_b.neighbor_id").alias("neighbor_id"),
+        F.col("_b.jaccard").alias("jaccard"),
+    ).orderBy("doc_id")
