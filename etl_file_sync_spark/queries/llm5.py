@@ -563,11 +563,21 @@ def dedup_nearest_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_file_sync_spark.operators.dedup import jaccard_pairs
 
     pairs = jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.3)
+    # symmetrize with ONE explode pass — a self-union would re-execute
+    # the whole blocked-join lineage twice (plan audit showed 2× the
+    # exchanges before this spelling)
     directed = pairs.select(
-        F.col("id_a").alias("id"), F.col("id_b").alias("neighbor_id"), "jaccard"
-    ).unionByName(
-        pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("neighbor_id"), "jaccard")
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("id"), F.col("id_b").alias("neighbor_id"), F.col("jaccard")
+                ),
+                F.struct(
+                    F.col("id_b").alias("id"), F.col("id_a").alias("neighbor_id"), F.col("jaccard")
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
     best = directed.groupBy("id").agg(
         F.expr("max_by(struct(neighbor_id, jaccard), struct(jaccard, -neighbor_id))").alias("_b")
     )
