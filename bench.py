@@ -89,6 +89,8 @@ HEADLINE = [
     "dedup_semantic_keep",
     "dedup_keep_best_quality",
     "mix_epoch_plan",
+    "dq_population_stability",
+    "dedup_nearest_jaccard",
 ]
 
 

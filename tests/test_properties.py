@@ -126,3 +126,59 @@ def test_jaccard_pairs_bounded_and_symmetric(spark, texts):
     for r in pairs:
         assert r.id_a < r.id_b
         assert 0.0 <= r.jaccard <= 1.0
+
+
+# --- round-4 property tests -------------------------------------------
+
+
+@given(
+    w=st.integers(min_value=1, max_value=23),
+    h=st.integers(min_value=1, max_value=9),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_bmp_ppm_roundtrip_any_shape(w, h, seed):
+    """encode→decode is the identity for every image shape, including
+    widths whose 3·w is not a 4-multiple (BMP row padding)."""
+    import numpy as np
+
+    from etl_file_sync_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(M.decode_bmp(M.encode_bmp(img)), img)
+    assert np.array_equal(M.decode_ppm(M.encode_ppm(img)), img)
+
+
+@given(
+    old_rows=st.dictionaries(
+        st.integers(min_value=0, max_value=30),
+        st.one_of(st.none(), st.text(alphabet="abc", max_size=3)),
+        max_size=12,
+    ),
+    new_rows=st.dictionaries(
+        st.integers(min_value=0, max_value=30),
+        st.one_of(st.none(), st.text(alphabet="abc", max_size=3)),
+        max_size=12,
+    ),
+)
+@settings(max_examples=15, deadline=None)
+def test_snapshot_diff_matches_dict_semantics(spark, old_rows, new_rows):
+    """snapshot_diff statuses must equal plain dict-comparison truth for
+    arbitrary keyed states (None values included)."""
+    from etl_file_sync_spark.operators.reconcile import snapshot_diff
+
+    old = spark.createDataFrame([(k, v) for k, v in old_rows.items()] or [(None, None)], "k int, s string").filter("k IS NOT NULL")
+    new = spark.createDataFrame([(k, v) for k, v in new_rows.items()] or [(None, None)], "k int, s string").filter("k IS NOT NULL")
+    got = {r.k: r.status for r in snapshot_diff(old, new, ["k"], ["s"]).collect()}
+    want = {}
+    for k in set(old_rows) | set(new_rows):
+        if k not in old_rows:
+            want[k] = "added"
+        elif k not in new_rows:
+            want[k] = "removed"
+        elif old_rows[k] != new_rows[k]:
+            want[k] = "changed"
+        else:
+            want[k] = "unchanged"
+    assert got == want
