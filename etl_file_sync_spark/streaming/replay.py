@@ -135,6 +135,11 @@ def events_stream_with_late_replay(
     The late rows are the oracle's proof obligation: if the engine
     wrongly aggregates them, every touched window's count shifts and the
     value hash mismatches. Callers filter `user_id >= 0`.
+
+    Replay-harness scope: the pandas staging pass below reads the replay
+    parquet on the DRIVER — correct only for the test-scale replay files
+    this module exists for. A production deployment replaces this module
+    with the Kafka source; nothing downstream changes.
     """
     import time
 
