@@ -1,0 +1,53 @@
+"""Docs-lockstep guard: the registry counts stated in COVERAGE.md,
+README.md, DEVIATIONS.md and __spark_entry__ must match the actual
+registry — the round-3 verdict's 'keep docs in lockstep' requirement,
+enforced instead of remembered."""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _registry_counts():
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    import __spark_entry__ as E
+
+    q, o = E.queries(), E.oracle_sql()
+    return len(q), len(o), len(q) - len(o)
+
+
+def test_coverage_md_counts_match_registry():
+    total, oracled, rows_only = _registry_counts()
+    head = (REPO / "COVERAGE.md").read_text()[:600]
+    m = re.search(r"(\d+) total,\s*(\d+) oracle-checked, (\d+) rows-only", head)
+    assert m, "COVERAGE.md header must state the registry counts"
+    assert (int(m[1]), int(m[2]), int(m[3])) == (total, oracled, rows_only)
+
+
+def test_readme_counts_match_registry():
+    total, oracled, _ = _registry_counts()
+    text = (REPO / "README.md").read_text()
+    assert f"{total} registered queries" in text
+    assert f"{oracled} of {total} are verified value-exact" in text
+
+
+def test_deviations_counts_match_registry():
+    total, _, _ = _registry_counts()
+    assert f"{total} registry queries" in (REPO / "DEVIATIONS.md").read_text()
+
+
+def test_bench_headline_names_are_registered():
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    import bench
+    from etl_file_sync_spark.queries import REGISTRY
+
+    extras = set(bench._extras())
+    for name in bench.HEADLINE:
+        assert name in REGISTRY or name in extras, f"benched but unregistered: {name}"
