@@ -47,7 +47,7 @@ def pq_train(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_train: int = 20_000,
+    max_train: int | None = 20_000,
 ) -> np.ndarray:
     """Train per-subspace codebooks; returns C with shape (m, k, d//m).
 
@@ -64,7 +64,9 @@ def pq_train(
     spark = df.sparkSession
     v = _normalized_matrix_stream(df, id_col, vec_col)
     n = v.count()
-    if n > max_train:
+    # max_train=None reproduces the unbounded pre-r3 training (see
+    # DEVIATIONS.md behavior-change history)
+    if max_train is not None and n > max_train:
         rate = -(-n // max_train)  # ceil division
         v = v.filter(F.pmod(F.xxhash64(F.col("id")), F.lit(rate)) == 0)
     seed_rows = v.orderBy("id").limit(k).collect()  # k rows — tiny by design
