@@ -520,3 +520,58 @@ def stream_stateful_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id"
     )
 
+
+
+@register(
+    "stream_full_outer_join",
+    """
+    WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+    p AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'),
+    v AS (SELECT event_id AS view_id, user_id AS v_user, ts AS view_ts FROM ev WHERE event_type = 'view')
+    SELECT p.event_id, v.view_id, coalesce(p.user_id, v.v_user) AS user_id
+    FROM p FULL OUTER JOIN v ON p.user_id = v.v_user
+      AND v.view_ts >= p.ts - INTERVAL 30 MINUTE AND v.view_ts <= p.ts
+    ORDER BY p.event_id NULLS LAST, v.view_id NULLS LAST
+    """,
+    "streaming",
+    "stream-stream-join",
+    "full-outer",
+)
+def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER watermarked stream-stream join — completes the
+    streaming join-type matrix (inner: stream_stream_join, left outer:
+    stream_outer_attribution_dedup): unmatched PURCHASES and unmatched
+    VIEWS must both emit with null other-side once the watermark passes
+    their join windows. The flush-sentinel replay
+    (events_stream_with_flush) advances both watermarks past all real
+    state so every null-emission flushes inside one
+    processAllAvailable, making the full batch FULL OUTER oracle apply
+    value-exactly."""
+    from etl_file_sync_spark.streaming import events_stream_with_flush, run_to_memory_sink
+
+    s1 = events_stream_with_flush(spark, sf_dir)
+    s2 = events_stream_with_flush(spark, sf_dir)
+    purchases = (
+        s1.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+        .withWatermark("ts", "10 minutes")
+    )
+    views = (
+        s2.filter(F.col("event_type") == "view")
+        .select(F.col("event_id").alias("view_id"), F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("view_ts") >= F.col("ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("view_ts") <= F.col("ts")),
+        "full_outer",
+    ).select(
+        "event_id", "view_id", F.coalesce(F.col("user_id"), F.col("v_user")).alias("user_id")
+    )
+    out = run_to_memory_sink(joined, "stream_full_outer_sink", "append")
+    # drop the two sentinel rows (user -1); both are unmatched singletons
+    return out.filter(F.col("user_id") >= 0).orderBy(
+        F.col("event_id").asc_nulls_last(), F.col("view_id").asc_nulls_last()
+    )
