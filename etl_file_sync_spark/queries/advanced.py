@@ -278,3 +278,33 @@ def scalar_variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("_is_obj"), "OBJECT").alias("vtype"),
         "absent_path",
     ).orderBy("event_id")
+
+
+@register(
+    "sql_group_order_by_all",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+    "sql",
+    "group-by-all",
+)
+def sql_group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL (Spark 4 + DuckDB share the exact
+    same SQL text — the analyst-ergonomics surface where every
+    non-aggregate select item becomes a grouping key and the full
+    select list becomes the sort key). Same physical plan as the
+    explicit spelling: one partial-aggregated exchange."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )

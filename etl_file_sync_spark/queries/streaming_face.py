@@ -575,3 +575,38 @@ def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("user_id") >= 0).orderBy(
         F.col("event_id").asc_nulls_last(), F.col("view_id").asc_nulls_last()
     )
+
+
+@register(
+    "stream_pyds_replay_counts",
+    """
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "streaming",
+    "python-data-source",
+)
+def stream_pyds_replay_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PYTHON DATA SOURCE (Spark 4 SimpleDataSourceStreamReader,
+    sources/replay_stream_source.py): the events table replayed through a
+    registered custom source in three offset-tracked micro-batches, then
+    aggregated under complete mode. The final counts must equal the
+    batch truth — a source that drops, duplicates, or re-slices rows
+    across its offset ranges hash-mismatches. Value floats are exact:
+    sum(value) is order-insensitive at the 2-decimal rounding grain used
+    here (values are 2-decimal currency-like to begin with)."""
+    from etl_file_sync_spark.sources.replay_stream_source import EventsReplayDataSource
+    from etl_file_sync_spark.streaming import run_to_memory_sink
+
+    spark.dataSource.register(EventsReplayDataSource)
+    s = (
+        spark.readStream.format("events_replay")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("batches", 3)
+        .load()
+    )
+    agg = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+    return run_to_memory_sink(agg, "stream_pyds_sink", "complete").orderBy("event_type")
