@@ -3,12 +3,14 @@
 Images/audio/video ride as `binary` columns with a metadata struct —
 exactly how a 100 TB multimodal corpus is laid out in parquet. The
 Spark-side plumbing (schemas, batch iteration, partition sizing) is
-real. Pixel decode is REAL for the two library-free formats (BMP 24bpp
-and PPM P6 — `decode_bmp`/`decode_ppm`/`image_pixel_stats`); PNG/JPEG
-pixel decode and video frame sampling stay honestly gated behind
-NotImplementedError (pillow/ffmpeg are not in this container), with
-`decode_stub` providing a deterministic digest-derived feature vector
-so the feature-extraction pipeline stays testable end-to-end.
+real. Pixel decode is REAL for the three library-free formats — BMP
+24bpp, PPM P6, and PNG (stdlib zlib inflate + full five-filter
+unfilter) via `decode_bmp`/`decode_ppm`/`decode_png`/
+`image_pixel_stats`; JPEG pixel decode (huffman+DCT) and video frame
+sampling stay honestly gated behind NotImplementedError
+(pillow/ffmpeg are not in this container), with `decode_stub`
+providing a deterministic digest-derived feature vector so the
+feature-extraction pipeline stays testable end-to-end.
 
 mapInPandas is the right shape here: Arrow-batched, per-partition
 iterator, no row-at-a-time pickling — the sanctioned slow path for
@@ -287,17 +289,136 @@ def decode_ppm(buf: bytes):
     return np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=i).reshape(h, w, 3).copy()
 
 
+def encode_png(pixels) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a spec-correct PNG using
+    only the standard library's zlib: IHDR (8-bit, color type 2, no
+    interlace) + one IDAT (filter type 0 per scanline) + IEND, each
+    chunk CRC32-stamped."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(buf: bytes):
+    """REAL PNG pixel decode with only the standard library: chunk walk →
+    IDAT concat → zlib inflate → per-scanline UNFILTER (all five PNG
+    filter types — None/Sub/Up/Average/Paeth, the part codec libraries
+    usually own). Supports 8-bit RGB (color type 2) and RGBA (type 6,
+    alpha dropped), non-interlaced — the overwhelmingly common encoder
+    output. Returns (H, W, 3) uint8 RGB; None for other PNG variants or
+    corrupt streams."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if buf[:8] != _PNG_SIG:
+        return None
+    i, n = 8, len(buf)
+    w = h = None
+    channels = 0
+    idat = bytearray()
+    while i + 8 <= n:
+        (length,) = struct.unpack_from(">I", buf, i)
+        tag = buf[i + 4 : i + 8]
+        body = buf[i + 8 : i + 8 + length]
+        if tag == b"IHDR":
+            if length < 13:
+                return None
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack_from(">IIBBBBB", body, 0)
+            if depth != 8 or color not in (2, 6) or interlace != 0:
+                return None
+            channels = 3 if color == 2 else 4
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        i += 12 + length  # len + tag + body + crc
+    if not w or not h or not idat:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) < h * (1 + stride):
+        return None
+    out = bytearray(h * stride)
+    bpp = channels
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        prev_start = (y - 1) * stride
+        if ftype == 1:  # Sub
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            if y > 0:
+                for x in range(stride):
+                    line[x] = (line[x] + out[prev_start + x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                b = out[prev_start + x] if y > 0 else 0
+                line[x] = (line[x] + ((a + b) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                b = out[prev_start + x] if y > 0 else 0
+                c = out[prev_start + x - bpp] if (y > 0 and x >= bpp) else 0
+                line[x] = (line[x] + _png_paeth(a, b, c)) & 0xFF
+        elif ftype != 0:
+            return None
+        out[y * stride : (y + 1) * stride] = line
+    img = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, channels)
+    return np.ascontiguousarray(img[:, :, :3])
+
+
 def decode_image(buf: bytes):
-    """Dispatch on magic number to a REAL pixel decoder. BMP and PPM are
-    fully decoded here; PNG/JPEG pixel decode needs a codec library and
-    stays behind the honest NotImplementedError gate (header-level
-    parsing for those lives in sniff_media_type/parse_png_gif_dims)."""
+    """Dispatch on magic number to a REAL pixel decoder. BMP, PPM, and
+    PNG (stdlib zlib inflate + full unfilter) are fully decoded here;
+    JPEG pixel decode needs huffman+DCT codec work and stays behind the
+    honest NotImplementedError gate (its header-level parsing lives in
+    jpeg_dims)."""
     if buf[:2] == b"BM":
         return decode_bmp(buf)
     if buf[:2] == b"P6":
         return decode_ppm(buf)
-    if buf[:8] == _PNG_SIG or buf[:3] == _JPEG_SIG:
-        raise NotImplementedError("PNG/JPEG pixel decode requires a codec library (pillow)")
+    if buf[:8] == _PNG_SIG:
+        return decode_png(buf)
+    if buf[:3] == _JPEG_SIG:
+        raise NotImplementedError("JPEG pixel decode requires a codec library (pillow)")
     return None
 
 
@@ -360,20 +481,26 @@ def synth_pixel_image(doc_id: int, width: int, height: int, fmt: str) -> bytes:
     g = (3 * doc_id + xs + 7 * ys) % 256
     b = (5 * doc_id + 4 * xs + ys) % 256
     img = np.stack([r, g, b], axis=-1).astype(np.uint8)
-    return encode_bmp(img) if fmt == "bmp" else encode_ppm(img)
+    if fmt == "bmp":
+        return encode_bmp(img)
+    if fmt == "png":
+        return encode_png(img)
+    return encode_ppm(img)
 
 
 def attach_pixel_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Fixture builder: (doc_id) → (doc_id, fmt, payload) with a
-    deterministic BMP (even ids) / PPM (odd ids) image per row, sized
-    5+id%13 × 3+id%5 so BMP row padding is exercised (widths whose 3·w
-    is not a 4-multiple). Arrow-batched; the real-decode consumer is
-    image_pixel_stats."""
+    deterministic BMP / PPM / PNG image per row (id % 3 picks the
+    format), sized 5+id%13 × 3+id%5 so BMP row padding is exercised
+    (widths whose 3·w is not a 4-multiple). Arrow-batched; the
+    real-decode consumer is image_pixel_stats."""
+
+    _FMTS = ("bmp", "ppm", "png")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf[id_col].astype("int64")
-            fmts = ["bmp" if i % 2 == 0 else "ppm" for i in ids]
+            fmts = [_FMTS[i % 3] for i in ids]
             payloads = [
                 synth_pixel_image(int(i), 5 + int(i) % 13, 3 + int(i) % 5, f)
                 for i, f in zip(ids, fmts)

@@ -652,7 +652,8 @@ def multimodal_image_dims_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH docs AS (
       SELECT doc_id,
-             CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+             CASE CAST(doc_id % 3 AS INTEGER)
+               WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'png' END AS fmt,
              CAST(5 + doc_id % 13 AS INTEGER) AS width,
              CAST(3 + doc_id % 5 AS INTEGER) AS height
       FROM documents WHERE doc_id < 200
@@ -674,10 +675,11 @@ def multimodal_image_dims_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mapInPandas",
 )
 def multimodal_pixel_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL pixel decode over the binary column: deterministic BMP/PPM
-    images (pixel values are modular functions of (doc_id, x, y) — see
-    operators/multimodal.py synth_pixel_image) are decoded by the
-    pure-Python codecs (24bpp bottom-up padded BMP, P6 PPM) and reduced
+    """REAL pixel decode over the binary column: deterministic
+    BMP/PPM/PNG images (pixel values are modular functions of
+    (doc_id, x, y) — see operators/multimodal.py synth_pixel_image) are
+    decoded by the pure-Python codecs (24bpp bottom-up padded BMP, P6
+    PPM, PNG via stdlib zlib inflate + scanline unfilter) and reduced
     to per-channel byte sums plus the top-row red sum. The oracle
     predicts every sum by exact integer arithmetic over the pixel grid,
     so a codec bug anywhere — BGR order, row padding, the bottom-up
@@ -687,9 +689,14 @@ def multimodal_pixel_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     media = M.attach_pixel_payload(docs)
     stats = M.image_pixel_stats(media)
-    # fmt is a pure function of doc_id (even=bmp / odd=ppm) — re-derive it
+    # fmt is a pure function of doc_id (id%3 → bmp/ppm/png) — re-derive it
     # JVM-side rather than joining back through a second mapInPandas pass.
-    fmt = F.when(F.col("doc_id") % 2 == 0, "bmp").otherwise("ppm").alias("fmt")
+    fmt = (
+        F.when(F.col("doc_id") % 3 == 0, "bmp")
+        .when(F.col("doc_id") % 3 == 1, "ppm")
+        .otherwise("png")
+        .alias("fmt")
+    )
     return (
         stats.select("doc_id", fmt, "width", "height", "sum_r", "sum_g", "sum_b", "top_row_sum_r")
         .orderBy("doc_id")

@@ -104,8 +104,8 @@ def test_codec_round_trip_and_reject_paths():
     assert M.decode_bmp(b"BM too short") is None
     assert M.decode_ppm(b"P6\n2 2\n255\n\x00") is None  # truncated raster
     assert M.decode_image(b"garbage") is None
-    with pytest.raises(NotImplementedError):
-        M.decode_image(_png(4, 4))
+    # header-only PNG (no IDAT): the real decoder reports undecodable
+    assert M.decode_image(_png(4, 4)) is None
 
 
 def test_image_pixel_stats_null_row_for_undecodable(spark):
@@ -114,3 +114,95 @@ def test_image_pixel_stats_null_row_for_undecodable(spark):
     got = {r.doc_id: r for r in M.image_pixel_stats(df).collect()}
     assert got[0].width == 4 and got[0].height == 3 and got[0].sum_r is not None
     assert got[1].width is None and got[1].sum_r is None
+
+
+def _png_forward_filter(img, ftypes):
+    """Spec forward filters (the encoder side of filters 1-4) applied per
+    scanline — an INDEPENDENT spelling the decoder's unfilter must invert."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = img.shape
+    bpp = ch
+    raw = bytearray()
+    prev = bytes(w * ch)
+    for y in range(h):
+        line = bytearray(img[y].tobytes())
+        ft = ftypes[y % len(ftypes)]
+        out = bytearray(line)
+        for x in range(w * ch):
+            a = line[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if ft == 1:
+                out[x] = (line[x] - a) & 0xFF
+            elif ft == 2:
+                out[x] = (line[x] - b) & 0xFF
+            elif ft == 3:
+                out[x] = (line[x] - ((a + b) >> 1)) & 0xFF
+            elif ft == 4:
+                out[x] = (line[x] - M._png_paeth(a, b, c)) & 0xFF
+        raw += bytes([ft]) + bytes(out)
+        prev = bytes(line)
+
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        M._PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decoder_inverts_all_five_filters():
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    # every scanline uses a different filter type, cycling 0..4
+    buf = _png_forward_filter(img, ftypes=[0, 1, 2, 3, 4])
+    got = M.decode_png(buf)
+    assert np.array_equal(got, img), "unfilter must invert None/Sub/Up/Average/Paeth"
+
+
+def test_png_roundtrip_and_rgba_and_rejects():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    assert np.array_equal(M.decode_png(M.encode_png(img)), img)
+    # RGBA (color type 6): alpha plane must be dropped, RGB preserved
+    rgba = np.dstack([img, np.full((6, 5), 200, np.uint8)])
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(6))
+
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
+        )
+
+    buf = (
+        M._PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 6, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(M.decode_png(buf), img)
+    # 16-bit depth and interlaced streams are out of scope -> None
+    buf16 = (
+        M._PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 6, 16, 2, 0, 0, 0))
+        + chunk(b"IEND", b"")
+    )
+    assert M.decode_png(buf16) is None
+    assert M.decode_png(b"\x89PNG garbage") is None
+    # decode_image dispatch: PNG now decodes, JPEG still honestly gated
+    assert M.decode_image(M.encode_png(img)) is not None
+    with pytest.raises(NotImplementedError):
+        M.decode_image(_jpeg(4, 4))
