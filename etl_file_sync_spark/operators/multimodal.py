@@ -3,10 +3,11 @@
 Images/audio/video ride as `binary` columns with a metadata struct —
 exactly how a 100 TB multimodal corpus is laid out in parquet. The
 Spark-side plumbing (schemas, batch iteration, partition sizing) is
-real. Pixel decode is REAL for the three library-free formats — BMP
-24bpp, PPM P6, and PNG (stdlib zlib inflate + full five-filter
-unfilter) via `decode_bmp`/`decode_ppm`/`decode_png`/
-`image_pixel_stats`; JPEG pixel decode (huffman+DCT) and video frame
+real. Pixel decode is REAL for the four library-free formats — BMP
+24bpp, PPM P6, PNG (stdlib zlib inflate + full five-filter unfilter),
+and GIF (pure-Python LZW, interlace-aware) via `decode_bmp`/
+`decode_ppm`/`decode_png`/`decode_gif`/`image_pixel_stats`; JPEG pixel
+decode (huffman+DCT) and video frame
 sampling stay honestly gated behind NotImplementedError
 (pillow/ffmpeg are not in this container), with `decode_stub`
 providing a deterministic digest-derived feature vector so the
@@ -406,17 +407,19 @@ def decode_png(buf: bytes):
 
 
 def decode_image(buf: bytes):
-    """Dispatch on magic number to a REAL pixel decoder. BMP, PPM, and
-    PNG (stdlib zlib inflate + full unfilter) are fully decoded here;
-    JPEG pixel decode needs huffman+DCT codec work and stays behind the
-    honest NotImplementedError gate (its header-level parsing lives in
-    jpeg_dims)."""
+    """Dispatch on magic number to a REAL pixel decoder. BMP, PPM, PNG
+    (stdlib zlib inflate + full unfilter), and GIF (pure-Python LZW) are
+    fully decoded here; JPEG pixel decode needs huffman+DCT codec work
+    and stays behind the honest NotImplementedError gate (its
+    header-level parsing lives in jpeg_dims)."""
     if buf[:2] == b"BM":
         return decode_bmp(buf)
     if buf[:2] == b"P6":
         return decode_ppm(buf)
     if buf[:8] == _PNG_SIG:
         return decode_png(buf)
+    if buf[:4] == b"GIF8":
+        return decode_gif(buf)
     if buf[:3] == _JPEG_SIG:
         raise NotImplementedError("JPEG pixel decode requires a codec library (pillow)")
     return None
@@ -485,22 +488,25 @@ def synth_pixel_image(doc_id: int, width: int, height: int, fmt: str) -> bytes:
         return encode_bmp(img)
     if fmt == "png":
         return encode_png(img)
+    if fmt == "gif":
+        return encode_gif(img)
     return encode_ppm(img)
 
 
 def attach_pixel_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Fixture builder: (doc_id) → (doc_id, fmt, payload) with a
-    deterministic BMP / PPM / PNG image per row (id % 3 picks the
+    deterministic BMP / PPM / PNG / GIF image per row (id % 4 picks the
     format), sized 5+id%13 × 3+id%5 so BMP row padding is exercised
-    (widths whose 3·w is not a 4-multiple). Arrow-batched; the
+    (widths whose 3·w is not a 4-multiple); every image has ≤136 unique
+    colors so the GIF palette is lossless. Arrow-batched; the
     real-decode consumer is image_pixel_stats."""
 
-    _FMTS = ("bmp", "ppm", "png")
+    _FMTS = ("bmp", "ppm", "png", "gif")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf[id_col].astype("int64")
-            fmts = [_FMTS[i % 3] for i in ids]
+            fmts = [_FMTS[i % 4] for i in ids]
             payloads = [
                 synth_pixel_image(int(i), 5 + int(i) % 13, 3 + int(i) % 5, f)
                 for i, f in zip(ids, fmts)
@@ -546,3 +552,202 @@ def synth_jpeg(width, height):
         sof0_head, be16(height), be16(width),
         F.unhex(F.lit("03012200021101031101")),
     )
+
+
+# --- GIF: LZW codec in pure Python -------------------------------------
+
+
+def encode_gif(pixels) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a GIF89a with a local-
+    palette-free single image frame: unique colors (≤256 required) form
+    the global color table and the index stream is LZW-compressed with
+    the standard dynamic code table (width grows 3→12 bits, clear-code
+    reset at table overflow). Pure stdlib — the LZW layer is the part
+    codec libraries usually own."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    flat = arr.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("encode_gif supports at most 256 unique colors")
+    # palette size must be a power of two >= 2; min LZW code size >= 2
+    bits = max(2, int(np.ceil(np.log2(max(len(colors), 2)))))
+    pal = np.zeros((1 << bits, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    indices = inverse.astype(np.int64)
+
+    # LZW encode
+    n = bits
+    clear, end = 1 << n, (1 << n) + 1
+    table = {bytes([i]): i for i in range(1 << n)}
+    next_code = end + 1
+    width = n + 1
+    out_bits: list[tuple[int, int]] = [(clear, width)]
+    buf = b""
+    for idx in indices:
+        sym = bytes([int(idx)])
+        cand = buf + sym
+        if cand in table:
+            buf = cand
+            continue
+        out_bits.append((table[buf], width))
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        buf = sym
+        if next_code >= 4096:
+            out_bits.append((clear, width))
+            table = {bytes([i]): i for i in range(1 << n)}
+            next_code = end + 1
+            width = n + 1
+    if buf:
+        out_bits.append((table[buf], width))
+    out_bits.append((end, width))
+
+    # LSB-first bit packing
+    acc = nbits = 0
+    data = bytearray()
+    for code, cw in out_bits:
+        acc |= code << nbits
+        nbits += cw
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+
+    blocks = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+
+    screen = struct.pack("<HHBBB", w, h, 0xF0 | (bits - 1), 0, 0)
+    img_desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    return (
+        b"GIF89a" + screen + pal.tobytes() + img_desc + bytes([n]) + bytes(blocks) + b"\x3b"
+    )
+
+
+def decode_gif(buf: bytes):
+    """REAL GIF pixel decode in pure Python: logical-screen/image-
+    descriptor parsing, global+local color tables, extension skipping,
+    full LZW decompression (dynamic table, width growth, clear-code
+    reset, KwKwK case), and 4-pass interlace reordering. Returns
+    (H, W, 3) uint8 RGB for the FIRST image frame; None for corrupt
+    streams."""
+    import struct
+
+    import numpy as np
+
+    if buf[:4] != b"GIF8" or len(buf) < 13:
+        return None
+    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", buf, 6)
+    i = 13
+    gct = None
+    if flags & 0x80:
+        size = 2 << (flags & 0x07)
+        gct = np.frombuffer(buf, np.uint8, size * 3, i).reshape(size, 3)
+        i += size * 3
+    while i < len(buf):
+        b0 = buf[i]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < len(buf) and buf[i] != 0:
+                i += 1 + buf[i]
+            i += 1
+        elif b0 == 0x2C:
+            break
+        elif b0 == 0x3B:
+            return None  # trailer before any image
+        else:
+            return None
+    if i + 10 > len(buf):
+        return None
+    _l, _t, iw, ih, iflags = struct.unpack_from("<HHHHB", buf, i + 1)
+    i += 10
+    pal = gct
+    if iflags & 0x80:
+        size = 2 << (iflags & 0x07)
+        pal = np.frombuffer(buf, np.uint8, size * 3, i).reshape(size, 3)
+        i += size * 3
+    if pal is None or i >= len(buf):
+        return None
+    n = buf[i]
+    i += 1
+    data = bytearray()
+    while i < len(buf) and buf[i] != 0:
+        ln = buf[i]
+        data += buf[i + 1 : i + 1 + ln]
+        i += 1 + ln
+
+    # LZW decode (LSB-first)
+    clear, end = 1 << n, (1 << n) + 1
+    width = n + 1
+    table = [bytes([c]) for c in range(1 << n)] + [b"", b""]
+    acc = nbits = pos = 0
+    prev = None
+    out = bytearray()
+
+    def next_code():
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                return None
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    while True:
+        code = next_code()
+        if code is None or code == end:
+            break
+        if code == clear:
+            table = [bytes([c]) for c in range(1 << n)] + [b"", b""]
+            width = n + 1
+            prev = None
+            continue
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            return None
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    if len(out) < iw * ih:
+        return None
+    idx = np.frombuffer(bytes(out[: iw * ih]), np.uint8)
+    if idx.max(initial=0) >= len(pal):
+        return None
+    img = pal[idx].reshape(ih, iw, 3)
+    if iflags & 0x40:  # 4-pass interlace
+        deint = np.empty_like(img)
+        rows = (
+            list(range(0, ih, 8))
+            + list(range(4, ih, 8))
+            + list(range(2, ih, 4))
+            + list(range(1, ih, 2))
+        )
+        deint[rows] = img
+        img = deint
+    return np.ascontiguousarray(img)

@@ -652,8 +652,9 @@ def multimodal_image_dims_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH docs AS (
       SELECT doc_id,
-             CASE CAST(doc_id % 3 AS INTEGER)
-               WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'png' END AS fmt,
+             CASE CAST(doc_id % 4 AS INTEGER)
+               WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' WHEN 2 THEN 'png'
+               ELSE 'gif' END AS fmt,
              CAST(5 + doc_id % 13 AS INTEGER) AS width,
              CAST(3 + doc_id % 5 AS INTEGER) AS height
       FROM documents WHERE doc_id < 200
@@ -676,10 +677,11 @@ def multimodal_image_dims_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_pixel_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel decode over the binary column: deterministic
-    BMP/PPM/PNG images (pixel values are modular functions of
+    BMP/PPM/PNG/GIF images (pixel values are modular functions of
     (doc_id, x, y) — see operators/multimodal.py synth_pixel_image) are
     decoded by the pure-Python codecs (24bpp bottom-up padded BMP, P6
-    PPM, PNG via stdlib zlib inflate + scanline unfilter) and reduced
+    PPM, PNG via stdlib zlib inflate + scanline unfilter, GIF via
+    pure-Python LZW + palette lookup) and reduced
     to per-channel byte sums plus the top-row red sum. The oracle
     predicts every sum by exact integer arithmetic over the pixel grid,
     so a codec bug anywhere — BGR order, row padding, the bottom-up
@@ -689,12 +691,13 @@ def multimodal_pixel_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     media = M.attach_pixel_payload(docs)
     stats = M.image_pixel_stats(media)
-    # fmt is a pure function of doc_id (id%3 → bmp/ppm/png) — re-derive it
-    # JVM-side rather than joining back through a second mapInPandas pass.
+    # fmt is a pure function of doc_id (id%4 → bmp/ppm/png/gif) — re-derive
+    # it JVM-side rather than joining back through a second mapInPandas pass.
     fmt = (
-        F.when(F.col("doc_id") % 3 == 0, "bmp")
-        .when(F.col("doc_id") % 3 == 1, "ppm")
-        .otherwise("png")
+        F.when(F.col("doc_id") % 4 == 0, "bmp")
+        .when(F.col("doc_id") % 4 == 1, "ppm")
+        .when(F.col("doc_id") % 4 == 2, "png")
+        .otherwise("gif")
         .alias("fmt")
     )
     return (
