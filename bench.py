@@ -91,6 +91,7 @@ HEADLINE = [
     "mix_epoch_plan",
     "dq_population_stability",
     "dedup_nearest_jaccard",
+    "multimodal_jpeg_decode",
 ]
 
 

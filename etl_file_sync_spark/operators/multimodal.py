@@ -3,11 +3,11 @@
 Images/audio/video ride as `binary` columns with a metadata struct —
 exactly how a 100 TB multimodal corpus is laid out in parquet. The
 Spark-side plumbing (schemas, batch iteration, partition sizing) is
-real. Pixel decode is REAL for the four library-free formats — BMP
-24bpp, PPM P6, PNG (stdlib zlib inflate + full five-filter unfilter),
-and GIF (pure-Python LZW, interlace-aware) via `decode_bmp`/
-`decode_ppm`/`decode_png`/`decode_gif`/`image_pixel_stats`; JPEG pixel
-decode (huffman+DCT) and video frame
+real. Pixel decode is REAL for all five image formats, library-free —
+BMP 24bpp, PPM P6, PNG (stdlib zlib inflate + full five-filter
+unfilter), GIF (pure-Python LZW, interlace-aware), and baseline 4:4:4
+JPEG (operators/jpeg.py: huffman entropy decode, dequant, float IDCT,
+JFIF YCbCr→RGB) via `decode_*`/`image_pixel_stats`; only video frame
 sampling stay honestly gated behind NotImplementedError
 (pillow/ffmpeg are not in this container), with `decode_stub`
 providing a deterministic digest-derived feature vector so the
@@ -407,11 +407,13 @@ def decode_png(buf: bytes):
 
 
 def decode_image(buf: bytes):
-    """Dispatch on magic number to a REAL pixel decoder. BMP, PPM, PNG
-    (stdlib zlib inflate + full unfilter), and GIF (pure-Python LZW) are
-    fully decoded here; JPEG pixel decode needs huffman+DCT codec work
-    and stays behind the honest NotImplementedError gate (its
-    header-level parsing lives in jpeg_dims)."""
+    """Dispatch on magic number to a REAL pixel decoder: BMP, PPM, PNG
+    (stdlib zlib inflate + full unfilter), GIF (pure-Python LZW), and
+    baseline 4:4:4/grayscale JPEG (operators/jpeg.py — huffman, dequant,
+    IDCT, YCbCr) are all decoded here; progressive/subsampled JPEG
+    variants return None (pillow owns those in production), and only
+    video frame sampling remains NotImplementedError-gated
+    (frame_sample)."""
     if buf[:2] == b"BM":
         return decode_bmp(buf)
     if buf[:2] == b"P6":
@@ -421,7 +423,9 @@ def decode_image(buf: bytes):
     if buf[:4] == b"GIF8":
         return decode_gif(buf)
     if buf[:3] == _JPEG_SIG:
-        raise NotImplementedError("JPEG pixel decode requires a codec library (pillow)")
+        from etl_file_sync_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(buf)
     return None
 
 
@@ -751,3 +755,28 @@ def decode_gif(buf: bytes):
         deint[rows] = img
         img = deint
     return np.ascontiguousarray(img)
+
+
+def attach_jpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture builder: (doc_id) → (doc_id, payload) with a spec-valid
+    flat-color baseline JPEG per row — w = 8·(1+id%3), h = 8·(1+id%2),
+    (Y, Cb, Cr) = (7id, 11id, 13id) mod 256 — whose decode is
+    arithmetically exact (operators/jpeg.py encode_flat_jpeg)."""
+    from etl_file_sync_spark.operators.jpeg import encode_flat_jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [
+                encode_flat_jpeg(
+                    8 * (1 + int(i) % 3),
+                    8 * (1 + int(i) % 2),
+                    (7 * int(i)) % 256,
+                    (11 * int(i)) % 256,
+                    (13 * int(i)) % 256,
+                )
+                for i in ids
+            ]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(run, schema="doc_id BIGINT, payload BINARY")

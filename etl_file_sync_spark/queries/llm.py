@@ -788,3 +788,50 @@ def sim_topk_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 40 == 0)
     return ivfpq_topk(e, q, k=5).orderBy("query_id", "nn_rank")
+
+
+@register(
+    "multimodal_jpeg_decode",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             8 * (1 + CAST(doc_id % 3 AS INTEGER)) AS width,
+             8 * (1 + CAST(doc_id % 2 AS INTEGER)) AS height,
+             (7 * doc_id) % 256 AS yy,
+             (11 * doc_id) % 256 AS cb,
+             (13 * doc_id) % 256 AS cr
+      FROM documents WHERE doc_id < 160
+    ),
+    rgb AS (
+      SELECT doc_id, width, height,
+             CAST(least(greatest(floor(yy + 1.402 * (cr - 128) + 0.5), 0), 255) AS BIGINT) AS r,
+             CAST(least(greatest(floor(yy - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5), 0), 255) AS BIGINT) AS g,
+             CAST(least(greatest(floor(yy + 1.772 * (cb - 128) + 0.5), 0), 255) AS BIGINT) AS b
+      FROM d
+    )
+    SELECT doc_id, width, height,
+           width * height * r AS sum_r,
+           width * height * g AS sum_g,
+           width * height * b AS sum_b,
+           width * r AS top_row_sum_r
+    FROM rgb ORDER BY doc_id
+    """,
+    "multimodal",
+    "pixel-decode",
+    "jpeg",
+)
+def multimodal_jpeg_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode end-to-end (operators/jpeg.py): flat-
+    color 4:4:4 JFIF streams (all-ones quant tables ⇒ DC-only blocks ⇒
+    bit-exact decode) are huffman-decoded, dequantized, IDCT'd and
+    YCbCr→RGB-converted under a fixed rounding contract the oracle
+    restates arithmetically — a bug anywhere in the marker parse,
+    entropy decode, DC prediction, IDCT scaling, or color conversion
+    hash-mismatches. Lossy general-content JPEG remains approximate by
+    nature; flat blocks are the value-checkable slice of the format."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 160)
+    media = M.attach_jpeg_payload(docs)
+    stats = M.image_pixel_stats(media)
+    return stats.select(
+        "doc_id", "width", "height", "sum_r", "sum_g", "sum_b", "top_row_sum_r"
+    ).orderBy("doc_id")

@@ -202,10 +202,10 @@ def test_png_roundtrip_and_rgba_and_rejects():
     )
     assert M.decode_png(buf16) is None
     assert M.decode_png(b"\x89PNG garbage") is None
-    # decode_image dispatch: PNG now decodes, JPEG still honestly gated
+    # decode_image dispatch: PNG decodes; a header-only JPEG (no scan
+    # data) is undecodable → None from the real baseline decoder
     assert M.decode_image(M.encode_png(img)) is not None
-    with pytest.raises(NotImplementedError):
-        M.decode_image(_jpeg(4, 4))
+    assert M.decode_image(_jpeg(4, 4)) is None
 
 
 def test_gif_lzw_decoder_against_hand_computed_codes():
