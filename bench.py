@@ -92,6 +92,8 @@ HEADLINE = [
     "dq_population_stability",
     "dedup_nearest_jaccard",
     "multimodal_jpeg_decode",
+    "multimodal_audio_stats",
+    "multimodal_video_frames",
 ]
 
 

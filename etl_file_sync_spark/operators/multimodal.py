@@ -7,11 +7,13 @@ real. Pixel decode is REAL for all five image formats, library-free —
 BMP 24bpp, PPM P6, PNG (stdlib zlib inflate + full five-filter
 unfilter), GIF (pure-Python LZW, interlace-aware), and baseline 4:4:4
 JPEG (operators/jpeg.py: huffman entropy decode, dequant, float IDCT,
-JFIF YCbCr→RGB) via `decode_*`/`image_pixel_stats`; only video frame
-sampling stay honestly gated behind NotImplementedError
-(pillow/ffmpeg are not in this container), with `decode_stub`
-providing a deterministic digest-derived feature vector so the
-feature-extraction pipeline stays testable end-to-end.
+JFIF YCbCr→RGB) via `decode_*`/`image_pixel_stats`. Audio decodes via
+the RIFF/PCM WAV parser (`decode_wav`/`audio_sample_stats`) and video
+frame sampling is REAL for MJPEG-in-AVI (`parse_avi_frames` +
+per-frame JPEG decode in `frame_sample`); only non-MJPEG video codecs
+keep a per-codec NotImplementedError gate (they genuinely need
+ffmpeg). `decode_stub` remains the deterministic digest-derived
+feature vector for opaque payloads.
 
 mapInPandas is the right shape here: Arrow-batched, per-partition
 iterator, no row-at-a-time pickling — the sanctioned slow path for
@@ -85,15 +87,6 @@ def extract_features(df: DataFrame, dim: int = 8, batch_hint: int = 1024) -> Dat
             yield out
 
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
-
-
-def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame-sampling stub: real implementations need ffmpeg.
-
-    Kept as an explicit NotImplementedError so the API surface exists and
-    the gap is honest.
-    """
-    raise NotImplementedError("video frame sampling requires ffmpeg; not available in this environment")
 
 
 # --- image-header parsing: real parsers over the binary column ---------
@@ -777,6 +770,230 @@ def attach_jpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 )
                 for i in ids
             ]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(run, schema="doc_id BIGINT, payload BINARY")
+
+
+# --- audio: WAV (RIFF/PCM) codec ---------------------------------------
+
+
+def encode_wav(samples, sample_rate: int = 16000, channels: int = 1) -> bytes:
+    """Encode int16 PCM samples as a canonical RIFF/WAVE file (fmt +
+    data chunks). `samples` is a 1-D (mono) or (N, channels) array."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int16).reshape(-1, channels)
+    data = arr.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, sample_rate * channels * 2, channels * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(buf: bytes):
+    """REAL WAV decode: RIFF chunk walk (unknown chunks skipped, odd
+    sizes padded per spec), PCM 16-bit only. Returns
+    (sample_rate, channels, samples[N, channels] int16) or None."""
+    import struct
+
+    import numpy as np
+
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(buf)
+    rate = channels = bits = None
+    data = None
+    while i + 8 <= n:
+        tag = buf[i : i + 4]
+        (size,) = struct.unpack_from("<I", buf, i + 4)
+        body = buf[i + 8 : i + 8 + size]
+        if tag == b"fmt " and size >= 16:
+            fmt_code, channels, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if fmt_code != 1:  # PCM only
+                return None
+        elif tag == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # odd chunk sizes are padded
+    if rate is None or data is None or bits != 16 or not channels:
+        return None
+    usable = len(data) - (len(data) % (2 * channels))
+    samples = np.frombuffer(data, np.int16, usable // 2).reshape(-1, channels)
+    return rate, channels, samples
+
+
+AUDIO_STATS_SCHEMA = (
+    "doc_id BIGINT, sample_rate INT, channels INT, n_samples BIGINT, "
+    "sum_abs BIGINT, peak INT, dc_sum BIGINT"
+)
+
+
+def audio_sample_stats(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched REAL audio decode + loudness statistics over a
+    binary WAV column: sample rate, channel count, total samples,
+    sum(|s|) (the L1 loudness integral), peak |s|, and the signed DC sum
+    (offset detector). Undecodable payloads yield null stats — same DLQ
+    posture as image_pixel_stats."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "sample_rate", "channels", "n_samples", "sum_abs", "peak", "dc_sum")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                dec = decode_wav(bytes(payload))
+                out["doc_id"].append(doc_id)
+                if dec is None:
+                    for k in ("sample_rate", "channels", "n_samples", "sum_abs", "peak", "dc_sum"):
+                        out[k].append(None)
+                    continue
+                rate, channels, samples = dec
+                s = samples.astype(np.int64)
+                out["sample_rate"].append(rate)
+                out["channels"].append(channels)
+                out["n_samples"].append(int(s.shape[0]))
+                out["sum_abs"].append(int(np.abs(s).sum()))
+                out["peak"].append(int(np.abs(s).max(initial=0)))
+                out["dc_sum"].append(int(s.sum()))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=AUDIO_STATS_SCHEMA)
+
+
+def attach_wav_payload(df: DataFrame, id_col: str = "doc_id", n_samples: int = 480) -> DataFrame:
+    """Fixture builder: deterministic mono PCM per doc — sample i is
+    ((doc_id·31 + i·7) mod 65536) − 32768, sample rate 8000 + 1000·(id%4)
+    — every stat is exact integer arithmetic an oracle can restate."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                idx = np.arange(n_samples, dtype=np.int64)
+                samples = ((int(i) * 31 + idx * 7) % 65536) - 32768
+                payloads.append(encode_wav(samples.astype(np.int16), sample_rate=8000 + 1000 * (int(i) % 4)))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(run, schema="doc_id BIGINT, payload BINARY")
+
+
+# --- video: MJPEG-in-AVI frame sampling --------------------------------
+
+
+def encode_mjpeg_avi(frames: list[bytes], width: int, height: int, fps: int = 10) -> bytes:
+    """Minimal spec-shaped AVI (RIFF) wrapping MJPEG frames: LIST hdrl
+    with an avih main header, LIST movi with one '00dc' chunk per JPEG
+    frame (odd sizes padded). Enough structure that a real RIFF walker
+    must skip the header list to find the frames."""
+    import struct
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1000000 // fps, 0, 0, 0x10, len(frames), 0, 1, 0, width, height, 0, 0, 0, 0,
+    )
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    movi = chunk(b"LIST", b"movi" + b"".join(chunk(b"00dc", f) for f in frames))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def parse_avi_frames(buf: bytes) -> list[bytes] | None:
+    """RIFF walk: collect the '00dc'/'00db' stream chunks inside LIST
+    movi. Returns None for non-AVI payloads."""
+    import struct
+
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        return None
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        i = start
+        while i + 8 <= end:
+            tag = buf[i : i + 4]
+            (size,) = struct.unpack_from("<I", buf, i + 4)
+            body_start = i + 8
+            if tag == b"LIST":
+                list_type = buf[body_start : body_start + 4]
+                if list_type in (b"movi", b"hdrl", b"rec "):
+                    walk(body_start + 4, body_start + size)
+            elif tag in (b"00dc", b"00db"):
+                frames.append(bytes(buf[body_start : body_start + size]))
+            i = body_start + size + (size & 1)
+
+    walk(12, len(buf))
+    return frames
+
+
+VIDEO_FRAME_SCHEMA = (
+    "doc_id BIGINT, frame_idx INT, width INT, height INT, "
+    "sum_r BIGINT, sum_g BIGINT, sum_b BIGINT"
+)
+
+
+def frame_sample(df: DataFrame, every_n: int = 10, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """REAL video frame sampling for MJPEG-in-AVI payloads: RIFF walk →
+    every `every_n`-th '00dc' frame → baseline JPEG decode
+    (operators/jpeg.py) → per-frame channel sums. Each sampled frame is
+    one output row. Non-AVI payloads raise NotImplementedError inside
+    the task (H.264/VP9 etc. genuinely need ffmpeg — the gate is now
+    per-codec, not per-modality). Arrow-batched; one row per sampled
+    frame, so a 2-hour clip sampled at 1/300 stays ~24 rows."""
+    from etl_file_sync_spark.operators.jpeg import decode_jpeg
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "frame_idx", "width", "height", "sum_r", "sum_g", "sum_b")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                frames = parse_avi_frames(bytes(payload))
+                if frames is None:
+                    raise NotImplementedError(
+                        "only MJPEG-in-AVI payloads decode without ffmpeg; other containers/codecs need it"
+                    )
+                for k in range(0, len(frames), every_n):
+                    img = decode_jpeg(frames[k])
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(k)
+                    if img is None:
+                        for c in ("width", "height", "sum_r", "sum_g", "sum_b"):
+                            out[c].append(None)
+                        continue
+                    h, w, _ = img.shape
+                    sums = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["sum_r"].append(int(sums[0]))
+                    out["sum_g"].append(int(sums[1]))
+                    out["sum_b"].append(int(sums[2]))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=VIDEO_FRAME_SCHEMA)
+
+
+def attach_mjpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture builder: per doc an MJPEG AVI of 4+id%3 flat-color 16×8
+    frames, frame k colored (Y,Cb,Cr) = ((7id+17k), (11id+5k),
+    (13id+3k)) mod 256 — every sampled frame's channel sums are exact
+    integer arithmetic an oracle can restate."""
+    from etl_file_sync_spark.operators.jpeg import encode_flat_jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                frames = [
+                    encode_flat_jpeg(16, 8, (7 * i + 17 * k) % 256, (11 * i + 5 * k) % 256, (13 * i + 3 * k) % 256)
+                    for k in range(4 + i % 3)
+                ]
+                payloads.append(encode_mjpeg_avi(frames, 16, 8))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     return df.select(id_col).mapInPandas(run, schema="doc_id BIGINT, payload BINARY")

@@ -835,3 +835,86 @@ def multimodal_jpeg_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select(
         "doc_id", "width", "height", "sum_r", "sum_g", "sum_b", "top_row_sum_r"
     ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_audio_stats",
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             CAST(8000 + 1000 * (doc_id % 4) AS INTEGER) AS sample_rate
+      FROM documents WHERE doc_id < 160
+    ),
+    grid AS (
+      SELECT d.doc_id, d.sample_rate,
+             ((d.doc_id * 31 + s.i * 7) % 65536) - 32768 AS v
+      FROM docs d, generate_series(0, 479) s(i)
+    )
+    SELECT doc_id, sample_rate, CAST(1 AS INTEGER) AS channels,
+           CAST(480 AS BIGINT) AS n_samples,
+           CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+           CAST(MAX(ABS(v)) AS INTEGER) AS peak,
+           CAST(SUM(v) AS BIGINT) AS dc_sum
+    FROM grid GROUP BY doc_id, sample_rate ORDER BY doc_id
+    """,
+    "multimodal",
+    "audio",
+    "wav",
+)
+def multimodal_audio_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode over the binary column: deterministic PCM WAV
+    payloads (sample i = (31·id + 7i) mod 65536 − 32768) are decoded by
+    the pure-Python RIFF/PCM parser (operators/multimodal.py decode_wav)
+    and reduced to loudness statistics. The oracle restates every sum by
+    exact integer arithmetic over the sample grid — a chunk-walk, fmt,
+    or endianness bug hash-mismatches. Completes the audio face of the
+    multimodal column contract alongside the five image decoders."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 160)
+    media = M.attach_wav_payload(docs)
+    stats = M.audio_sample_stats(media)
+    return stats.select(
+        "doc_id", "sample_rate", "channels", "n_samples", "sum_abs", "peak", "dc_sum"
+    ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_video_frames",
+    """
+    WITH docs AS (
+      SELECT doc_id, 4 + CAST(doc_id % 3 AS INTEGER) AS n_frames
+      FROM documents WHERE doc_id < 120
+    ),
+    sampled AS (
+      SELECT d.doc_id, s.k AS frame_idx,
+             (7 * d.doc_id + 17 * s.k) % 256 AS yy,
+             (11 * d.doc_id + 5 * s.k) % 256 AS cb,
+             (13 * d.doc_id + 3 * s.k) % 256 AS cr
+      FROM docs d, generate_series(0, 5, 2) s(k)
+      WHERE s.k < d.n_frames
+    ),
+    rgb AS (
+      SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+             CAST(least(greatest(floor(yy + 1.402 * (cr - 128) + 0.5), 0), 255) AS BIGINT) AS r,
+             CAST(least(greatest(floor(yy - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5), 0), 255) AS BIGINT) AS g,
+             CAST(least(greatest(floor(yy + 1.772 * (cb - 128) + 0.5), 0), 255) AS BIGINT) AS b
+      FROM sampled
+    )
+    SELECT doc_id, frame_idx, CAST(16 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+           128 * r AS sum_r, 128 * g AS sum_g, 128 * b AS sum_b
+    FROM rgb ORDER BY doc_id, frame_idx
+    """,
+    "multimodal",
+    "video",
+    "frame-sampling",
+)
+def multimodal_video_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling end-to-end: MJPEG-in-AVI payloads
+    (operators/multimodal.py encode_mjpeg_avi — 4..6 flat-color frames
+    per doc) are RIFF-walked, every 2nd frame baseline-JPEG-decoded,
+    and reduced to per-frame channel sums. The oracle restates the
+    frame schedule and the JPEG color contract arithmetically — a
+    container-walk, sampling-stride, or decode bug hash-mismatches.
+    H.264-class codecs keep the honest per-codec ffmpeg gate."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    media = M.attach_mjpeg_payload(docs)
+    return M.frame_sample(media, every_n=2).orderBy("doc_id", "frame_idx")

@@ -280,9 +280,20 @@ def test_multimodal_features_deterministic(spark, docs):
     assert all(len(v) == 8 and all(0 <= x <= 1 for x in v) for v in f1.values())
 
 
-def test_multimodal_frame_sample_is_honest_stub(spark, docs):
-    with pytest.raises(NotImplementedError):
-        M.frame_sample(docs)
+def test_multimodal_frame_sample_decodes_mjpeg_and_gates_other_codecs(spark):
+    """frame_sample is REAL for MJPEG-in-AVI (RIFF walk + baseline JPEG
+    decode per sampled frame); other containers raise the per-codec
+    ffmpeg gate inside the task."""
+    ids = spark.createDataFrame([(3,), (4,)], "doc_id long")
+    media = M.attach_mjpeg_payload(ids)
+    rows = M.frame_sample(media, every_n=2).collect()
+    # doc 3 has 4+3%3=4 frames -> sampled 0,2; doc 4 has 5 -> 0,2,4
+    got = {(r.doc_id, r.frame_idx): r for r in rows}
+    assert set(got) == {(3, 0), (3, 2), (4, 0), (4, 2), (4, 4)}
+    assert all(r.width == 16 and r.height == 8 and r.sum_r is not None for r in rows)
+    bad = spark.createDataFrame([(1, bytearray(b"mp4 box here"))], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="ffmpeg"):
+        M.frame_sample(bad).collect()
 
 
 def test_approx_sketches_accuracy(spark, sf_dir):
