@@ -586,3 +586,51 @@ def dedup_nearest_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_b.neighbor_id").alias("neighbor_id"),
         F.col("_b.jaccard").alias("jaccard"),
     ).orderBy("doc_id")
+
+
+@register(
+    "dedup_incremental_ingest",
+    """
+    WITH keyed AS (
+      SELECT doc_id, sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS k
+      FROM documents
+    ),
+    corpus AS (SELECT min(doc_id) AS corpus_id, k FROM keyed WHERE doc_id < 400 GROUP BY k),
+    batch AS (SELECT doc_id, k FROM keyed WHERE doc_id >= 400)
+    SELECT b.doc_id,
+           CASE WHEN c.corpus_id IS NULL THEN 'new' ELSE 'dup_of_corpus' END AS status,
+           c.corpus_id
+    FROM batch b LEFT JOIN corpus c USING (k)
+    ORDER BY b.doc_id
+    """,
+    "dedup",
+    "incremental",
+    "ingest",
+)
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup — the production pattern for a corpus
+    that grows in waves: the NEW batch (doc_id ≥ 400 here) is
+    fingerprinted and LEFT-joined against the existing corpus's
+    fingerprint INDEX (min-id per normalized-sha256 key), so each new
+    document is either 'new' or 'dup_of_corpus' with its canonical
+    match. At 100 TB the corpus index is a persisted bucketed table and
+    this join is shuffle-free on the batch side only — the whole corpus
+    is never rescanned. One narrow digest projection per side + one
+    keyed join; no pair expansion anywhere."""
+    docs = t(spark, sf_dir, "documents")
+    keyed = docs.select("doc_id", F.sha2(X.normalize_text("text"), 256).alias("_k"))
+    corpus = (
+        keyed.filter(F.col("doc_id") < 400)
+        .groupBy("_k")
+        .agg(F.min("doc_id").alias("corpus_id"))
+    )
+    batch = keyed.filter(F.col("doc_id") >= 400)
+    return (
+        batch.join(corpus, "_k", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("corpus_id").isNull(), "new").otherwise("dup_of_corpus").alias("status"),
+            "corpus_id",
+        )
+        .orderBy("doc_id")
+    )
