@@ -94,6 +94,7 @@ HEADLINE = [
     "multimodal_jpeg_decode",
     "multimodal_audio_stats",
     "multimodal_video_frames",
+    "dedup_incremental_ingest",
 ]
 
 
