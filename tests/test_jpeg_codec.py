@@ -90,3 +90,16 @@ def test_reject_paths():
     assert decode_jpeg(bytes(flat)) is None
     # truncated entropy stream
     assert decode_jpeg(bytes(encode_flat_jpeg(64, 64, 10))[:-20]) is None
+
+
+def test_restart_markers_reset_dc_prediction():
+    """DRI + RSTn path: the decoder must byte-align at each restart
+    marker and reset the DC predictor — a decoder that keeps predicting
+    across the marker decodes wrong block values."""
+    grid = [[10, 250, 3, 128, 77, 200]]  # 6 MCUs, restart every 2
+    buf = encode_gray_blocks_jpeg(grid, restart_interval=2)
+    assert b"\xff\xdd" in buf and b"\xff\xd0" in buf  # DRI + first RST
+    img = decode_jpeg(buf)
+    assert img is not None
+    for bx, v in enumerate(grid[0]):
+        assert (img[:, bx * 8 : bx * 8 + 8, 0] == v).all(), (bx, v)
