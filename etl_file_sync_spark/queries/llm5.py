@@ -634,3 +634,67 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "corpus_source_report",
+    """
+    WITH q AS (
+      SELECT doc_id, source, lang, n_chars,
+             sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS k,
+             len(string_split(text, ' ')) AS n,
+             len(list_distinct(string_split(text, ' '))) * 1.0
+               / len(string_split(text, ' ')) AS ttr,
+             len(list_intersect(list_distinct(string_split(text, ' ')),
+                                ['the','a','and','of','to','in','is','that'])) AS stop_hits
+      FROM documents
+    ),
+    scored AS (
+      SELECT *, round(((CASE WHEN n BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END)
+                       + ttr + least(stop_hits / 4.0, 1.0)) / 3.0, 4) AS quality
+      FROM q
+    ),
+    dup_flag AS (
+      SELECT doc_id, (row_number() OVER (PARTITION BY k ORDER BY doc_id) > 1) AS is_dup
+      FROM scored
+    )
+    SELECT s.source,
+           count(*) AS n_docs,
+           CAST(sum(s.n_chars) AS BIGINT) AS total_chars,
+           round(avg(s.quality), 4) AS avg_quality,
+           round(sum(CASE WHEN d.is_dup THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS dup_frac,
+           CAST(count(DISTINCT s.lang) AS BIGINT) AS n_langs
+    FROM scored s JOIN dup_flag d USING (doc_id)
+    GROUP BY s.source ORDER BY s.source
+    """,
+    "report",
+    "data-card",
+    "composition",
+)
+def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data card — the one-page corpus report a curation run
+    publishes per wave: document/char volume, mean heuristic quality,
+    exact-dup fraction (later copies at the normalized-sha256 grain),
+    and language spread, all from ONE documents scan feeding two
+    partial-aggregated branches (quality per doc, dup flag per doc)
+    joined on doc_id then rolled up per source. Composes the registered
+    operators (with_quality_score, the exact-dedup grain) rather than
+    re-deriving them."""
+    from pyspark.sql import Window as W
+
+    docs = X.with_quality_score(t(spark, sf_dir, "documents"))
+    keyed = docs.withColumn("_k", F.sha2(X.normalize_text("text"), 256))
+    flagged = keyed.withColumn(
+        "is_dup", F.row_number().over(W.partitionBy("_k").orderBy("doc_id")) > 1
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+            F.round(F.sum(F.col("is_dup").cast("int")) / F.count(F.lit(1)), 4).alias("dup_frac"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
