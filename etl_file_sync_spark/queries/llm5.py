@@ -698,3 +698,106 @@ def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "scalar_url_extract",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+               || '?lang=' || lang AS url
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param
+    FROM u ORDER BY doc_id
+    """,
+    "scalar",
+    "url",
+)
+def scalar_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL component extraction — the web-corpus provenance primitive
+    (domain grouping, per-host caps, tracking-param hygiene): Spark's
+    JVM parse_url(HOST/PATH/QUERY/QUERY:key) against the oracle's
+    regexp restatement over the same synthesized well-formed URLs.
+    Narrow map, zero shuffle."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "stat_ab_welch_ttest",
+    """
+    WITH p AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    s AS (
+      SELECT variant, count(*) AS n, avg(value) AS mean, var_samp(value) AS var
+      FROM p GROUP BY variant
+    ),
+    w AS (
+      SELECT a.n AS n_a, b.n AS n_b,
+             a.mean AS mean_a, b.mean AS mean_b,
+             a.var / a.n AS va, b.var / b.n AS vb
+      FROM s a JOIN s b ON a.variant = 'A' AND b.variant = 'B'
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(mean_a, 4) AS mean_a, round(mean_b, 4) AS mean_b,
+           round((mean_a - mean_b) / sqrt(va + vb), 4) AS t_stat,
+           round(pow(va + vb, 2) / (pow(va, 2) / (n_a - 1) + pow(vb, 2) / (n_b - 1)), 2) AS df_welch
+    FROM w
+    """,
+    "stats",
+    "ab-test",
+    "hypothesis-testing",
+)
+def stat_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test as pure aggregates — the experimentation
+    primitive (variant = user_id parity, metric = purchase value): one
+    partial-aggregated groupBy produces (n, mean, var) per variant, the
+    t statistic and Welch–Satterthwaite df are scalar arithmetic on the
+    2-row result. No per-row Python, no sort; the oracle restates the
+    identical algebra. At 100 TB the heavy part is the one combiner-
+    friendly aggregation — exactly how experiment platforms scale."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    s = (
+        e.select(F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("variant"), "value")
+        .groupBy("variant")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("mean"), F.var_samp("value").alias("var"))
+    )
+    a = s.filter(F.col("variant") == "A").alias("a")
+    b = s.filter(F.col("variant") == "B").alias("b")
+    w = a.crossJoin(b).select(
+        F.col("a.n").alias("n_a"), F.col("b.n").alias("n_b"),
+        F.col("a.mean").alias("mean_a"), F.col("b.mean").alias("mean_b"),
+        (F.col("a.var") / F.col("a.n")).alias("va"), (F.col("b.var") / F.col("b.n")).alias("vb"),
+    )
+    return w.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round("mean_a", 4).alias("mean_a"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round((F.col("mean_a") - F.col("mean_b")) / F.sqrt(F.col("va") + F.col("vb")), 4).alias("t_stat"),
+        F.round(
+            F.pow(F.col("va") + F.col("vb"), 2)
+            / (F.pow(F.col("va"), 2) / (F.col("n_a") - 1) + F.pow(F.col("vb"), 2) / (F.col("n_b") - 1)),
+            2,
+        ).alias("df_welch"),
+    )
