@@ -95,6 +95,8 @@ HEADLINE = [
     "multimodal_audio_stats",
     "multimodal_video_frames",
     "dedup_incremental_ingest",
+    "behavior_transition_matrix",
+    "graph_triangle_counts",
 ]
 
 

@@ -61,3 +61,37 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts over an undirected edge
+    list (id_a, id_b) — the clustering-coefficient / community-density
+    primitive alongside pagerank and connected components.
+
+    Algorithm (the standard distributed formulation): orient every edge
+    low→high (kills duplicate wedges), self-join oriented edges on the
+    middle vertex to enumerate wedges a<b<c, then LEFT SEMI join the
+    wedge's closing edge (a, c). Each triangle is found exactly once;
+    a final explode over its 3 members + partial-agg groupBy yields the
+    per-node counts. Shuffle shape: two equi-joins on vertex keys + one
+    combiner-friendly aggregation — no windows, no cartesian. At
+    100 TB the first join keys on the wedge middle, so degree skew is
+    the known hot spot; the production mitigation (not needed at this
+    scale) is the high-degree-vertex split, same as salted joins.
+    """
+    e = (
+        edges.select(
+            F.least("id_a", "id_b").alias("lo"), F.greatest("id_a", "id_b").alias("hi")
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    bc = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    wedges = ab.join(bc, "b").select("a", "b", "c")
+    ac = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    triangles = wedges.join(ac, ["a", "c"], "left_semi")
+    members = triangles.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
+    )
+    return members.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

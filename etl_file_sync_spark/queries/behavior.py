@@ -412,3 +412,58 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.col("lang").alias("modal_lang"), F.col("cnt").alias("n_docs"))
         .orderBy("source")
     )
+
+
+@register(
+    "behavior_transition_matrix",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      FROM ordered WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT from_type, sum(n) AS row_n FROM trans GROUP BY from_type)
+    SELECT t.from_type, t.to_type, CAST(t.n AS BIGINT) AS n,
+           round(t.n * 1.0 / o.row_n, 4) AS p
+    FROM trans t JOIN tot o USING (from_type)
+    ORDER BY from_type, to_type
+    """,
+    "behavior",
+    "markov",
+    "transition-matrix",
+)
+def behavior_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (view→click→purchase flows): lead() within (user, time)
+    order pairs each event with its successor, one partial-aggregated
+    groupBy counts transitions, row-normalized to probabilities. The
+    user-keyed window is the same single shuffle sessionization pays; at
+    100 TB the matrix itself is |event_types|² rows — broadcast-size
+    output from petabyte input, the classic funnel-model build."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.withColumn("next_type", F.lead("event_type").over(w))
+    trans = (
+        ordered.filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = trans.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    return (
+        trans.join(tot, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") / F.col("row_n"), 4).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )

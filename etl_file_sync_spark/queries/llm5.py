@@ -801,3 +801,56 @@ def stat_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("df_welch"),
     )
+
+
+@register(
+    "graph_triangle_counts",
+    """
+    WITH base AS (SELECT c_custkey AS id FROM customer WHERE c_custkey < 60),
+    raw AS (
+      SELECT id AS id_a, (id + 1) % 60 AS id_b FROM base
+      UNION ALL
+      SELECT id AS id_a, (id + 2) % 60 AS id_b FROM base
+    ),
+    e AS (
+      SELECT DISTINCT least(id_a, id_b) AS lo, greatest(id_a, id_b) AS hi
+      FROM raw WHERE id_a <> id_b
+    ),
+    wedges AS (
+      SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+      FROM e ab JOIN e bc ON ab.hi = bc.lo
+    ),
+    tri AS (
+      SELECT w.a, w.b, w.c FROM wedges w
+      WHERE EXISTS (SELECT 1 FROM e WHERE e.lo = w.a AND e.hi = w.c)
+    ),
+    members AS (
+      SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+    )
+    SELECT CAST(node AS BIGINT) AS node, count(*) AS n_triangles
+    FROM members GROUP BY node ORDER BY node
+    """,
+    "graph",
+    "triangles",
+)
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (operators/graph.py triangle_counts) on a
+    deterministic ring+chord graph from the customer table (edges
+    i→i+1 and i→i+2 mod 60 ⇒ every vertex closes triangles with its
+    neighbors): oriented-wedge join + closing-edge semi join, each
+    triangle found exactly once. The oracle restates the identical
+    orientation/wedge/closure algebra. Completes the graph face
+    alongside PageRank and connected components."""
+    from etl_file_sync_spark.operators.graph import triangle_counts
+
+    base = t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 60).select(
+        F.col("c_custkey").alias("id")
+    )
+    raw = base.select(F.col("id").alias("id_a"), ((F.col("id") + 1) % 60).alias("id_b")).unionByName(
+        base.select(F.col("id").alias("id_a"), ((F.col("id") + 2) % 60).alias("id_b"))
+    )
+    return (
+        triangle_counts(raw)
+        .select(F.col("node").cast("bigint").alias("node"), "n_triangles")
+        .orderBy("node")
+    )

@@ -39,3 +39,24 @@ def test_pagerank_mass_conserved(spark):
     df = spark.createDataFrame([(0, 1), (1, 2), (5, 6)], "id_a long, id_b long")
     ranks = pagerank(df, iters=10).collect()
     assert sum(r.rank for r in ranks) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_triangle_counts_on_known_graph(spark):
+    """K4 has 4 triangles: every vertex sits in C(3,2)=3 of them; a
+    pendant vertex sits in none and must be absent."""
+    from etl_file_sync_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = spark.createDataFrame(k4 + [(3, 9)], "id_a long, id_b long")
+    got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_counts_ignore_duplicates_direction_and_self_loops(spark):
+    from etl_file_sync_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 0), (0, 2), (2, 2)], "id_a long, id_b long"
+    )
+    got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {0: 1, 1: 1, 2: 1}
