@@ -53,6 +53,8 @@ OPS = [
     "text_vocab_coverage",
     "sample_dup_weighted",
     "dq_snapshot_diff",
+    "dedup_incremental_ingest",
+    "behavior_transition_matrix",
 ]
 
 TIERS = ["sf0.001", "sf0.01", "sf0.1"]
