@@ -854,3 +854,132 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").cast("bigint").alias("node"), "n_triangles")
         .orderBy("node")
     )
+
+
+@register(
+    "stat_chi_square_independence",
+    """
+    WITH obs AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+             event_type, count(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    margins AS (
+      SELECT o.variant, o.event_type, o.o,
+             sum(o.o) OVER (PARTITION BY o.variant) AS row_n,
+             sum(o.o) OVER (PARTITION BY o.event_type) AS col_n,
+             sum(o.o) OVER () AS n
+      FROM obs o
+    )
+    SELECT variant, event_type, CAST(o AS BIGINT) AS observed,
+           round(row_n * col_n * 1.0 / n, 4) AS expected,
+           round(pow(o - row_n * col_n * 1.0 / n, 2) / (row_n * col_n * 1.0 / n), 6) AS chi2_term
+    FROM margins ORDER BY variant, event_type
+    """,
+    "stats",
+    "chi-square",
+    "hypothesis-testing",
+)
+def stat_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test (variant × event_type): one
+    partial-aggregated contingency count, margins via windows over the
+    TINY aggregated table (|variants|·|event_types| rows — windowing
+    after aggregation is free; the raw events never see a window), and
+    per-cell (O−E)²/E terms whose sum is the statistic. The oracle
+    restates the identical algebra."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    obs = (
+        e.select(F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("variant"), "event_type")
+        .groupBy("variant", "event_type")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    row_n = F.sum("o").over(W.partitionBy("variant"))
+    col_n = F.sum("o").over(W.partitionBy("event_type"))
+    n = F.sum("o").over(W.partitionBy())
+    expected = row_n * col_n / n
+    return (
+        obs.select(
+            "variant",
+            "event_type",
+            F.col("o").cast("bigint").alias("observed"),
+            F.round(expected, 4).alias("expected"),
+            F.round(F.pow(F.col("o") - expected, 2) / expected, 6).alias("chi2_term"),
+        )
+        .orderBy("variant", "event_type")
+    )
+
+
+@register(
+    "geo_haversine_nearest",
+    """
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             -60 + (c_custkey * 7) % 120 + 0.5 AS lat,
+             -180 + (c_custkey * 13) % 360 + 0.5 AS lon
+      FROM customer WHERE c_custkey < 200
+    ),
+    hubs AS (
+      SELECT n_nationkey AS hub_id,
+             -60 + (n_nationkey * 29) % 120 + 0.25 AS hlat,
+             -180 + (n_nationkey * 31) % 360 + 0.25 AS hlon
+      FROM nation
+    ),
+    d AS (
+      SELECT p.id, h.hub_id,
+             2 * 6371.0 * asin(sqrt(
+               pow(sin(radians(h.hlat - p.lat) / 2), 2)
+               + cos(radians(p.lat)) * cos(radians(h.hlat))
+                 * pow(sin(radians(h.hlon - p.lon) / 2), 2)
+             )) AS km
+      FROM pts p, hubs h
+    ),
+    best AS (
+      SELECT id, hub_id, km,
+             row_number() OVER (PARTITION BY id ORDER BY round(km, 6), hub_id) AS rn
+      FROM d
+    )
+    SELECT id, hub_id, round(km, 3) AS km FROM best WHERE rn = 1 ORDER BY id
+    """,
+    "geo",
+    "haversine",
+    "nearest",
+)
+def geo_haversine_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geospatial nearest-hub assignment by haversine distance —
+    synthetic (lat, lon) points from customer keys against 25 nation
+    hubs: the broadcast small-dimension pattern (points × 25 hubs is a
+    narrow map over the scan, NOT an all-pairs blowup — the hub table
+    broadcasts; at planet scale the mitigation is a geohash prefix
+    block, same blocking idea as the dedup family). Ranking on km
+    rounded to 1e-6 makes the argmin ulp-proof across engines."""
+    from pyspark.sql import Window as W
+
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        (F.lit(-60) + (F.col("c_custkey") * 7) % 120 + 0.5).alias("lat"),
+        (F.lit(-180) + (F.col("c_custkey") * 13) % 360 + 0.5).alias("lon"),
+    )
+    hubs = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("hub_id"),
+        (F.lit(-60) + (F.col("n_nationkey") * 29) % 120 + 0.25).alias("hlat"),
+        (F.lit(-180) + (F.col("n_nationkey") * 31) % 360 + 0.25).alias("hlon"),
+    )
+    km = 2 * 6371.0 * F.asin(
+        F.sqrt(
+            F.pow(F.sin(F.radians(F.col("hlat") - F.col("lat")) / 2), 2)
+            + F.cos(F.radians("lat"))
+            * F.cos(F.radians("hlat"))
+            * F.pow(F.sin(F.radians(F.col("hlon") - F.col("lon")) / 2), 2)
+        )
+    )
+    d = pts.crossJoin(F.broadcast(hubs)).withColumn("km", km)
+    w = W.partitionBy("id").orderBy(F.round("km", 6), "hub_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "hub_id", F.round("km", 3).alias("km"))
+        .orderBy("id")
+    )
