@@ -431,3 +431,53 @@ def with_logistic_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     w0, w1, w2, w3 = LOGISTIC_QUALITY_WEIGHTS
     z = F.lit(w0) + F.lit(w1) * len_score + F.lit(w2) * ttr + F.lit(w3) * stop_frac
     return df.withColumn("quality_prob", F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4))
+
+
+def bigram_doc_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc bigram-LM log-likelihood: (id, n_bigrams, avg_logp, ppl)
+    with P(w_i | w_{i-1}) = corpus_count(w_{i-1} w_i) / corpus_count(
+    w_{i-1} as a bigram left-context). Unsmoothed — scoring the training
+    corpus never sees an unseen bigram, and the exact ratios keep the
+    math engine-reproducible (same posture as unigram_doc_scores; the
+    first-order upgrade catches word-salad that unigram frequency
+    misses).
+
+    Shape: one explode to bigram instances, per-doc (id, bigram) counts,
+    corpus bigram counts + left-context counts derived from THEM (no
+    second corpus pass), two joins on the bigram/left keys — all
+    partial-aggregated groupBys; docs shorter than 2 tokens are absent
+    by contract.
+    """
+    toks = tokens(text_col)
+    big = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+    )
+    inst = (
+        df.where(F.size(toks) >= 2)
+        .select(F.col(id_col).alias("id"), F.explode(big).alias("bg"))
+    )
+    tf = inst.groupBy("id", "bg").agg(F.count(F.lit(1)).alias("tf"))
+    corpus = tf.groupBy("bg").agg(F.sum("tf").alias("n_bg"))
+    left = corpus.select(
+        F.split(F.col("bg"), " ").getItem(0).alias("lw"), "n_bg"
+    ).groupBy("lw").agg(F.sum("n_bg").alias("n_left"))
+    scored = (
+        tf.join(corpus, "bg")
+        .withColumn("lw", F.split(F.col("bg"), " ").getItem(0))
+        .join(left, "lw")
+        .withColumn("logp", F.log(F.col("n_bg") / F.col("n_left")))
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            (F.sum(F.col("tf") * F.col("logp")) / F.sum("tf")).alias("avg_logp"),
+        )
+        .select(
+            "id",
+            "n_bigrams",
+            F.round("avg_logp", 4).alias("avg_logp"),
+            F.round(F.exp(-F.col("avg_logp")), 2).alias("ppl"),
+        )
+    )

@@ -983,3 +983,41 @@ def geo_haversine_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id", "hub_id", F.round("km", 3).alias("km"))
         .orderBy("id")
     )
+
+
+@register(
+    "text_bigram_ppl",
+    """
+    WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l FROM documents),
+    inst AS (
+      SELECT doc_id, l[i] || ' ' || l[i + 1] AS bg
+      FROM w, UNNEST(range(1, len(l))) AS u(i)
+      WHERE len(l) >= 2
+    ),
+    tf AS (SELECT doc_id AS id, bg, count(*) AS tf FROM inst GROUP BY 1, 2),
+    corpus AS (SELECT bg, sum(tf) AS n_bg FROM tf GROUP BY bg),
+    lefts AS (
+      SELECT string_split(bg, ' ')[1] AS lw, sum(n_bg) AS n_left FROM corpus GROUP BY 1
+    )
+    SELECT tf.id AS doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
+           round(sum(tf.tf * ln(c.n_bg * 1.0 / lf.n_left)) / sum(tf.tf), 4) AS avg_logp,
+           round(exp(-(sum(tf.tf * ln(c.n_bg * 1.0 / lf.n_left)) / sum(tf.tf))), 2) AS ppl
+    FROM tf JOIN corpus c USING (bg)
+    JOIN lefts lf ON lf.lw = string_split(tf.bg, ' ')[1]
+    GROUP BY tf.id ORDER BY doc_id
+    """,
+    "quality",
+    "perplexity",
+    "bigram",
+)
+def text_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity per document (operators/text.py
+    bigram_doc_scores): the first-order upgrade over text_unigram_ppl —
+    word-salad with plausible unigram frequencies but improbable
+    transitions scores high-ppl. Unsmoothed conditional probabilities
+    keep both engines value-exact."""
+    return (
+        X.bigram_doc_scores(t(spark, sf_dir, "documents"))
+        .select(F.col("id").alias("doc_id"), "n_bigrams", "avg_logp", "ppl")
+        .orderBy("doc_id")
+    )
