@@ -1,5 +1,10 @@
 """Round-4 additions: snapshot reconciliation, vocabulary coverage,
-logistic quality inference, duplication-aware sampling weights.
+logistic quality inference, duplication-aware sampling weights,
+embedding centroids, SemDeDup-style semantic dedup, nearest-neighbor
+views (as-of tolerance / Jaccard), epoching plans, quality-based
+canonical selection, PSI drift, incremental-ingest dedup, per-source
+data cards, hypothesis testing (Welch t / chi-square), URL extraction,
+haversine nearest-hub, triangle counting, and bigram-LM perplexity.
 
 Each query is fully DuckDB-oracle-checked; reference citations live in
 the operator modules (the reference has no analytics surface —
