@@ -1,0 +1,154 @@
+"""Distributed order statistics: global ranks / cumulative sums without a
+single-partition window.
+
+A bare ``Window.orderBy(v)`` (no partitionBy) funnels the whole table
+through ONE task — the classic Spark scale cliff for rank statistics
+(Mann-Whitney, Kolmogorov-Smirnov, ECDFs, balanced sharding). This module
+implements the standard two-phase plan instead:
+
+1. ``approxQuantile`` picks ~``n_buckets`` boundary values of the leading
+   order column (a tiny driver-side pull of <= 63 doubles). Rows map to a
+   bucket by counting boundaries strictly below the value, so equal keys
+   can never straddle buckets.
+2. Per-bucket weight totals (<= n_buckets rows) collect to the driver,
+   prefix-sum into offsets, and rejoin as a broadcast dimension. A window
+   PARTITIONED BY bucket computes within-bucket running sums / row
+   numbers; the global figure is ``bucket_offset + within_bucket``.
+
+Bucket boundaries affect only the partitioning, never the arithmetic, so
+the output is deterministic even if the quantile sketch shifts between
+runs. Each bucket holds ~1/n_buckets of the rows, so the per-bucket
+window is shuffle-balanced and spill-safe at any scale; callers that rank
+distinct values of an aggregate (the rank-test pattern) additionally
+shrink the frame before the window ever runs.
+
+The reference (`/root/reference/`, SURVEY.md §2.2) has no analytics
+surface; this is engine-only scale infrastructure.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_BUCKET = "__rs_bucket"
+
+
+def _boundaries(df: DataFrame, order_col: str, n_buckets: int) -> list[float]:
+    """Approximate interior quantiles of ``order_col`` (driver pull of
+    <= n_buckets-1 doubles; tiny by construction)."""
+    if n_buckets < 2:
+        return []
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    with_key = df.select(F.col(order_col).cast("double").alias("__rs_key"))
+    bounds = with_key.stat.approxQuantile("__rs_key", probs, 0.001)
+    return sorted(set(bounds))
+
+
+def _bucket_expr(order_col: str, bounds: list[float]) -> Column:
+    """Bucket id = number of boundaries strictly below the value; equal
+    keys always share a bucket."""
+    if not bounds:
+        return F.lit(0)
+    return reduce(
+        lambda acc, b: acc + (F.col(order_col).cast("double") > F.lit(b)).cast("int"),
+        bounds,
+        F.lit(0),
+    )
+
+
+def bucketed_cumsums(
+    df: DataFrame,
+    order_col: str,
+    weight_cols: list[str],
+    inclusive: bool = True,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Global running sum of each weight column over rows ordered by
+    ``order_col`` (ascending, keys assumed distinct — aggregate first),
+    as new columns ``cum_<w>``. ``inclusive=False`` gives the exclusive
+    prefix (sum over strictly-smaller keys)."""
+    bounds = _boundaries(df, order_col, n_buckets)
+    b = df.withColumn(_BUCKET, _bucket_expr(order_col, bounds))
+
+    # per-bucket totals: <= n_buckets rows — a k-row driver pull, not data
+    totals = (
+        b.groupBy(_BUCKET)
+        .agg(*[F.sum(w).alias(w) for w in weight_cols])
+        .collect()
+    )
+    if not totals:  # empty input: prefix sums degenerate
+        out = df
+        for w in weight_cols:
+            out = out.withColumn(f"cum_{w}", F.col(w) if inclusive else F.lit(0))
+        return out
+    totals.sort(key=lambda r: r[_BUCKET])
+    offsets, acc = [], {w: 0 for w in weight_cols}
+    for row in totals:
+        offsets.append((row[_BUCKET], *[acc[w] for w in weight_cols]))
+        for w in weight_cols:
+            acc[w] += row[w] or 0
+    off_df = b.sparkSession.createDataFrame(
+        offsets, [_BUCKET] + [f"__off_{w}" for w in weight_cols]
+    )
+
+    end = 0 if inclusive else -1
+    win = (
+        Window.partitionBy(_BUCKET)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    out = b.join(F.broadcast(off_df), _BUCKET)
+    for w in weight_cols:
+        out = out.withColumn(
+            f"cum_{w}",
+            F.coalesce(F.sum(w).over(win), F.lit(0)) + F.col(f"__off_{w}"),
+        )
+    return out.drop(_BUCKET, *[f"__off_{w}" for w in weight_cols])
+
+
+def bucketed_row_number(
+    df: DataFrame,
+    order_col: str,
+    tiebreak_cols: list[str] | None = None,
+    out_col: str = "rn",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Global 1-based ``row_number`` ordered by ``(order_col,
+    *tiebreak_cols)`` ascending, without a single-partition window."""
+    tiebreak_cols = tiebreak_cols or []
+    bounds = _boundaries(df, order_col, n_buckets)
+    b = df.withColumn(_BUCKET, _bucket_expr(order_col, bounds))
+
+    counts = b.groupBy(_BUCKET).agg(F.count(F.lit(1)).alias("c")).collect()
+    if not counts:
+        return df.withColumn(out_col, F.lit(1))
+    counts.sort(key=lambda r: r[_BUCKET])
+    offsets, acc = [], 0
+    for row in counts:
+        offsets.append((row[_BUCKET], acc))
+        acc += row["c"]
+    off_df = b.sparkSession.createDataFrame(offsets, [_BUCKET, "__off"])
+
+    win = Window.partitionBy(_BUCKET).orderBy(order_col, *tiebreak_cols)
+    return (
+        b.join(F.broadcast(off_df), _BUCKET)
+        .withColumn(out_col, F.row_number().over(win) + F.col("__off"))
+        .drop(_BUCKET, "__off")
+    )
+
+
+def avg_ranks(
+    df: DataFrame, value_col: str, count_col: str, n_buckets: int = 32
+) -> DataFrame:
+    """Midrank (average tied rank) per distinct value: input is the
+    pre-aggregated ``(value, count)`` frame; output adds ``avg_rank`` =
+    exclusive-prefix(count) + (count+1)/2. Halves are binary-exact, so
+    downstream rank sums are bit-reproducible in any summation order."""
+    out = bucketed_cumsums(df, value_col, [count_col], inclusive=False, n_buckets=n_buckets)
+    return out.withColumn(
+        "avg_rank",
+        F.col(f"cum_{count_col}") + (F.col(count_col) + F.lit(1)) / F.lit(2.0),
+    ).drop(f"cum_{count_col}")

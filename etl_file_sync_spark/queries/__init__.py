@@ -16,6 +16,7 @@ from etl_file_sync_spark.queries import (  # noqa: F401
     relational3,
     relational4,
     search_face,
+    stats_face,
     streaming_face,
     timeseries_face,
     tpch,

@@ -1,0 +1,327 @@
+"""Rank-based and regression statistics over the TPC-H tables.
+
+Mann-Whitney U and Kolmogorov-Smirnov run on the distributed two-phase
+rank machinery (operators/rankstats.py) — no single-partition window
+ever touches row-grain data; the only global windows run over the
+per-bucket frames after aggregation. OLS and the correlation matrix are
+two-pass centered aggregates (means first, centered co-moments second)
+so the algebra is cancellation-free and both engines agree to ulps.
+
+The reference (`/root/reference/`) has no analytics surface (SURVEY.md
+§2.2); these queries extend the engine-only statistics face alongside
+stat_ab_welch_ttest / stat_chi_square_independence in llm5.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_file_sync_spark.operators.rankstats import avg_ranks, bucketed_cumsums
+from etl_file_sync_spark.queries.registry import register, t
+
+
+@register(
+    "stat_mannwhitney_u",
+    """
+    WITH s AS (
+      SELECT CASE WHEN o_custkey % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+             o_totalprice AS v
+      FROM orders
+    ),
+    g AS (SELECT variant, v, count(*) AS c FROM s GROUP BY variant, v),
+    vals AS (SELECT v, CAST(sum(c) AS BIGINT) AS cnt FROM g GROUP BY v),
+    cum AS (
+      SELECT v, cnt,
+             coalesce(sum(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (cnt + 1) / 2.0 AS avg_rank
+      FROM vals
+    ),
+    agg AS (
+      SELECT g.variant, CAST(sum(g.c) AS BIGINT) AS n,
+             sum(g.c * cum.avg_rank) AS rank_sum
+      FROM g JOIN cum ON g.v = cum.v
+      GROUP BY g.variant
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS ntot FROM agg)
+    SELECT variant, n, round(rank_sum, 2) AS rank_sum,
+           round(rank_sum - n * (n + 1) / 2.0, 2) AS u_stat,
+           round((rank_sum - n * (n + 1) / 2.0 - n * (ntot - n) / 2.0)
+                 / sqrt(n * (ntot - n) * (ntot + 1) / 12.0), 6) AS z_score
+    FROM agg, tot ORDER BY variant
+    """,
+    "stats",
+    "rank-test",
+    "distributed-rank",
+)
+def stat_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) of o_totalprice between the
+    even/odd-custkey variants. Ranks come from the bucketed two-phase
+    plan: groupBy(value) first (combiner-friendly, shrinks to distinct
+    prices), then midranks via per-bucket windows + broadcast offsets —
+    never a global single-partition window. Midranks are halves, so
+    rank sums are binary-exact in any summation order and the oracle's
+    naive global-window spelling matches bit-for-bit."""
+    s = t(spark, sf_dir, "orders").select(
+        F.when(F.col("o_custkey") % 2 == 0, "A").otherwise("B").alias("variant"),
+        F.col("o_totalprice").alias("v"),
+    )
+    g = s.groupBy("variant", "v").agg(F.count(F.lit(1)).alias("c"))
+    vals = g.groupBy("v").agg(F.sum("c").cast("bigint").alias("cnt"))
+    ranked = avg_ranks(vals, "v", "cnt")
+    agg = (
+        g.join(ranked.select("v", "avg_rank"), "v")
+        .groupBy("variant")
+        .agg(
+            F.sum("c").cast("bigint").alias("n"),
+            F.sum(F.col("c") * F.col("avg_rank")).alias("rank_sum"),
+        )
+    )
+    tot = agg.agg(F.sum("n").cast("bigint").alias("ntot"))
+    u = F.col("rank_sum") - F.col("n") * (F.col("n") + 1) / F.lit(2.0)
+    mu = F.col("n") * (F.col("ntot") - F.col("n")) / F.lit(2.0)
+    sigma = F.sqrt(
+        F.col("n") * (F.col("ntot") - F.col("n")) * (F.col("ntot") + 1) / F.lit(12.0)
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))  # 1-row totals dimension
+        .select(
+            "variant",
+            "n",
+            F.round("rank_sum", 2).alias("rank_sum"),
+            F.round(u, 2).alias("u_stat"),
+            F.round((u - mu) / sigma, 6).alias("z_score"),
+        )
+        .orderBy("variant")
+    )
+
+
+@register(
+    "stat_ks_two_sample",
+    """
+    WITH s AS (
+      SELECT CASE WHEN o_custkey % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+             o_totalprice AS v
+      FROM orders
+    ),
+    g AS (
+      SELECT v,
+             CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM s GROUP BY v
+    ),
+    cum AS (
+      SELECT v,
+             sum(ca) OVER (ORDER BY v) AS cum_a,
+             sum(cb) OVER (ORDER BY v) AS cum_b
+      FROM g
+    ),
+    tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM g),
+    dev AS (
+      SELECT v, abs(cum_a * (SELECT nb FROM tot) - cum_b * (SELECT na FROM tot)) AS dint
+      FROM cum
+    ),
+    m AS (SELECT max(dint) AS md FROM dev)
+    SELECT (SELECT na FROM tot) AS n_a, (SELECT nb FROM tot) AS n_b,
+           round(md * 1.0 / ((SELECT na FROM tot) * (SELECT nb FROM tot)), 6) AS ks_d,
+           (SELECT min(v) FROM dev WHERE dint = m.md) AS at_value
+    FROM m
+    """,
+    "stats",
+    "rank-test",
+    "distributed-rank",
+)
+def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D between the even/odd-custkey
+    o_totalprice distributions. ECDF gaps are computed as INTEGER
+    cross-multiplied counts (|cumA*nB - cumB*nA|) so the max and its
+    arg are exact; the single division happens once at the end. The
+    cumulative counts use the bucketed two-phase plan over the distinct
+    values — no single-partition window over data."""
+    s = t(spark, sf_dir, "orders").select(
+        F.when(F.col("o_custkey") % 2 == 0, "A").otherwise("B").alias("variant"),
+        F.col("o_totalprice").alias("v"),
+    )
+    g = s.groupBy("v").agg(
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0)).cast("bigint").alias("ca"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0)).cast("bigint").alias("cb"),
+    )
+    cum = bucketed_cumsums(g, "v", ["ca", "cb"], inclusive=True)
+    tot = g.agg(
+        F.sum("ca").cast("bigint").alias("na"), F.sum("cb").cast("bigint").alias("nb")
+    )
+    dev = cum.crossJoin(F.broadcast(tot)).select(  # 1-row totals dimension
+        "v",
+        "na",
+        "nb",
+        F.abs(F.col("cum_ca") * F.col("nb") - F.col("cum_cb") * F.col("na")).alias("dint"),
+    )
+    # max gap, smallest value attaining it: one struct-max aggregation
+    best = dev.agg(
+        F.max(F.struct(F.col("dint"), (-F.col("v")).alias("nv"))).alias("s"),
+        F.first("na").alias("n_a"),
+        F.first("nb").alias("n_b"),
+    )
+    return best.select(
+        "n_a",
+        "n_b",
+        F.round(F.col("s.dint") / (F.col("n_a") * F.col("n_b")), 6).alias("ks_d"),
+        (-F.col("s.nv")).alias("at_value"),
+    )
+
+
+@register(
+    "stat_linear_regression",
+    """
+    WITH m AS (
+      SELECT l_returnflag, count(*) AS n,
+             avg(l_quantity) AS mx, avg(l_extendedprice) AS my
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    c AS (
+      SELECT l.l_returnflag,
+             sum((l.l_quantity - m.mx) * (l.l_quantity - m.mx)) AS sxx,
+             sum((l.l_quantity - m.mx) * (l.l_extendedprice - m.my)) AS sxy,
+             sum((l.l_extendedprice - m.my) * (l.l_extendedprice - m.my)) AS syy
+      FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+      GROUP BY l.l_returnflag
+    )
+    SELECT c.l_returnflag, CAST(m.n AS BIGINT) AS n,
+           round(c.sxy / c.sxx, 6) AS slope,
+           round(m.my - (c.sxy / c.sxx) * m.mx, 4) AS intercept,
+           round(c.sxy * c.sxy / (c.sxx * c.syy), 6) AS r2
+    FROM c JOIN m ON c.l_returnflag = m.l_returnflag
+    ORDER BY c.l_returnflag
+    """,
+    "stats",
+    "regression",
+)
+def stat_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag OLS of l_extendedprice on l_quantity, two-pass
+    centered: group means first, then centered co-moments (broadcast
+    means join — no shuffle of the fact side beyond the groupBys).
+    Centering avoids the n*sxy - sx*sy cancellation that loses ~8
+    digits at 100 TB row counts; the oracle restates the identical
+    two-pass algebra."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.avg("l_quantity").alias("mx"),
+        F.avg("l_extendedprice").alias("my"),
+    )
+    dx = F.col("l_quantity") - F.col("mx")
+    dy = F.col("l_extendedprice") - F.col("my")
+    c = (
+        li.join(F.broadcast(m), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.first("n").alias("n"),
+            F.first("mx").alias("mx"),
+            F.first("my").alias("my"),
+            F.sum(dx * dx).alias("sxx"),
+            F.sum(dx * dy).alias("sxy"),
+            F.sum(dy * dy).alias("syy"),
+        )
+    )
+    slope = F.col("sxy") / F.col("sxx")
+    return c.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(F.col("my") - slope * F.col("mx"), 4).alias("intercept"),
+        F.round(F.col("sxy") * F.col("sxy") / (F.col("sxx") * F.col("syy")), 6).alias("r2"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "stat_correlation_matrix",
+    """
+    WITH m AS (
+      SELECT avg(l_quantity) AS mq, avg(l_extendedprice) AS me,
+             avg(l_discount) AS md, avg(l_tax) AS mt
+      FROM lineitem
+    ),
+    c AS (
+      SELECT
+        sum((l_quantity - mq) * (l_quantity - mq)) AS cqq,
+        sum((l_extendedprice - me) * (l_extendedprice - me)) AS cee,
+        sum((l_discount - md) * (l_discount - md)) AS cdd,
+        sum((l_tax - mt) * (l_tax - mt)) AS ctt,
+        sum((l_quantity - mq) * (l_extendedprice - me)) AS cqe,
+        sum((l_quantity - mq) * (l_discount - md)) AS cqd,
+        sum((l_quantity - mq) * (l_tax - mt)) AS cqt,
+        sum((l_extendedprice - me) * (l_discount - md)) AS ced,
+        sum((l_extendedprice - me) * (l_tax - mt)) AS cet,
+        sum((l_discount - md) * (l_tax - mt)) AS cdt
+      FROM lineitem, m
+    )
+    SELECT col_x, col_y, round(r, 6) AS pearson_r FROM (
+      SELECT 'quantity' AS col_x, 'extendedprice' AS col_y, cqe / sqrt(cqq * cee) AS r FROM c
+      UNION ALL SELECT 'quantity', 'discount', cqd / sqrt(cqq * cdd) FROM c
+      UNION ALL SELECT 'quantity', 'tax', cqt / sqrt(cqq * ctt) FROM c
+      UNION ALL SELECT 'extendedprice', 'discount', ced / sqrt(cee * cdd) FROM c
+      UNION ALL SELECT 'extendedprice', 'tax', cet / sqrt(cee * ctt) FROM c
+      UNION ALL SELECT 'discount', 'tax', cdt / sqrt(cdd * ctt) FROM c
+    ) ORDER BY col_x, col_y
+    """,
+    "stats",
+    "correlation",
+)
+def stat_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations among the four lineitem measures in
+    ONE pass over the fact table (after a 1-row means broadcast): all
+    ten centered co-moments accumulate in a single aggregate, then the
+    six correlations unpivot from the single result row via stack().
+    Two-pass centering keeps both engines ulp-aligned (same reasoning as
+    stat_linear_regression)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    )
+    m = li.agg(
+        F.avg("l_quantity").alias("mq"),
+        F.avg("l_extendedprice").alias("me"),
+        F.avg("l_discount").alias("md"),
+        F.avg("l_tax").alias("mt"),
+    )
+    dq = F.col("l_quantity") - F.col("mq")
+    de = F.col("l_extendedprice") - F.col("me")
+    dd = F.col("l_discount") - F.col("md")
+    dt = F.col("l_tax") - F.col("mt")
+    c = li.crossJoin(F.broadcast(m)).agg(  # 1-row means dimension
+        F.sum(dq * dq).alias("cqq"),
+        F.sum(de * de).alias("cee"),
+        F.sum(dd * dd).alias("cdd"),
+        F.sum(dt * dt).alias("ctt"),
+        F.sum(dq * de).alias("cqe"),
+        F.sum(dq * dd).alias("cqd"),
+        F.sum(dq * dt).alias("cqt"),
+        F.sum(de * dd).alias("ced"),
+        F.sum(de * dt).alias("cet"),
+        F.sum(dd * dt).alias("cdt"),
+    )
+    r = c.select(
+        (F.col("cqe") / F.sqrt(F.col("cqq") * F.col("cee"))).alias("r_qe"),
+        (F.col("cqd") / F.sqrt(F.col("cqq") * F.col("cdd"))).alias("r_qd"),
+        (F.col("cqt") / F.sqrt(F.col("cqq") * F.col("ctt"))).alias("r_qt"),
+        (F.col("ced") / F.sqrt(F.col("cee") * F.col("cdd"))).alias("r_ed"),
+        (F.col("cet") / F.sqrt(F.col("cee") * F.col("ctt"))).alias("r_et"),
+        (F.col("cdt") / F.sqrt(F.col("cdd") * F.col("ctt"))).alias("r_dt"),
+    )
+    return (
+        r.select(
+            F.expr(
+                "stack(6, "
+                "'quantity', 'extendedprice', r_qe, "
+                "'quantity', 'discount', r_qd, "
+                "'quantity', 'tax', r_qt, "
+                "'extendedprice', 'discount', r_ed, "
+                "'extendedprice', 'tax', r_et, "
+                "'discount', 'tax', r_dt) AS (col_x, col_y, r)"
+            )
+        )
+        .select("col_x", "col_y", F.round("r", 6).alias("pearson_r"))
+        .orderBy("col_x", "col_y")
+    )

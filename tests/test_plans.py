@@ -136,3 +136,17 @@ def test_bigram_novelty_partial_agg_no_window(spark, sf_dir):
     plan = full_plan(REGISTRY["text_bigram_novelty"].build(spark, sf_dir))
     assert "partial_count" in plan, "corpus counts must map-side combine"
     assert "Window" not in plan, "bigram counting must not use a window"
+
+
+def test_rank_stats_windows_are_bucket_partitioned(spark, sf_dir):
+    """Mann-Whitney / KS ranks must come from the two-phase bucketed
+    plan: every Window node is PARTITIONED BY the rank bucket — a bare
+    Window.orderBy would funnel the whole table through one task."""
+    from etl_file_sync_spark.plans import physical_plan
+
+    for name in ("stat_mannwhitney_u", "stat_ks_two_sample"):
+        plan = physical_plan(REGISTRY[name].build(spark, sf_dir))
+        win_lines = [l for l in plan.splitlines() if "Window" in l and "windowspecdefinition" in l]
+        assert win_lines, f"{name}: expected a bucketed window in the plan"
+        for line in win_lines:
+            assert "_rs_bucket" in line, f"{name}: unpartitioned window: {line[:200]}"
