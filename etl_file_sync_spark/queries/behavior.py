@@ -467,3 +467,115 @@ def behavior_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+@register(
+    "behavior_last_touch_attribution",
+    """
+    WITH e AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+    att AS (
+      SELECT p.event_id, p.cents,
+             (SELECT t.event_type FROM e t
+               WHERE t.user_id = p.user_id
+                 AND t.event_type IN ('view', 'click')
+                 AND (t.ts < p.ts OR (t.ts = p.ts AND t.event_id < p.event_id))
+                 AND t.ts >= p.ts - INTERVAL 7 DAY
+               ORDER BY t.ts DESC, t.event_id DESC LIMIT 1) AS touch
+      FROM p
+    )
+    SELECT coalesce(touch, 'none') AS touch_type,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(CAST(sum(cents) AS BIGINT) / 100.0, 2) AS total_value
+    FROM att GROUP BY coalesce(touch, 'none') ORDER BY touch_type
+    """,
+    "behavior",
+    "attribution",
+)
+def behavior_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the most recent
+    view/click by the same user within 7 days (ties broken by event_id,
+    unmatched → 'none'). One per-user event-time window carries the
+    last touch struct forward — no self-join, no correlated per-row
+    probe; the oracle's LIMIT-1 subquery spelling is equivalent because
+    any in-tolerance touch would also be the latest one. Values sum as
+    integer cents."""
+    e = t(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    touch = F.last(
+        F.when(
+            F.col("event_type").isin("view", "click"),
+            F.struct(F.col("ts").alias("tts"), F.col("event_type").alias("ttype")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    att = (
+        e.withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "cents",
+            F.when(
+                F.col("touch").isNotNull()
+                & (F.col("touch.tts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")),
+                F.col("touch.ttype"),
+            )
+            .otherwise("none")
+            .alias("touch_type"),
+        )
+    )
+    return (
+        att.groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.round(F.sum("cents").cast("bigint") / 100.0, 2).alias("total_value"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+@register(
+    "win_cumulative_distinct_users",
+    """
+    WITH f AS (
+      SELECT user_id, CAST(min(CAST(ts AS TIMESTAMP)) AS DATE) AS day
+      FROM events GROUP BY user_id
+    ),
+    d AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM f GROUP BY day)
+    SELECT CAST(day AS TIMESTAMP) AS day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+    FROM d ORDER BY day
+    """,
+    "behavior",
+    "window",
+    "distinct-count",
+)
+def win_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day via the first-seen trick: a
+    running COUNT DISTINCT is a re-scan per day naively, but distinct
+    users up to day D = users whose FIRST event is ≤ D — one groupBy
+    per user, one per day, then a running sum over the calendar-bounded
+    daily frame."""
+    f = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min("ts").cast("date").alias("day"))
+    )
+    d = f.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("new_users"))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        d.withColumn("cum_users", F.sum("new_users").over(w).cast("bigint"))
+        .select(F.col("day").cast("timestamp").alias("day"), "new_users", "cum_users")
+        .orderBy("day")
+    )

@@ -1026,3 +1026,53 @@ def text_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("doc_id"), "n_bigrams", "avg_logp", "ppl")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "shard_plan_balanced",
+    """
+    WITH d AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, toks,
+             row_number() OVER (ORDER BY toks DESC, doc_id) AS rn
+      FROM d
+    )
+    SELECT CAST((rn - 1) % 8 AS INTEGER) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS total_tokens,
+           CAST(max(toks) AS BIGINT) AS max_tokens,
+           CAST(min(toks) AS BIGINT) AS min_tokens
+    FROM r GROUP BY (rn - 1) % 8 ORDER BY shard
+    """,
+    "curation",
+    "sharding",
+    "distributed-rank",
+)
+def shard_plan_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced training-shard plan: documents stripe across 8 shards in
+    descending token order (longest-processing-time round-robin), so
+    shard token totals stay within one document of each other — the
+    standard fix for the straggler shard a hash split produces when
+    document lengths are heavy-tailed. The global ordering comes from
+    the bucketed two-phase row_number (operators/rankstats.py), never a
+    single-partition window over the corpus."""
+    from etl_file_sync_spark.operators.rankstats import bucketed_row_number
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("toks"),
+    ).withColumn("neg_toks", -F.col("toks"))
+    r = bucketed_row_number(d, "neg_toks", ["doc_id"], out_col="rn")
+    return (
+        r.groupBy(((F.col("rn") - 1) % 8).cast("int").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("total_tokens"),
+            F.max("toks").cast("bigint").alias("max_tokens"),
+            F.min("toks").cast("bigint").alias("min_tokens"),
+        )
+        .orderBy("shard")
+    )

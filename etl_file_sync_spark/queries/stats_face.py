@@ -325,3 +325,143 @@ def stat_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("col_x", "col_y", F.round("r", 6).alias("pearson_r"))
         .orderBy("col_x", "col_y")
     )
+
+
+@register(
+    "stat_spearman_rank_corr",
+    """
+    WITH s AS (SELECT l_quantity AS q, l_extendedprice AS p FROM lineitem),
+    gq AS (SELECT q, count(*) AS c FROM s GROUP BY q),
+    rq AS (
+      SELECT q, coalesce(sum(c) OVER (ORDER BY q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (c + 1) / 2.0 AS rank_q
+      FROM gq
+    ),
+    gp AS (SELECT p, count(*) AS c FROM s GROUP BY p),
+    rp AS (
+      SELECT p, coalesce(sum(c) OVER (ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (c + 1) / 2.0 AS rank_p
+      FROM gp
+    ),
+    rr AS (
+      SELECT rq.rank_q, rp.rank_p
+      FROM s JOIN rq ON s.q = rq.q JOIN rp ON s.p = rp.p
+    ),
+    m AS (SELECT count(*) AS n, avg(rank_q) AS mq, avg(rank_p) AS mp FROM rr),
+    c AS (
+      SELECT sum((rank_q - mq) * (rank_p - mp)) AS sxy,
+             sum((rank_q - mq) * (rank_q - mq)) AS sxx,
+             sum((rank_p - mp) * (rank_p - mp)) AS syy
+      FROM rr, m
+    )
+    SELECT CAST(m.n AS BIGINT) AS n,
+           round(c.sxy / sqrt(c.sxx * c.syy), 6) AS spearman_rho
+    FROM c, m
+    """,
+    "stats",
+    "rank-test",
+    "distributed-rank",
+)
+def stat_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between l_quantity and l_extendedprice:
+    midranks for EACH variable via the bucketed two-phase rank plan over
+    its distinct values (operators/rankstats.py), joined back to the
+    fact rows, then Pearson on the ranks with two-pass centering.
+    Midranks are binary-exact halves, so both engines feed identical
+    rank pairs into the co-moments."""
+    s = t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("q"), F.col("l_extendedprice").alias("p")
+    )
+    gq = s.groupBy("q").agg(F.count(F.lit(1)).alias("c"))
+    gp = s.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+    rq = avg_ranks(gq, "q", "c").select("q", F.col("avg_rank").alias("rank_q"))
+    rp = avg_ranks(gp, "p", "c").select("p", F.col("avg_rank").alias("rank_p"))
+    rr = s.join(F.broadcast(rq), "q").join(rp, "p").select("rank_q", "rank_p")
+    m = rr.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.avg("rank_q").alias("mq"),
+        F.avg("rank_p").alias("mp"),
+    )
+    dq = F.col("rank_q") - F.col("mq")
+    dp = F.col("rank_p") - F.col("mp")
+    c = rr.crossJoin(F.broadcast(m)).agg(  # 1-row means dimension
+        F.first("n").alias("n"),
+        F.sum(dq * dp).alias("sxy"),
+        F.sum(dq * dq).alias("sxx"),
+        F.sum(dp * dp).alias("syy"),
+    )
+    return c.select(
+        "n",
+        F.round(F.col("sxy") / F.sqrt(F.col("sxx") * F.col("syy")), 6).alias("spearman_rho"),
+    )
+
+
+@register(
+    "text_zipf_fit",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    freq AS (SELECT term, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY term),
+    top AS (SELECT term, f FROM freq ORDER BY f DESC, term LIMIT 100),
+    r AS (
+      SELECT term, f, ln(row_number() OVER (ORDER BY f DESC, term)) AS lr, ln(f) AS lf
+      FROM top
+    ),
+    m AS (SELECT count(*) AS n, avg(lr) AS mr, avg(lf) AS mf FROM r),
+    c AS (
+      SELECT sum((lr - mr) * (lf - mf)) AS sxy,
+             sum((lr - mr) * (lr - mr)) AS sxx,
+             sum((lf - mf) * (lf - mf)) AS syy
+      FROM r, m
+    )
+    SELECT CAST(m.n AS BIGINT) AS n_terms,
+           round(c.sxy / c.sxx, 6) AS zipf_slope,
+           round(m.mf - (c.sxy / c.sxx) * m.mr, 6) AS intercept,
+           round(c.sxy * c.sxy / (c.sxx * c.syy), 6) AS r2
+    FROM c, m
+    """,
+    "stats",
+    "text",
+    "zipf",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus: OLS of ln(frequency) on ln(rank)
+    for the top-100 terms. The corpus reduces via a combiner-friendly
+    term count; top-100 is a TakeOrdered (no full sort), and the window
+    + regression run over exactly 100 rows. Two-pass centered algebra
+    matches the oracle to ulps."""
+    from pyspark.sql import Window as W
+
+    toks = t(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    top = freq.orderBy(F.col("f").desc(), "term").limit(100)
+    r = top.withColumn(
+        "lr", F.log(F.row_number().over(W.orderBy(F.col("f").desc(), "term")))
+    ).withColumn("lf", F.log("f"))
+    m = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.avg("lr").alias("mr"),
+        F.avg("lf").alias("mf"),
+    )
+    dr = F.col("lr") - F.col("mr")
+    df_ = F.col("lf") - F.col("mf")
+    c = r.crossJoin(F.broadcast(m)).agg(  # 1-row means over the 100-term frame
+        F.first("n_terms").alias("n_terms"),
+        F.first("mr").alias("mr"),
+        F.first("mf").alias("mf"),
+        F.sum(dr * df_).alias("sxy"),
+        F.sum(dr * dr).alias("sxx"),
+        F.sum(df_ * df_).alias("syy"),
+    )
+    slope = F.col("sxy") / F.col("sxx")
+    return c.select(
+        "n_terms",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(F.col("mf") - slope * F.col("mr"), 6).alias("intercept"),
+        F.round(F.col("sxy") * F.col("sxy") / (F.col("sxx") * F.col("syy")), 6).alias("r2"),
+    )

@@ -169,3 +169,138 @@ def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+_DAILY_REV = """
+    daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    )
+"""
+
+
+@register(
+    "ts_autocorrelation",
+    f"""
+    WITH {_DAILY_REV},
+    r AS (SELECT day, cents, row_number() OVER (ORDER BY day) AS rn FROM daily),
+    lags AS (SELECT unnest(range(1, 8)) AS lag),
+    pairs AS (
+      SELECT l.lag, a.cents AS x, b.cents AS y
+      FROM r a JOIN lags l ON true JOIN r b ON a.rn = b.rn + l.lag
+    ),
+    m AS (SELECT lag, count(*) AS n, avg(x) AS mx, avg(y) AS my FROM pairs GROUP BY lag),
+    c AS (
+      SELECT p.lag,
+             sum((p.x - m.mx) * (p.y - m.my)) AS sxy,
+             sum((p.x - m.mx) * (p.x - m.mx)) AS sxx,
+             sum((p.y - m.my) * (p.y - m.my)) AS syy
+      FROM pairs p JOIN m ON p.lag = m.lag GROUP BY p.lag
+    )
+    SELECT c.lag, CAST(m.n AS BIGINT) AS n_pairs,
+           round(c.sxy / sqrt(c.sxx * c.syy), 6) AS acf
+    FROM c JOIN m ON c.lag = m.lag ORDER BY c.lag
+    """,
+    "timeseries",
+    "autocorrelation",
+)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation (lags 1-7) of daily order revenue. The raw table
+    reduces to the calendar-bounded daily frame (a few thousand rows at
+    ANY corpus scale) before any window runs, so the row_number window
+    and the lag self-join are free; revenue is integer cents so the
+    paired co-moments are ulp-aligned with the oracle's identical
+    two-pass centered algebra."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("bigint").alias("cents"))
+    )
+    r = daily.withColumn("rn", F.row_number().over(W.orderBy("day")))
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a = r.select(F.col("rn").alias("rn_a"), F.col("cents").alias("x"))
+    b = r.select(F.col("rn").alias("rn_b"), F.col("cents").alias("y"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))  # 7-row lag dimension
+        .join(b, F.col("rn_a") == F.col("rn_b") + F.col("lag"))
+        .select("lag", "x", "y")
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+    )
+    dx = F.col("x") - F.col("mx")
+    dy = F.col("y") - F.col("my")
+    c = (
+        pairs.join(F.broadcast(m), "lag")
+        .groupBy("lag")
+        .agg(
+            F.first("n_pairs").alias("n_pairs"),
+            F.sum(dx * dy).alias("sxy"),
+            F.sum(dx * dx).alias("sxx"),
+            F.sum(dy * dy).alias("syy"),
+        )
+    )
+    return c.select(
+        "lag",
+        "n_pairs",
+        F.round(F.col("sxy") / F.sqrt(F.col("sxx") * F.col("syy")), 6).alias("acf"),
+    ).orderBy("lag")
+
+
+@register(
+    "ts_cusum_changepoint",
+    f"""
+    WITH {_DAILY_REV},
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS total FROM daily),
+    dev AS (
+      SELECT day,
+             sum(cents * (SELECT n FROM tot)) OVER (ORDER BY day)
+               - row_number() OVER (ORDER BY day) * (SELECT total FROM tot) AS d
+      FROM daily
+    ),
+    m AS (SELECT max(abs(d)) AS md FROM dev)
+    SELECT (SELECT n FROM tot) AS n_days,
+           CAST((SELECT min(day) FROM dev WHERE abs(d) = m.md) AS TIMESTAMP) AS cp_day,
+           round(m.md / (100.0 * (SELECT n FROM tot)), 4) AS max_cusum
+    FROM m
+    """,
+    "timeseries",
+    "changepoint",
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint of daily order revenue: the cumulative
+    deviation n*S_k - k*total stays in exact BIGINT cents (one terminal
+    division to dollars), so the argmax day is deterministic. Windows
+    run on the calendar-bounded daily frame only; the raw orders table
+    sees nothing but a partial-aggregated groupBy."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("bigint").alias("cents"))
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("total"),
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    dev = (
+        daily.crossJoin(F.broadcast(tot))  # 1-row totals dimension
+        .withColumn("k", F.row_number().over(W.orderBy("day")))
+        .withColumn("d", F.sum(F.col("cents") * F.col("n")).over(w) - F.col("k") * F.col("total"))
+    )
+    best = dev.agg(
+        F.max(F.struct(F.abs(F.col("d")).alias("ad"), (-F.unix_date(F.col("day"))).alias("nd"))).alias("s"),
+        F.first("n").alias("n_days"),
+    )
+    return best.select(
+        "n_days",
+        F.date_from_unix_date(-F.col("s.nd")).cast("timestamp").alias("cp_day"),
+        F.round(F.col("s.ad") / (F.lit(100.0) * F.col("n_days")), 4).alias("max_cusum"),
+    )
