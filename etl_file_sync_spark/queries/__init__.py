@@ -3,12 +3,14 @@
 from etl_file_sync_spark.queries import (  # noqa: F401
     behavior,
     advanced,
+    audit_face,
     dq,
     llm,
     llm2,
     llm3,
     llm4,
     llm5,
+    llm6,
     merge_face,
     pipeline_face,
     relational,

@@ -579,3 +579,52 @@ def win_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(F.col("day").cast("timestamp").alias("day"), "new_users", "cum_users")
         .orderBy("day")
     )
+
+
+@register(
+    "behavior_top_paths",
+    """
+    WITH e AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+      FROM events
+    ),
+    p AS (
+      SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM e WHERE rn <= 3 GROUP BY user_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_users
+    FROM p GROUP BY path ORDER BY n_users DESC, path LIMIT 10
+    """,
+    "behavior",
+    "paths",
+)
+def behavior_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 opening event paths (first three events per user, ties by
+    event_id): the per-user window is naturally partitioned, path
+    assembly is an array_sort over at most three structs, and the final
+    top-10 is a TakeOrdered — no global sort of the path table."""
+    e = t(spark, sf_dir, "events").withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("user_id").orderBy("ts", "event_id")),
+    )
+    p = (
+        e.filter(F.col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        p.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(10)
+    )

@@ -1,0 +1,96 @@
+"""Round-4 curation additions: DSIR-style importance weighting.
+
+Data Selection via Importance Resampling (Xie et al. 2023, public
+arXiv:2302.03169) scores each document by the log-likelihood ratio of a
+target language model over a corpus language model; documents that look
+like the target domain score high and get up-weighted when sampling a
+training mix. Re-expressed relationally: smoothed unigram models are two
+combiner-friendly aggregations, the per-term log-ratio is a broadcast of
+exact-integer counts, and per-document scores are one join + groupBy.
+
+The reference (`/root/reference/`) has no analytics surface (SURVEY.md
+§2.2); this extends the engine-only curation face.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_file_sync_spark.queries.registry import register, t
+
+
+@register(
+    "sample_dsir_weights",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tc AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS c_all,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_tgt
+      FROM toks GROUP BY term
+    ),
+    tot AS (
+      SELECT CAST(sum(c_all) AS BIGINT) AS n_all,
+             CAST(sum(c_tgt) AS BIGINT) AS n_tgt,
+             CAST(count(*) AS BIGINT) AS v
+      FROM tc
+    ),
+    w AS (
+      SELECT term,
+             ln(c_tgt + 1) - ln((SELECT n_tgt FROM tot) + (SELECT v FROM tot))
+           - ln(c_all + 1) + ln((SELECT n_all FROM tot) + (SELECT v FROM tot)) AS lw
+      FROM tc
+    ),
+    dt AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c FROM toks
+      GROUP BY doc_id, term
+    )
+    SELECT dt.doc_id, CAST(sum(dt.c) AS BIGINT) AS n_tokens,
+           round(sum(dt.c * w.lw), 6) AS dsir_score
+    FROM dt JOIN w ON dt.term = w.term
+    GROUP BY dt.doc_id ORDER BY dt.doc_id
+    """,
+    "curation",
+    "importance-sampling",
+)
+def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights with target = English documents: per-doc
+    sum of add-one-smoothed unigram log-likelihood ratios
+    ln(P_en(w)/P_all(w)). Term models are exact-integer counts (two
+    partial-aggregated groupBys over the token stream); the per-term
+    log weight is computed once per VOCAB entry, not per token, and the
+    doc score is one term-keyed join + groupBy — at 100 TB the vocab
+    side is the small one and AQE broadcast-joins it."""
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tc = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_all"),
+        F.sum((F.col("lang") == "en").cast("int")).cast("bigint").alias("c_tgt"),
+    )
+    tot = tc.agg(
+        F.sum("c_all").cast("bigint").alias("n_all"),
+        F.sum("c_tgt").cast("bigint").alias("n_tgt"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    w = tc.crossJoin(F.broadcast(tot)).select(  # 1-row totals dimension
+        "term",
+        (
+            F.log(F.col("c_tgt") + 1)
+            - F.log(F.col("n_tgt") + F.col("v"))
+            - F.log(F.col("c_all") + 1)
+            + F.log(F.col("n_all") + F.col("v"))
+        ).alias("lw"),
+    )
+    dt = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return (
+        dt.join(w, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.round(F.sum(F.col("c") * F.col("lw")), 6).alias("dsir_score"),
+        )
+        .orderBy("doc_id")
+    )
