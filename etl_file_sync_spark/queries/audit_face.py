@@ -174,3 +174,55 @@ def stat_gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gini"),
         F.round(F.col("top_decile") * 1.0 / F.col("total"), 6).alias("top10pct_share"),
     )
+
+
+@register(
+    "stat_decile_bands",
+    """
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+      SELECT cents, row_number() OVER (ORDER BY cents, o_custkey) AS rn FROM spend
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r)
+    SELECT CAST(1 + ((rn - 1) * 10) // (SELECT n FROM tot) AS INTEGER) AS decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(CAST(min(cents) AS BIGINT) / 100.0, 2) AS min_spend,
+           round(CAST(max(cents) AS BIGINT) / 100.0, 2) AS max_spend,
+           round(CAST(sum(cents) AS BIGINT) / 100.0, 2) AS total_spend
+    FROM r GROUP BY 1 ORDER BY decile
+    """,
+    "audit",
+    "distributed-rank",
+    "ntile",
+)
+def stat_decile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-spend decile bands — a distributed ntile(10): global
+    position from the bucketed two-phase row_number, decile =
+    1 + (rn-1)*10/n in integer arithmetic (exactly Spark's ntile
+    fill-order for n % 10 = 0; deterministic custkey tiebreak), then
+    per-decile spend stats. The naive ntile() window is the same
+    single-partition cliff the rank tests avoid."""
+    spend = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("bigint").alias("cents"))
+    )
+    r = bucketed_row_number(spend, "cents", ["o_custkey"], out_col="rn")
+    tot = r.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        r.crossJoin(F.broadcast(tot))  # 1-row count dimension
+        .groupBy(
+            (1 + F.floor(((F.col("rn") - 1) * 10) / F.col("n"))).cast("int").alias("decile")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(F.min("cents").cast("bigint") / 100.0, 2).alias("min_spend"),
+            F.round(F.max("cents").cast("bigint") / 100.0, 2).alias("max_spend"),
+            F.round(F.sum("cents").cast("bigint") / 100.0, 2).alias("total_spend"),
+        )
+        .orderBy("decile")
+    )
