@@ -97,6 +97,20 @@ HEADLINE = [
     "dedup_incremental_ingest",
     "behavior_transition_matrix",
     "graph_triangle_counts",
+    # round-4b surface: rank statistics + audits on the distributed
+    # two-phase ranking plan, curation/time-series additions
+    "stat_mannwhitney_u",
+    "stat_ks_two_sample",
+    "stat_spearman_rank_corr",
+    "stat_gini_customer_spend",
+    "stat_decile_bands",
+    "ts_autocorrelation",
+    "ts_cusum_changepoint",
+    "behavior_last_touch_attribution",
+    "shard_plan_balanced",
+    "sample_dsir_weights",
+    "text_zipf_fit",
+    "dq_benford_digits",
 ]
 
 

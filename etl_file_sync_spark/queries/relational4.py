@@ -350,3 +350,62 @@ def dq_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.min("cents").alias("lo_cents"), F.max("cents").alias("hi_cents"))
         .orderBy("bucket")
     )
+
+
+@register(
+    "agg_share_of_hierarchy",
+    """
+    WITH rev AS (
+      SELECT r.r_name AS region_name, n.n_name AS nation_name,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, n.n_name
+    )
+    SELECT region_name, nation_name,
+           round(cents / 100.0, 2) AS revenue,
+           round(cents * 1.0 / sum(cents) OVER (PARTITION BY region_name), 6)
+             AS share_of_region,
+           round(cents * 1.0 / sum(cents) OVER (), 6) AS share_of_total
+    FROM rev ORDER BY region_name, nation_name
+    """,
+    "aggregation",
+    "hierarchy",
+    "share-of-parent",
+)
+def agg_share_of_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent BI rollup: nation revenue as a share of its
+    region and of the world. The fact table collapses through one
+    combiner-friendly groupBy after broadcast dimension joins; the
+    percent-of-parent windows run over the ~25-row aggregate only.
+    Integer-cent sums keep both engines bit-identical before the two
+    terminal divisions."""
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)  # fact-fact: customer is NOT broadcastable at scale
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("bigint").alias("cents"))
+    )
+    return (
+        rev.select(
+            "region_name",
+            "nation_name",
+            F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+            F.round(
+                F.col("cents") / F.sum("cents").over(W.partitionBy("region_name")), 6
+            ).alias("share_of_region"),
+            F.round(F.col("cents") / F.sum("cents").over(W.partitionBy()), 6).alias(
+                "share_of_total"
+            ),
+        )
+        .orderBy("region_name", "nation_name")
+    )

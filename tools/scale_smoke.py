@@ -55,6 +55,10 @@ OPS = [
     "dq_snapshot_diff",
     "dedup_incremental_ingest",
     "behavior_transition_matrix",
+    # round-4b: documents-grain ops on the distributed ranking plan
+    "shard_plan_balanced",
+    "sample_dsir_weights",
+    "text_zipf_fit",
 ]
 
 TIERS = ["sf0.001", "sf0.01", "sf0.1"]
