@@ -71,7 +71,11 @@ def bucketed_cumsums(
     as new columns ``cum_<w>``. ``inclusive=False`` gives the exclusive
     prefix (sum over strictly-smaller keys)."""
     bounds = _boundaries(df, order_col, n_buckets)
-    b = df.withColumn(_BUCKET, _bucket_expr(order_col, bounds))
+    # cache: the totals collect below and the final plan both consume the
+    # bucketed frame — without it the upstream lineage (often a groupBy
+    # over the raw table) runs twice. Callers/bench own clearCache(), the
+    # same lifecycle convention as the dedup shingle caches.
+    b = df.withColumn(_BUCKET, _bucket_expr(order_col, bounds)).cache()
 
     # per-bucket totals: <= n_buckets rows — a k-row driver pull, not data
     totals = (
@@ -120,7 +124,8 @@ def bucketed_row_number(
     *tiebreak_cols)`` ascending, without a single-partition window."""
     tiebreak_cols = tiebreak_cols or []
     bounds = _boundaries(df, order_col, n_buckets)
-    b = df.withColumn(_BUCKET, _bucket_expr(order_col, bounds))
+    # cache: counts collect + final plan both read it (see bucketed_cumsums)
+    b = df.withColumn(_BUCKET, _bucket_expr(order_col, bounds)).cache()
 
     counts = b.groupBy(_BUCKET).agg(F.count(F.lit(1)).alias("c")).collect()
     if not counts:

@@ -349,16 +349,20 @@ def stat_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT rq.rank_q, rp.rank_p
       FROM s JOIN rq ON s.q = rq.q JOIN rp ON s.p = rp.p
     ),
-    m AS (SELECT count(*) AS n, avg(rank_q) AS mq, avg(rank_p) AS mp FROM rr),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
     c AS (
-      SELECT sum((rank_q - mq) * (rank_p - mp)) AS sxy,
-             sum((rank_q - mq) * (rank_q - mq)) AS sxx,
-             sum((rank_p - mp) * (rank_p - mp)) AS syy
-      FROM rr, m
+      SELECT count(*) AS n,
+             sum((rank_q - ((SELECT n FROM tot) + 1) / 2.0)
+               * (rank_p - ((SELECT n FROM tot) + 1) / 2.0)) AS sxy,
+             sum((rank_q - ((SELECT n FROM tot) + 1) / 2.0)
+               * (rank_q - ((SELECT n FROM tot) + 1) / 2.0)) AS sxx,
+             sum((rank_p - ((SELECT n FROM tot) + 1) / 2.0)
+               * (rank_p - ((SELECT n FROM tot) + 1) / 2.0)) AS syy
+      FROM rr
     )
-    SELECT CAST(m.n AS BIGINT) AS n,
+    SELECT CAST(c.n AS BIGINT) AS n,
            round(c.sxy / sqrt(c.sxx * c.syy), 6) AS spearman_rho
-    FROM c, m
+    FROM c
     """,
     "stats",
     "rank-test",
@@ -379,15 +383,14 @@ def stat_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     rq = avg_ranks(gq, "q", "c").select("q", F.col("avg_rank").alias("rank_q"))
     rp = avg_ranks(gp, "p", "c").select("p", F.col("avg_rank").alias("rank_p"))
     rr = s.join(F.broadcast(rq), "q").join(rp, "p").select("rank_q", "rank_p")
-    m = rr.agg(
+    # midranks of 1..n always sum to n(n+1)/2, so both means are exactly
+    # (n+1)/2 — no means pass over the rank frame is needed
+    tot = s.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    mean = (F.col("n") + 1) / F.lit(2.0)
+    dq = F.col("rank_q") - mean
+    dp = F.col("rank_p") - mean
+    c = rr.crossJoin(F.broadcast(tot)).agg(  # 1-row count dimension
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.avg("rank_q").alias("mq"),
-        F.avg("rank_p").alias("mp"),
-    )
-    dq = F.col("rank_q") - F.col("mq")
-    dp = F.col("rank_p") - F.col("mp")
-    c = rr.crossJoin(F.broadcast(m)).agg(  # 1-row means dimension
-        F.first("n").alias("n"),
         F.sum(dq * dp).alias("sxy"),
         F.sum(dq * dq).alias("sxx"),
         F.sum(dp * dp).alias("syy"),
