@@ -468,3 +468,61 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mf") - slope * F.col("mr"), 6).alias("intercept"),
         F.round(F.col("sxy") * F.col("sxy") / (F.col("sxx") * F.col("syy")), 6).alias("r2"),
     )
+
+
+@register(
+    "stat_trimmed_mean",
+    """
+    WITH c AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+      FROM orders
+    ),
+    r AS (
+      SELECT cents, row_number() OVER (ORDER BY cents, o_orderkey) AS rn FROM c
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r),
+    k AS (SELECT CAST((SELECT n FROM tot) // 10 AS BIGINT) AS cut),
+    kept AS (
+      SELECT cents FROM r, tot, k
+      WHERE rn > k.cut AND rn <= tot.n - k.cut
+    )
+    SELECT (SELECT n FROM tot) AS n,
+           (SELECT cut FROM k) AS trimmed_each_side,
+           round(CAST(sum(cents) AS BIGINT) / (100.0 * count(*)), 4) AS trimmed_mean,
+           round(CAST(min(cents) AS BIGINT) / 100.0, 2) AS lower_bound,
+           round(CAST(max(cents) AS BIGINT) / 100.0, 2) AS upper_bound
+    FROM kept
+    """,
+    "stats",
+    "robust",
+    "distributed-rank",
+)
+def stat_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean of order totals: global positions from the
+    bucketed two-phase row_number, drop the bottom and top n/10 rows,
+    average the integer-cent middle (exact BIGINT sum, one terminal
+    division). The robust location estimate a fraud/DQ screen uses when
+    means are outlier-poisoned; the trim bounds come back as evidence."""
+    from etl_file_sync_spark.operators.rankstats import bucketed_row_number
+
+    c = t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_orderkey",
+    )
+    r = bucketed_row_number(c, "cents", ["o_orderkey"], out_col="rn")
+    tot = r.agg(F.count(F.lit(1)).cast("bigint").alias("n")).withColumn(
+        "cut", F.floor(F.col("n") / 10).cast("bigint")
+    )
+    kept = (
+        r.crossJoin(F.broadcast(tot))  # 1-row bounds dimension
+        .filter((F.col("rn") > F.col("cut")) & (F.col("rn") <= F.col("n") - F.col("cut")))
+    )
+    return kept.agg(
+        F.first("n").alias("n"),
+        F.first("cut").alias("trimmed_each_side"),
+        F.round(
+            F.sum("cents").cast("bigint") / (100.0 * F.count(F.lit(1))), 4
+        ).alias("trimmed_mean"),
+        F.round(F.min("cents").cast("bigint") / 100.0, 2).alias("lower_bound"),
+        F.round(F.max("cents").cast("bigint") / 100.0, 2).alias("upper_bound"),
+    )

@@ -59,6 +59,13 @@ OPS = [
     "shard_plan_balanced",
     "sample_dsir_weights",
     "text_zipf_fit",
+    # round-4b: orders-grain rank statistics (orders replicate in the
+    # 10x tier with perturbed prices, so the distinct-value rank frame
+    # really grows 10x)
+    "stat_mannwhitney_u",
+    "stat_ks_two_sample",
+    "stat_gini_customer_spend",
+    "stat_decile_bands",
 ]
 
 TIERS = ["sf0.001", "sf0.01", "sf0.1"]
@@ -103,8 +110,26 @@ def synthesize_10x(spark, src_dir: str, out_dir: str, factor: int = 10) -> None:
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "embeddings.parquet"))
     )
+    # orders: replicated too (distinct keys AND distinct prices grow, so
+    # the rank-statistics ops see a genuinely larger rank frame — prices
+    # shift by rep cents to multiply the distinct-value count)
+    orders = load_table(spark, src_dir, "orders")
+    (
+        orders.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("o_orderkey") * factor + F.col("rep")).alias("o_orderkey"),
+            (F.col("o_custkey") * factor + F.col("rep")).alias("o_custkey"),
+            "o_orderstatus",
+            (F.col("o_totalprice") + F.col("rep") * 0.01).alias("o_totalprice"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "orders.parquet"))
+    )
     # remaining tables: straight copies so any query can run on the tier
-    for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events"]:
+    for t in ["region", "nation", "customer", "supplier", "part", "lineitem", "events"]:
         src = os.path.join(src_dir, f"{t}.parquet")
         if os.path.exists(src):
             dst = os.path.join(out_dir, f"{t}.parquet")
