@@ -88,6 +88,9 @@ def bucketed_cumsums(
         for w in weight_cols:
             out = out.withColumn(f"cum_{w}", F.col(w) if inclusive else F.lit(0))
         return out
+    if any(row[_BUCKET] is None for row in totals):
+        # a NULL key would silently drop at the offsets join — refuse
+        raise ValueError(f"rankstats: NULL values in order column {order_col!r}; filter them first")
     totals.sort(key=lambda r: r[_BUCKET])
     offsets, acc = [], {w: 0 for w in weight_cols}
     for row in totals:
@@ -130,6 +133,8 @@ def bucketed_row_number(
     counts = b.groupBy(_BUCKET).agg(F.count(F.lit(1)).alias("c")).collect()
     if not counts:
         return df.withColumn(out_col, F.lit(1))
+    if any(row[_BUCKET] is None for row in counts):
+        raise ValueError(f"rankstats: NULL values in order column {order_col!r}; filter them first")
     counts.sort(key=lambda r: r[_BUCKET])
     offsets, acc = [], 0
     for row in counts:

@@ -92,3 +92,13 @@ def test_bucket_count_independence(spark):
         for r in bucketed_row_number(df, "v", ["id"], n_buckets=32).collect()
     }
     assert a == b
+
+
+def test_null_order_key_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1.0, 1), (None, 2), (3.0, 3)], ["v", "id"])
+    with pytest.raises(ValueError, match="NULL"):
+        bucketed_row_number(df, "v", ["id"]).collect()
+    with pytest.raises(ValueError, match="NULL"):
+        bucketed_cumsums(df.withColumnRenamed("id", "c"), "v", ["c"]).collect()
