@@ -111,6 +111,7 @@ HEADLINE = [
     "sample_dsir_weights",
     "text_zipf_fit",
     "dq_benford_digits",
+    "stat_trimmed_mean",
 ]
 
 
