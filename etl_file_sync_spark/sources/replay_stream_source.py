@@ -19,6 +19,14 @@ Scope: the simple-reader protocol serves rows from the DRIVER (Spark
 forwards them to executors) — exactly right for bounded replay files;
 an unbounded production feed stays on the Kafka source.
 
+Both classes are defined INSIDE a factory so cloudpickle serializes
+them BY VALUE ('<locals>' qualname): `spark.dataSource.register`
+forwards the pickled class to a separate data-source planner Python
+worker that does NOT see the session's addPyFile zip — a by-reference
+pickle dies there with ModuleNotFoundError whenever the driver process
+imported this repo via sys.path alone (the correctness driver's exact
+setup; caught by tools/verify_sweep.py).
+
 Options: path (parquet file), batches (default 3).
 Schema: event_id BIGINT, ts_micros BIGINT, user_id BIGINT,
         event_type STRING, value DOUBLE — `ts_micros` is epoch-micros
@@ -28,70 +36,81 @@ Schema: event_id BIGINT, ts_micros BIGINT, user_id BIGINT,
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
-
 REPLAY_SCHEMA = (
     "event_id BIGINT, ts_micros BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
 )
 
 
-class EventsReplayDataSource(DataSource):
-    @classmethod
-    def name(cls) -> str:
-        return "events_replay"
+def make_events_replay_source() -> tuple[type, type]:
+    """Return (DataSource class, StreamReader class), both picklable by
+    value — no import of this package needed wherever they unpickle."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
 
-    def schema(self) -> str:
-        return REPLAY_SCHEMA
+    schema_str = REPLAY_SCHEMA  # close over the string, not the module global
 
-    def simpleStreamReader(self, schema) -> "EventsReplayStreamReader":
-        return EventsReplayStreamReader(self.options)
+    class ReplayStreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, options):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("events_replay source requires a 'path' option")
+            self.batches = int(options.get("batches", 3))
+            self._rows = None  # lazy: loaded once per reader instance
 
+        def initialOffset(self) -> dict:
+            return {"batch": 0}
 
-class EventsReplayStreamReader(SimpleDataSourceStreamReader):
-    def __init__(self, options):
-        self.path = options.get("path")
-        if not self.path:
-            raise ValueError("events_replay source requires a 'path' option")
-        self.batches = int(options.get("batches", 3))
-        self._rows = None  # lazy: loaded once per reader instance
+        def _load(self):
+            if self._rows is None:
+                import pandas as pd
 
-    def initialOffset(self) -> dict:
-        return {"batch": 0}
-
-    def _load(self):
-        if self._rows is None:
-            import pandas as pd
-
-            pdf = pd.read_parquet(self.path, columns=["event_id", "ts", "user_id", "event_type", "value"])
-            ts = pdf["ts"]
-            if ts.dtype == "int64":  # legacy nanos vintage
-                micros = (ts // 1000).astype("int64")
-            else:
-                micros = (ts.astype("datetime64[us]").astype("int64")).astype("int64")
-            self._rows = list(
-                zip(
-                    pdf["event_id"].astype("int64"),
-                    micros,
-                    pdf["user_id"].astype("int64"),
-                    pdf["event_type"],
-                    pdf["value"].astype("float64"),
+                pdf = pd.read_parquet(
+                    self.path, columns=["event_id", "ts", "user_id", "event_type", "value"]
                 )
-            )
-        return self._rows
+                ts = pdf["ts"]
+                if ts.dtype == "int64":  # legacy nanos vintage
+                    micros = (ts // 1000).astype("int64")
+                else:
+                    micros = (ts.astype("datetime64[us]").astype("int64")).astype("int64")
+                self._rows = list(
+                    zip(
+                        pdf["event_id"].astype("int64"),
+                        micros,
+                        pdf["user_id"].astype("int64"),
+                        pdf["event_type"],
+                        pdf["value"].astype("float64"),
+                    )
+                )
+            return self._rows
 
-    def read(self, start: dict):
-        i = int(start["batch"])
-        if i >= self.batches:
-            return iter([]), start
-        rows = self._load()
-        per = -(-len(rows) // self.batches)  # ceil
-        chunk = rows[i * per : (i + 1) * per]
-        return iter(chunk), {"batch": i + 1}
+        def read(self, start: dict):
+            i = int(start["batch"])
+            if i >= self.batches:
+                return iter([]), start
+            rows = self._load()
+            per = -(-len(rows) // self.batches)  # ceil
+            chunk = rows[i * per : (i + 1) * per]
+            return iter(chunk), {"batch": i + 1}
 
-    def readBetweenOffsets(self, start: dict, end: dict):
-        rows = self._load()
-        per = -(-len(rows) // self.batches)
-        return iter(rows[int(start["batch"]) * per : int(end["batch"]) * per])
+        def readBetweenOffsets(self, start: dict, end: dict):
+            rows = self._load()
+            per = -(-len(rows) // self.batches)
+            return iter(rows[int(start["batch"]) * per : int(end["batch"]) * per])
 
-    def commit(self, end: dict) -> None:
-        pass  # offsets are positional; nothing external to release
+        def commit(self, end: dict) -> None:
+            pass  # offsets are positional; nothing external to release
+
+    class ReplayDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "events_replay"
+
+        def schema(self) -> str:
+            return schema_str
+
+        def simpleStreamReader(self, schema):
+            return ReplayStreamReader(self.options)
+
+    return ReplayDataSource, ReplayStreamReader
+
+
+EventsReplayDataSource, EventsReplayStreamReader = make_events_replay_source()
