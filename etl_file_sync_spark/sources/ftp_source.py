@@ -14,78 +14,92 @@ partition's files are fetched over ONE control connection (connection
 setup amortized across the partition, the pooling lesson from
 pipeline/pool.py applied to scans).
 
+All classes are defined inside a factory so cloudpickle serializes them
+BY VALUE ('<locals>' qualname): registered data-source classes travel to
+a planner Python worker that ignores addPyFile, so a by-reference pickle
+dies with ModuleNotFoundError whenever the driving process imported this
+repo via sys.path alone (same gotcha as replay_stream_source.py).
+
 Options: host, port (21), user, password, path (remote dir), passive
 (true), files_per_partition (16), timeout_s (30).
 """
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
-
 FTP_FILES_SCHEMA = "path string, size bigint, content binary"
 
 
-class FTPFilePartition(InputPartition):
-    def __init__(self, names: list[str]):
-        self.names = names
+def make_ftp_files_source() -> type:
+    """Build the ftpfiles DataSource class, picklable by value."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
+    schema_str = FTP_FILES_SCHEMA
 
-class FTPFilesDataSource(DataSource):
-    @classmethod
-    def name(cls) -> str:
-        return "ftpfiles"
+    def _connect(opts):
+        import ftplib
 
-    def schema(self) -> str:
-        return FTP_FILES_SCHEMA
+        ftp = ftplib.FTP()
+        ftp.connect(
+            opts["host"], int(opts.get("port", 21)), timeout=float(opts.get("timeout_s", 30))
+        )
+        ftp.login(opts.get("user", "anonymous"), opts.get("password", ""))
+        ftp.set_pasv(str(opts.get("passive", "true")).lower() != "false")
+        return ftp
 
-    def reader(self, schema) -> "FTPFilesReader":
-        return FTPFilesReader(self.options)
+    class FTPFilePartition(InputPartition):
+        def __init__(self, names: list[str]):
+            self.names = names
 
+    class FTPFilesReader(DataSourceReader):
+        def __init__(self, options):
+            self.options = dict(options)
+            if "host" not in self.options or "path" not in self.options:
+                raise ValueError("ftpfiles source requires 'host' and 'path' options")
 
-def _connect(opts):
-    import ftplib
-
-    ftp = ftplib.FTP()
-    ftp.connect(opts["host"], int(opts.get("port", 21)), timeout=float(opts.get("timeout_s", 30)))
-    ftp.login(opts.get("user", "anonymous"), opts.get("password", ""))
-    ftp.set_pasv(str(opts.get("passive", "true")).lower() != "false")
-    return ftp
-
-
-class FTPFilesReader(DataSourceReader):
-    def __init__(self, options):
-        self.options = dict(options)
-        if "host" not in self.options or "path" not in self.options:
-            raise ValueError("ftpfiles source requires 'host' and 'path' options")
-
-    def partitions(self):
-        ftp = _connect(self.options)
-        try:
-            names = sorted(ftp.nlst(self.options["path"]))
-        finally:
-            ftp.quit()
-        per = int(self.options.get("files_per_partition", 16))
-        groups = [names[i : i + per] for i in range(0, len(names), per)]
-        return [FTPFilePartition(g) for g in groups] or [FTPFilePartition([])]
-
-    def read(self, partition):
-        if not partition.names:
-            return
-        base = self.options["path"].rstrip("/")
-        ftp = _connect(self.options)
-        try:
-            for name in partition.names:
-                # NLST may return bare names or full paths depending on server
-                remote = name if name.startswith("/") else f"{base}/{name}"
-                chunks: list[bytes] = []
-                ftp.retrbinary(f"RETR {remote}", chunks.append)
-                content = b"".join(chunks)
-                yield (remote, len(content), content)
-        finally:
+        def partitions(self):
+            ftp = _connect(self.options)
             try:
+                names = sorted(ftp.nlst(self.options["path"]))
+            finally:
                 ftp.quit()
-            except Exception:
-                ftp.close()
+            per = int(self.options.get("files_per_partition", 16))
+            groups = [names[i : i + per] for i in range(0, len(names), per)]
+            return [FTPFilePartition(g) for g in groups] or [FTPFilePartition([])]
+
+        def read(self, partition):
+            if not partition.names:
+                return
+            base = self.options["path"].rstrip("/")
+            ftp = _connect(self.options)
+            try:
+                for name in partition.names:
+                    # NLST may return bare names or full paths depending on server
+                    remote = name if name.startswith("/") else f"{base}/{name}"
+                    chunks: list[bytes] = []
+                    ftp.retrbinary(f"RETR {remote}", chunks.append)
+                    content = b"".join(chunks)
+                    yield (remote, len(content), content)
+            finally:
+                try:
+                    ftp.quit()
+                except Exception:
+                    ftp.close()
+
+    class FTPFilesDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "ftpfiles"
+
+        def schema(self) -> str:
+            return schema_str
+
+        def reader(self, schema):
+            return FTPFilesReader(self.options)
+
+    return FTPFilesDataSource
+
+
+FTPFilesDataSource = make_ftp_files_source()
 
 
 def register_ftp_source(spark) -> None:
