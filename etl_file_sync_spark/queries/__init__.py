@@ -5,6 +5,7 @@ from etl_file_sync_spark.queries import (  # noqa: F401
     advanced,
     audit_face,
     dq,
+    eval_face,
     llm,
     llm2,
     llm3,

@@ -1,0 +1,274 @@
+"""Model-evaluation face: the metrics a quality-classifier or filter
+model is judged by, computed distributed and value-exact.
+
+ROC-AUC is the Mann-Whitney statistic in disguise (AUC = (R₊ −
+n₊(n₊+1)/2) / (n₊·n₋) over midranks of the scores), so it rides the
+same bucketed two-phase rank plan as the statistics face — no
+single-partition window, exact-half midranks, bit-reproducible. Scores
+are the engine's own logistic quality probabilities QUANTIZED to their
+4-decimal rounding grain before ranking, so both engines rank identical
+values and tie-handling is deterministic.
+
+The reference (`/root/reference/`) has no analytics surface (SURVEY.md
+§2.2); this extends the engine-only evaluation surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_file_sync_spark.operators import text as X
+from etl_file_sync_spark.operators.rankstats import avg_ranks
+from etl_file_sync_spark.queries.registry import register, t
+
+_STOPLIST_SQL = "['the','a','and','of','to','in','is','that']"
+
+# shared oracle CTE: the engine's logistic quality score (4-decimal
+# grain, identical to text_quality_logistic) + the lang=en label
+_SCORED_SQL = f"""
+    f AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS raw FROM documents
+    ),
+    x AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+             least(len(raw) / 100.0, 10.0) AS len_score,
+             len(list_distinct(raw)) * 1.0 / len(raw) AS ttr,
+             len(list_filter(raw, t -> list_contains({_STOPLIST_SQL}, t))) * 1.0 / len(raw) AS stop_frac
+      FROM f
+    ),
+    scored AS (
+      SELECT doc_id, label,
+             round(1.0 / (1.0 + exp(-(-1.5 + 0.8 * len_score + 2.0 * ttr + 1.5 * stop_frac))), 4) AS score
+      FROM x
+    )
+"""
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, label, score): engine logistic quality at the 4-decimal
+    grain, labeled by lang=en."""
+    return X.with_logistic_quality(t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        (F.col("lang") == "en").cast("int").alias("label"),
+        F.round("quality_prob", 4).alias("score"),
+    )
+
+
+@register(
+    "eval_roc_auc",
+    f"""
+    WITH {_SCORED_SQL},
+    g AS (SELECT score, label, count(*) AS c FROM scored GROUP BY score, label),
+    vals AS (SELECT score, CAST(sum(c) AS BIGINT) AS cnt FROM g GROUP BY score),
+    cum AS (
+      SELECT score, cnt,
+             coalesce(sum(cnt) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (cnt + 1) / 2.0 AS avg_rank
+      FROM vals
+    ),
+    agg AS (
+      SELECT CAST(sum(CASE WHEN g.label = 1 THEN g.c ELSE 0 END) AS BIGINT) AS n_pos,
+             CAST(sum(CASE WHEN g.label = 0 THEN g.c ELSE 0 END) AS BIGINT) AS n_neg,
+             sum(CASE WHEN g.label = 1 THEN g.c * cum.avg_rank ELSE 0 END) AS r_pos
+      FROM g JOIN cum ON g.score = cum.score
+    )
+    SELECT n_pos, n_neg,
+           round((r_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * 1.0 * n_neg), 6) AS auc
+    FROM agg
+    """,
+    "eval",
+    "rank-test",
+    "distributed-rank",
+)
+def eval_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ROC-AUC of the logistic quality score against the
+    lang=en label, via the rank-sum identity: AUC = (R₊ − n₊(n₊+1)/2) /
+    (n₊·n₋) with midranks (ties = trapezoid handling). Ranks come from
+    the bucketed two-phase plan over DISTINCT score values — at any
+    corpus scale the window only ever sees the quantized score
+    vocabulary, never rows."""
+    s = _scored(spark, sf_dir)
+    g = s.groupBy("score", "label").agg(F.count(F.lit(1)).alias("c"))
+    vals = g.groupBy("score").agg(F.sum("c").cast("bigint").alias("cnt"))
+    ranked = avg_ranks(vals, "score", "cnt")
+    agg = g.join(ranked.select("score", "avg_rank"), "score").agg(
+        F.sum(F.when(F.col("label") == 1, F.col("c")).otherwise(0)).cast("bigint").alias("n_pos"),
+        F.sum(F.when(F.col("label") == 0, F.col("c")).otherwise(0)).cast("bigint").alias("n_neg"),
+        F.sum(F.when(F.col("label") == 1, F.col("c") * F.col("avg_rank")).otherwise(0.0)).alias("r_pos"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            (F.col("r_pos") - F.col("n_pos") * (F.col("n_pos") + 1) / F.lit(2.0))
+            / (F.col("n_pos") * F.lit(1.0) * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )
+
+
+@register(
+    "eval_precision_recall",
+    f"""
+    WITH {_SCORED_SQL},
+    cm AS (
+      SELECT CAST(sum(CASE WHEN score >= 0.5 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN score >= 0.5 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN score < 0.5 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN score < 0.5 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM scored
+    )
+    SELECT tp, fp, fn, tn,
+           round(tp * 1.0 / (tp + fp), 6) AS precision,
+           round(tp * 1.0 / (tp + fn), 6) AS recall,
+           round(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1,
+           round((tp + tn) * 1.0 / (tp + fp + fn + tn), 6) AS accuracy
+    FROM cm
+    """,
+    "eval",
+    "classification",
+)
+def eval_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix + precision/recall/F1/accuracy of the logistic
+    quality filter at threshold 0.5 against the lang=en label — one
+    combiner-friendly aggregation pass; the threshold compares the
+    4-decimal-quantized score so both engines make identical calls."""
+    s = _scored(spark, sf_dir)
+    pred = F.col("score") >= 0.5
+    pos = F.col("label") == 1
+    cm = s.agg(
+        F.sum((pred & pos).cast("int")).cast("bigint").alias("tp"),
+        F.sum((pred & ~pos).cast("int")).cast("bigint").alias("fp"),
+        F.sum((~pred & pos).cast("int")).cast("bigint").alias("fn"),
+        F.sum((~pred & ~pos).cast("int")).cast("bigint").alias("tn"),
+    )
+    return cm.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 6).alias("precision"),
+        F.round(F.col("tp") / (F.col("tp") + F.col("fn")), 6).alias("recall"),
+        F.round(2.0 * F.col("tp") / (2.0 * F.col("tp") + F.col("fp") + F.col("fn")), 6).alias("f1"),
+        F.round(
+            (F.col("tp") + F.col("tn"))
+            / (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")),
+            6,
+        ).alias("accuracy"),
+    )
+
+
+@register(
+    "dq_calibration_curve",
+    f"""
+    WITH {_SCORED_SQL},
+    b AS (
+      SELECT CAST(least(floor(score * 10), 9) AS INTEGER) AS bucket, score, label
+      FROM scored
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(round(score * 10000) AS BIGINT)) AS BIGINT)
+                 / (10000.0 * count(*)), 6) AS mean_predicted,
+           round(CAST(sum(label) AS BIGINT) * 1.0 / count(*), 6) AS observed_rate
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    "eval",
+    "calibration",
+)
+def dq_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the quality classifier: decile buckets of
+    the predicted probability vs the observed lang=en rate per bucket.
+    The gap between mean_predicted and observed_rate IS the calibration
+    error a filter-threshold decision needs to know. One groupBy over
+    the scored frame; bucket ids come from the quantized score so both
+    engines bucket identically."""
+    s = _scored(spark, sf_dir)
+    b = s.withColumn("bucket", F.least(F.floor(F.col("score") * 10), F.lit(9)).cast("int"))
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            # exact: 4-decimal scores sum as integer ten-thousandths, so
+            # the mean is order-insensitive (a float avg() hit a 6th-
+            # decimal rounding boundary between engines at sf0.01)
+            F.round(
+                F.sum(F.round(F.col("score") * 10000).cast("bigint")).cast("bigint")
+                / (10000.0 * F.count(F.lit(1))),
+                6,
+            ).alias("mean_predicted"),
+            F.round(F.sum("label").cast("bigint") / F.count(F.lit(1)), 6).alias("observed_rate"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "stat_anova_oneway",
+    """
+    WITH c AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    g AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(cents) AS BIGINT) AS s_g,
+             sum(cents * 1.0 * cents) AS q_g
+      FROM c GROUP BY grp
+    ),
+    tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n, CAST(sum(s_g) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS k FROM g),
+    parts AS (
+      SELECT sum(q_g - s_g * 1.0 * s_g / n_g) AS ssw,
+             sum(n_g * pow(s_g * 1.0 / n_g - (SELECT s FROM tot) * 1.0 / (SELECT n FROM tot), 2)) AS ssb
+      FROM g
+    )
+    SELECT k AS n_groups, n AS n_rows,
+           CAST(k - 1 AS BIGINT) AS df_between,
+           CAST(n - k AS BIGINT) AS df_within,
+           round((ssb / (k - 1)) / (ssw / (n - k)), 6) AS f_stat
+    FROM parts, tot
+    """,
+    "stats",
+    "anova",
+)
+def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of order totals across the five order priorities:
+    per-group sufficient statistics (count, sum, sum-of-squares in
+    integer cents) reduce the fact table in ONE combiner-friendly pass;
+    SSB/SSW and the F statistic assemble on the 5-row group frame. The
+    oracle restates the identical sufficient-statistics algebra."""
+    c = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    g = c.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("cents").cast("bigint").alias("s_g"),
+        F.sum(F.col("cents") * 1.0 * F.col("cents")).alias("q_g"),
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    parts = g.crossJoin(F.broadcast(tot)).agg(  # 1-row totals dimension
+        F.first("n").alias("n"),
+        F.first("k").alias("k"),
+        F.sum(F.col("q_g") - F.col("s_g") * 1.0 * F.col("s_g") / F.col("n_g")).alias("ssw"),
+        F.sum(
+            F.col("n_g")
+            * F.pow(F.col("s_g") * 1.0 / F.col("n_g") - F.col("s") * 1.0 / F.col("n"), 2)
+        ).alias("ssb"),
+    )
+    return parts.select(
+        F.col("k").alias("n_groups"),
+        F.col("n").alias("n_rows"),
+        (F.col("k") - 1).cast("bigint").alias("df_between"),
+        (F.col("n") - F.col("k")).cast("bigint").alias("df_within"),
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1)) / (F.col("ssw") / (F.col("n") - F.col("k"))), 6
+        ).alias("f_stat"),
+    )
