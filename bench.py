@@ -112,6 +112,11 @@ HEADLINE = [
     "text_zipf_fit",
     "dq_benford_digits",
     "stat_trimmed_mean",
+    # round-4c surface: eval + clustering + divergence
+    "eval_roc_auc",
+    "stat_kruskal_wallis",
+    "stat_js_divergence",
+    "cluster_kmeans_assign",
 ]
 
 

@@ -125,7 +125,12 @@ def _centroid_matrix(centroids: DataFrame):
 
 
 def ivf_assign(
-    df: DataFrame, centroids: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int | None = None,
+    with_score: bool = False,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (IVF coarse quantizer).
 
@@ -136,6 +141,14 @@ def ivf_assign(
     measured 60x worse at the 500k-row tier in SCALE.md.) Ties go to the
     lowest centroid_id (argmax picks the first maximum of the id-sorted
     matrix). Returns (id_col, v, centroid_id).
+
+    round_decimals quantizes the cosine BEFORE the argmax: two engines
+    computing the same double-precision cosine agree to ~1e-14, so an
+    argmax over round(cos, 9) is decided identically everywhere unless
+    two centroids genuinely tie at the 1e-9 grain — and then both sides
+    break the tie to the lowest centroid_id. That makes the assignment
+    itself oracle-checkable; None (the IVF fast path) keeps the raw
+    argmax.
     """
     import numpy as np
     import pandas as pd
@@ -150,11 +163,23 @@ def ivf_assign(
                 continue
             V = np.array(pdf["v"].tolist(), dtype=np.float64)
             Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-            best = np.argmax(Vn @ Cm.T, axis=1)
-            yield pd.DataFrame({"id": pdf["id"].values, "v": pdf["v"], "centroid_id": ids_[best]})
+            S = Vn @ Cm.T
+            if round_decimals is not None:
+                S = np.round(S, round_decimals)
+            best = np.argmax(S, axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].values,
+                    "v": pdf["v"],
+                    "centroid_id": ids_[best],
+                    "cos": S[np.arange(len(best)), best],
+                }
+            )
 
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
-    out = v.mapInPandas(assign, "id bigint, v array<double>, centroid_id bigint")
+    out = v.mapInPandas(assign, "id bigint, v array<double>, centroid_id bigint, cos double")
+    if not with_score:
+        out = out.drop("cos")
     return out.withColumnRenamed("id", id_col)
 
 

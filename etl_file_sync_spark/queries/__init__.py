@@ -4,6 +4,7 @@ from etl_file_sync_spark.queries import (  # noqa: F401
     behavior,
     advanced,
     audit_face,
+    cluster_face,
     dq,
     eval_face,
     llm,

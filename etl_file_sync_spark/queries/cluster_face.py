@@ -1,0 +1,84 @@
+"""Corpus-clustering face: distributed k-means assignment over the
+embedding table, the workhorse behind SemDeDup-style semantic curation
+(Abbas et al. 2023, arXiv:2303.09540) and topic-balanced mix planning.
+
+The scale shape is the IVF coarse quantizer's: broadcast the tiny
+(k x dim) centroid matrix, one Arrow-batched GEMM pass over the corpus
+— a narrow map stage, zero shuffle — then a combiner-friendly groupBy
+on the assigned centroid. The corpus never shuffles and is never
+collected; only k-row centroid metadata crosses the driver.
+
+Assignment is made engine-portable by quantizing the cosine to the
+1e-9 grain before the argmax (see operators/similarity.py ivf_assign):
+two engines' double-precision cosines agree to ~1e-14, so the rounded
+argmax — ties to the lowest centroid_id — is decided identically, and
+the whole clustering becomes value-exact under a SQL oracle.
+
+The reference (`/root/reference/`) has no analytics surface (SURVEY.md
+§2.2); this extends the engine-only curation face.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_file_sync_spark.operators.similarity import ivf_assign, make_centroids
+from etl_file_sync_spark.queries.registry import register, t
+
+
+@register(
+    "cluster_kmeans_assign",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    c AS (
+      SELECT CAST(vec_id / 50 AS BIGINT) AS centroid_id, v AS cv
+      FROM e WHERE vec_id % 50 = 0
+    ),
+    scored AS (
+      SELECT e.vec_id, c.centroid_id,
+             round(list_cosine_similarity(e.v, c.cv), 9) AS cos
+      FROM e CROSS JOIN c
+    ),
+    best AS (
+      SELECT vec_id, centroid_id, cos,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY cos DESC, centroid_id
+             ) AS rn
+      FROM scored
+    )
+    SELECT centroid_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(vec_id) AS BIGINT) AS member_id_sum,
+           round(avg(cos), 4) AS avg_cohesion
+    FROM best WHERE rn = 1
+    GROUP BY centroid_id
+    ORDER BY centroid_id
+    """,
+    "cluster",
+    "kmeans",
+    "embedding",
+)
+def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means cluster profile of the embedding corpus: every vector is
+    assigned to its nearest stride-seed centroid (deterministic k =
+    n/50 seed, the same seed `kmeans_centroids` refines), and each
+    cluster reports its size, exact member-id checksum, and mean
+    cosine cohesion. One GEMM map pass + one partial-aggregated
+    groupBy; the oracle recomputes the assignment relationally via a
+    cross join that only exists at oracle scale."""
+    emb = t(spark, sf_dir, "embeddings")
+    assigned = ivf_assign(
+        emb, make_centroids(emb, every=50), round_decimals=9, with_score=True
+    )
+    return (
+        assigned.groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sum("vec_id").cast("bigint").alias("member_id_sum"),
+            F.round(F.avg("cos"), 4).alias("avg_cohesion"),
+        )
+        .orderBy("centroid_id")
+    )

@@ -272,3 +272,41 @@ def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ssb") / (F.col("k") - 1)) / (F.col("ssw") / (F.col("n") - F.col("k"))), 6
         ).alias("f_stat"),
     )
+
+
+@register(
+    "eval_logloss_brier",
+    f"""
+    WITH {_SCORED_SQL},
+    clipped AS (
+      SELECT label, score,
+             least(greatest(score, 0.0001), 0.9999) AS p
+      FROM scored
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(-avg(label * ln(p) + (1 - label) * ln(1 - p)), 6) AS log_loss,
+           round(avg((score - label) * (score - label)), 6) AS brier_score
+    FROM clipped
+    """,
+    "eval",
+    "proper-scoring",
+)
+def eval_logloss_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-entropy (log-loss) and Brier score of the logistic quality
+    probability against the lang=en label — the proper scoring rules
+    that complement threshold metrics (eval_precision_recall) and
+    ranking metrics (eval_roc_auc). One aggregation pass over the
+    scored frame; the 4-decimal score grain can reach exactly 0 or 1,
+    so log-loss clips to [1e-4, 1-1e-4] in BOTH engines while Brier
+    uses the raw score."""
+    s = _scored(spark, sf_dir)
+    p = F.least(F.greatest(F.col("score"), F.lit(0.0001)), F.lit(0.9999))
+    return s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            -F.avg(F.col("label") * F.log(p) + (1 - F.col("label")) * F.log(1 - p)), 6
+        ).alias("log_loss"),
+        F.round(
+            F.avg((F.col("score") - F.col("label")) * (F.col("score") - F.col("label"))), 6
+        ).alias("brier_score"),
+    )

@@ -526,3 +526,180 @@ def stat_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("cents").cast("bigint") / 100.0, 2).alias("lower_bound"),
         F.round(F.max("cents").cast("bigint") / 100.0, 2).alias("upper_bound"),
     )
+
+
+@register(
+    "stat_kruskal_wallis",
+    """
+    WITH s AS (
+      SELECT o_orderpriority AS grp, o_totalprice AS v FROM orders
+    ),
+    g AS (SELECT grp, v, count(*) AS c FROM s GROUP BY grp, v),
+    vals AS (SELECT v, CAST(sum(c) AS BIGINT) AS cnt FROM g GROUP BY v),
+    cum AS (
+      SELECT v, cnt,
+             coalesce(sum(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (cnt + 1) / 2.0 AS avg_rank
+      FROM vals
+    ),
+    pg AS (
+      SELECT g.grp, CAST(sum(g.c) AS BIGINT) AS n,
+             sum(g.c * cum.avg_rank) AS r
+      FROM g JOIN cum ON g.v = cum.v GROUP BY g.grp
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS ntot,
+             CAST(count(*) AS BIGINT) AS k,
+             sum(r * r / n) AS s2
+      FROM pg
+    ),
+    ties AS (
+      SELECT CAST(sum(cnt * cnt * cnt - cnt) AS DOUBLE) AS tsum FROM vals
+    )
+    SELECT ntot AS n_total, k AS n_groups,
+           round(12.0 / (ntot * (ntot + 1.0)) * s2 - 3 * (ntot + 1), 6)
+             AS h_stat,
+           round((12.0 / (ntot * (ntot + 1.0)) * s2 - 3 * (ntot + 1))
+                 / (1 - tsum / (CAST(ntot AS DOUBLE) * ntot * ntot - ntot)), 6)
+             AS h_tie_adj
+    FROM tot CROSS JOIN ties
+    """,
+    "stats",
+    "rank-test",
+    "distributed-rank",
+)
+def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H (one-way ANOVA on ranks) of o_totalprice across
+    the five order priorities — the nonparametric sibling of
+    stat_anova_oneway. Midranks ride the bucketed two-phase rank plan
+    over DISTINCT prices; rank sums are half-integers, hence binary-
+    exact in any summation order, so both engines agree bit-for-bit
+    before the final 6-decimal rounding. Tie correction
+    C = 1 - sum(t^3 - t)/(N^3 - N) comes from the same (value, count)
+    frame the ranks do — no extra pass."""
+    s = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"), F.col("o_totalprice").alias("v")
+    )
+    g = s.groupBy("grp", "v").agg(F.count(F.lit(1)).alias("c"))
+    vals = g.groupBy("v").agg(F.sum("c").cast("bigint").alias("cnt"))
+    ranked = avg_ranks(vals, "v", "cnt")
+    pg = (
+        g.join(ranked.select("v", "avg_rank"), "v")
+        .groupBy("grp")
+        .agg(
+            F.sum("c").cast("bigint").alias("n"),
+            F.sum(F.col("c") * F.col("avg_rank")).alias("r"),
+        )
+    )
+    tot = pg.agg(
+        F.sum("n").cast("bigint").alias("ntot"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.col("r") * F.col("r") / F.col("n")).alias("s2"),
+    )
+    ties = vals.agg(
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("double")
+        .alias("tsum")
+    )
+    h = 12.0 / (F.col("ntot") * (F.col("ntot") + F.lit(1.0))) * F.col("s2") - 3 * (
+        F.col("ntot") + 1
+    )
+    c_corr = 1 - F.col("tsum") / (
+        F.col("ntot").cast("double") * F.col("ntot") * F.col("ntot") - F.col("ntot")
+    )
+    return (
+        tot.crossJoin(F.broadcast(ties))  # 1-row ties dimension
+        .select(
+            F.col("ntot").alias("n_total"),
+            F.col("k").alias("n_groups"),
+            F.round(h, 6).alias("h_stat"),
+            F.round(h / c_corr, 6).alias("h_tie_adj"),
+        )
+    )
+
+
+@register(
+    "stat_js_divergence",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term
+      FROM documents WHERE source IN ('src0', 'src1')
+    ),
+    cnt AS (
+      SELECT term,
+             CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM tok WHERE term <> '' GROUP BY term
+    ),
+    tot AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+             CAST(count(*) AS BIGINT) AS vocab,
+             CAST(sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS shared_vocab
+      FROM cnt
+    ),
+    terms AS (
+      SELECT ca * 1.0 / na AS p, cb * 1.0 / nb AS q,
+             (ca * 1.0 / na + cb * 1.0 / nb) / 2.0 AS m
+      FROM cnt CROSS JOIN tot
+    )
+    SELECT (SELECT na FROM tot) AS n_tokens_a,
+           (SELECT nb FROM tot) AS n_tokens_b,
+           (SELECT vocab FROM tot) AS vocab,
+           (SELECT shared_vocab FROM tot) AS shared_vocab,
+           round(sum(CASE WHEN p > 0 THEN 0.5 * p * ln(p / m) ELSE 0 END)
+                 + sum(CASE WHEN q > 0 THEN 0.5 * q * ln(q / m) ELSE 0 END), 6)
+             AS jsd_nats
+    FROM terms
+    """,
+    "stats",
+    "divergence",
+    "mix",
+)
+def stat_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the src0 and src1 unigram
+    distributions — the symmetric, bounded drift measure a mix planner
+    uses to compare corpus slices (dq_population_stability's PSI is its
+    one-sided cousin). Two combiner-friendly aggregations (term counts,
+    then totals), per-term contributions as JVM expressions, one final
+    sum: zero-probability terms contribute 0 by the KL convention, so
+    the union vocabulary needs no smoothing."""
+    from etl_file_sync_spark.operators.text import tokens
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("source").isin("src0", "src1"))
+    tok = docs.select(
+        "source", F.explode(tokens("text")).alias("term")
+    ).filter(F.col("term") != "")
+    cnt = tok.groupBy("term").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).cast("bigint").alias("ca"),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0)).cast("bigint").alias("cb"),
+    )
+    tot = cnt.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum(F.when((F.col("ca") > 0) & (F.col("cb") > 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("shared_vocab"),
+    )
+    p = F.col("ca") * 1.0 / F.col("na")
+    q = F.col("cb") * 1.0 / F.col("nb")
+    m = (p + q) / 2.0
+    terms = cnt.crossJoin(F.broadcast(tot)).select(  # 1-row totals dimension
+        "na",
+        "nb",
+        "vocab",
+        "shared_vocab",
+        F.when(F.col("ca") > 0, 0.5 * p * F.log(p / m)).otherwise(0.0).alias("pa"),
+        F.when(F.col("cb") > 0, 0.5 * q * F.log(q / m)).otherwise(0.0).alias("pb"),
+    )
+    return terms.groupBy("na", "nb", "vocab", "shared_vocab").agg(
+        F.round(F.sum("pa") + F.sum("pb"), 6).alias("jsd_nats")
+    ).select(
+        F.col("na").alias("n_tokens_a"),
+        F.col("nb").alias("n_tokens_b"),
+        "vocab",
+        "shared_vocab",
+        "jsd_nats",
+    )
