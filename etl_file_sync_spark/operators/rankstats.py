@@ -70,12 +70,14 @@ def bucketed_cumsums(
     ``order_col`` (ascending, keys assumed distinct — aggregate first),
     as new columns ``cum_<w>``. ``inclusive=False`` gives the exclusive
     prefix (sum over strictly-smaller keys)."""
-    bounds = _boundaries(df, order_col, n_buckets)
-    # cache: the totals collect below and the final plan both consume the
-    # bucketed frame — without it the upstream lineage (often a groupBy
-    # over the raw table) runs twice. Callers/bench own clearCache(), the
-    # same lifecycle convention as the dedup shingle caches.
-    b = df.withColumn(_BUCKET, _bucket_expr(order_col, bounds)).cache()
+    # cache BEFORE the quantile probe: approxQuantile, the totals collect
+    # below, and the final plan all consume this frame — uncached, the
+    # upstream lineage (often a groupBy over the raw table) would run
+    # three times. Callers/bench own clearCache(), the same lifecycle
+    # convention as the dedup shingle caches.
+    src = df.cache()
+    bounds = _boundaries(src, order_col, n_buckets)
+    b = src.withColumn(_BUCKET, _bucket_expr(order_col, bounds))
 
     # per-bucket totals: <= n_buckets rows — a k-row driver pull, not data
     totals = (
@@ -126,9 +128,10 @@ def bucketed_row_number(
     """Global 1-based ``row_number`` ordered by ``(order_col,
     *tiebreak_cols)`` ascending, without a single-partition window."""
     tiebreak_cols = tiebreak_cols or []
-    bounds = _boundaries(df, order_col, n_buckets)
-    # cache: counts collect + final plan both read it (see bucketed_cumsums)
-    b = df.withColumn(_BUCKET, _bucket_expr(order_col, bounds)).cache()
+    # cache before the quantile probe (see bucketed_cumsums)
+    src = df.cache()
+    bounds = _boundaries(src, order_col, n_buckets)
+    b = src.withColumn(_BUCKET, _bucket_expr(order_col, bounds))
 
     counts = b.groupBy(_BUCKET).agg(F.count(F.lit(1)).alias("c")).collect()
     if not counts:

@@ -183,6 +183,59 @@ def ivf_assign(
     return out.withColumnRenamed("id", id_col)
 
 
+def assign_top2(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int = 9,
+) -> DataFrame:
+    """Nearest AND second-nearest centroid per vector — the inputs a
+    simplified silhouette needs. Same broadcast-GEMM narrow map stage as
+    ivf_assign; cosines are quantized (round_decimals) before both
+    argmaxes so the (cos desc, centroid_id asc) selection is decided
+    identically in any engine. Returns (id_col, centroid_id, cos,
+    centroid_id_2nd, cos_2nd); requires >= 2 centroids.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cids, Cn = _centroid_matrix(centroids)
+    if len(cids) < 2:
+        raise ValueError("assign_top2 requires at least 2 centroids")
+    b = df.sparkSession.sparkContext.broadcast((cids, Cn))
+
+    def assign(batches):
+        ids_, Cm = b.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf["v"].tolist(), dtype=np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            S = np.round(Vn @ Cm.T, round_decimals)
+            rows = np.arange(len(S))
+            best = np.argmax(S, axis=1)  # ties -> lowest centroid_id
+            cos1 = S[rows, best]
+            S[rows, best] = -np.inf
+            second = np.argmax(S, axis=1)  # next in (cos desc, id asc)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].values,
+                    "centroid_id": ids_[best],
+                    "cos": cos1,
+                    "centroid_id_2nd": ids_[second],
+                    "cos_2nd": S[rows, second],
+                }
+            )
+
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    out = v.mapInPandas(
+        assign,
+        "id bigint, centroid_id bigint, cos double, centroid_id_2nd bigint, cos_2nd double",
+    )
+    return out.withColumnRenamed("id", id_col)
+
+
 def make_centroids(df: DataFrame, every: int = 50, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Deterministic centroid seed set: every Nth vector by id.
 

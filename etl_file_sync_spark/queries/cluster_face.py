@@ -82,3 +82,69 @@ def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("centroid_id")
     )
+
+
+@register(
+    "cluster_silhouette",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    c AS (
+      SELECT CAST(vec_id / 50 AS BIGINT) AS centroid_id, v AS cv
+      FROM e WHERE vec_id % 50 = 0
+    ),
+    scored AS (
+      SELECT e.vec_id, c.centroid_id,
+             round(list_cosine_similarity(e.v, c.cv), 9) AS cos
+      FROM e CROSS JOIN c
+    ),
+    ranked AS (
+      SELECT vec_id, centroid_id, cos,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY cos DESC, centroid_id
+             ) AS rn
+      FROM scored
+    ),
+    sil AS (
+      SELECT b.vec_id, b.centroid_id,
+             1 - b.cos AS a, 1 - s.cos AS bdist
+      FROM ranked b JOIN ranked s
+        ON b.vec_id = s.vec_id AND b.rn = 1 AND s.rn = 2
+    )
+    SELECT centroid_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           round(avg(CASE WHEN greatest(a, bdist) = 0 THEN 0
+                          ELSE (bdist - a) / greatest(a, bdist) END), 4)
+             AS avg_silhouette
+    FROM sil GROUP BY centroid_id ORDER BY centroid_id
+    """,
+    "cluster",
+    "kmeans",
+    "quality",
+)
+def cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per cluster: a = cosine
+    distance to the own centroid, b = to the runner-up centroid, s =
+    (b - a) / max(a, b) averaged over members — the standard cluster-
+    quality diagnostic at corpus scale, where true pairwise silhouette
+    is quadratic and nobody computes it. One GEMM map pass emits both
+    nearest and second-nearest (operators/similarity.py assign_top2),
+    then one partial-aggregated groupBy; the oracle re-derives top-2 by
+    window rank over the cross join it can afford at oracle scale."""
+    from etl_file_sync_spark.operators.similarity import assign_top2
+
+    emb = t(spark, sf_dir, "embeddings")
+    top2 = assign_top2(emb, make_centroids(emb, every=50))
+    a = 1 - F.col("cos")
+    b = 1 - F.col("cos_2nd")
+    s = F.when(F.greatest(a, b) == 0, 0.0).otherwise((b - a) / F.greatest(a, b))
+    return (
+        top2.select("centroid_id", s.alias("s"))
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.round(F.avg("s"), 4).alias("avg_silhouette"),
+        )
+        .orderBy("centroid_id")
+    )
