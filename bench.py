@@ -117,6 +117,8 @@ HEADLINE = [
     "stat_kruskal_wallis",
     "stat_js_divergence",
     "cluster_kmeans_assign",
+    "cluster_silhouette",
+    "mba_pair_lift",
 ]
 
 

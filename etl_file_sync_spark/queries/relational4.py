@@ -409,3 +409,85 @@ def agg_share_of_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region_name", "nation_name")
     )
+
+
+@register(
+    "mba_pair_lift",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    n_ord AS (
+      SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM items
+    ),
+    item_n AS (
+      SELECT pk, CAST(count(*) AS BIGINT) AS n_item FROM items GROUP BY pk
+    ),
+    pair_n AS (
+      SELECT a.pk AS part_a, b.pk AS part_b, CAST(count(*) AS BIGINT) AS n_ab
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk
+      HAVING count(*) >= 2
+    )
+    SELECT part_a, part_b, n_ab,
+           round(n_ab * 1.0 / n, 6) AS support,
+           round(n_ab * 1.0 / ia.n_item, 6) AS confidence,
+           round(n_ab * 1.0 * n / (ia.n_item * 1.0 * ib.n_item), 6) AS lift
+    FROM pair_n
+    JOIN item_n ia ON pair_n.part_a = ia.pk
+    JOIN item_n ib ON pair_n.part_b = ib.pk
+    CROSS JOIN n_ord
+    ORDER BY n_ab * 1.0 * n / (ia.n_item * 1.0 * ib.n_item) DESC,
+             part_a, part_b
+    LIMIT 20
+    """,
+    "basket",
+    "association",
+    "join",
+)
+def mba_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules: the 20 part pairs with the
+    highest lift among pairs co-ordered at least twice, with support
+    and confidence. The pair space comes from a SELF-JOIN of the
+    per-order item set on the order key — co-partitioned (one shuffle
+    key for both sides) and bounded: a TPC-H order holds <= 7 items,
+    so pair fan-out is C(7,2) per order, never quadratic in the table.
+    Item counts join back per pair side (shuffle-hash on part at
+    scale), the order total is a 1-row broadcast, and the top-20 is
+    TakeOrderedAndProject. Lift ties order deterministically by
+    (part_a, part_b) in both engines; all ratios are integer-derived
+    doubles, so the engines compute identical sort keys."""
+    items = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    n_ord = items.agg(F.countDistinct("ok").cast("bigint").alias("n"))
+    item_n = items.groupBy("pk").agg(F.count(F.lit(1)).cast("bigint").alias("n_item"))
+    a, b = items.alias("a"), items.alias("b")
+    pair_n = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    ia = item_n.select(F.col("pk").alias("part_a"), F.col("n_item").alias("n_a"))
+    ib = item_n.select(F.col("pk").alias("part_b"), F.col("n_item").alias("n_b"))
+    lift = F.col("n_ab") * 1.0 * F.col("n") / (F.col("n_a") * 1.0 * F.col("n_b"))
+    return (
+        pair_n.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n_ord))  # 1-row totals dimension
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(F.col("n_ab") * 1.0 / F.col("n"), 6).alias("support"),
+            F.round(F.col("n_ab") * 1.0 / F.col("n_a"), 6).alias("confidence"),
+            F.round(lift, 6).alias("lift"),
+            lift.alias("_ord"),
+        )
+        .orderBy(F.col("_ord").desc(), "part_a", "part_b")
+        .limit(20)
+        .drop("_ord")
+    )

@@ -66,6 +66,13 @@ OPS = [
     "stat_ks_two_sample",
     "stat_gini_customer_spend",
     "stat_decile_bands",
+    # round-4c: embeddings-grain clustering (embeddings replicate in the
+    # 10x tier), divergence/eval over documents, basket self-join
+    "cluster_kmeans_assign",
+    "cluster_silhouette",
+    "stat_js_divergence",
+    "eval_roc_auc",
+    "mba_pair_lift",
 ]
 
 TIERS = ["sf0.001", "sf0.01", "sf0.1"]
