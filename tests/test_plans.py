@@ -150,3 +150,53 @@ def test_rank_stats_windows_are_bucket_partitioned(spark, sf_dir):
         assert win_lines, f"{name}: expected a bucketed window in the plan"
         for line in win_lines:
             assert "_rs_bucket" in line, f"{name}: unpartitioned window: {line[:200]}"
+
+
+def test_mba_pairs_join_never_cartesian(spark, sf_dir):
+    """The basket self-join must be an equi-join on the order key (one
+    co-partitioned shuffle, bounded per-order fan-out) — a cartesian or
+    broadcast-nested-loop pair space would be quadratic in the table."""
+    from etl_file_sync_spark.plans import physical_plan
+
+    plan = physical_plan(REGISTRY["mba_pair_lift"].build(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    js = join_strategies(REGISTRY["mba_pair_lift"].build(spark, sf_dir))
+    # the only nested-loop allowed is the 1-row totals broadcast
+    assert js["broadcast_nested_loop"] <= 1
+    assert "TakeOrderedAndProject" in plan, "top-20 lift must not plan a full sort"
+
+
+def test_kmeans_assign_is_narrow_map_plus_one_agg(spark, sf_dir):
+    """Cluster profiling must keep the corpus un-shuffled until the final
+    per-centroid aggregate: one mapInPandas GEMM stage, then exactly the
+    aggregation exchange (plus AQE coalesce bookkeeping) — no join or
+    pre-assignment shuffle of the embedding table."""
+    df = REGISTRY["cluster_kmeans_assign"].build(spark, sf_dir)
+    from etl_file_sync_spark.plans import physical_plan
+
+    plan = physical_plan(df)
+    assert "MapInPandas" in plan
+    assert "Join" not in plan, "assignment must broadcast centroids, not join them"
+    assert count_exchanges(df) <= 2  # partial->final agg + output sort
+
+
+def test_kruskal_wallis_windows_are_bucket_partitioned(spark, sf_dir):
+    """Kruskal-Wallis rides the same two-phase rank plan as
+    Mann-Whitney: every window node partitions by the rank bucket."""
+    from etl_file_sync_spark.plans import physical_plan
+
+    plan = physical_plan(REGISTRY["stat_kruskal_wallis"].build(spark, sf_dir))
+    win_lines = [l for l in plan.splitlines() if "Window" in l and "windowspecdefinition" in l]
+    assert win_lines, "expected a bucketed window in the plan"
+    for line in win_lines:
+        assert "_rs_bucket" in line, f"unpartitioned window: {line[:200]}"
+
+
+def test_js_divergence_partial_aggregates(spark, sf_dir):
+    """Term counting for the divergence must map-side combine (hot
+    stopword terms would otherwise concentrate in single tasks)."""
+    from etl_file_sync_spark.plans import full_plan
+
+    plan = full_plan(REGISTRY["stat_js_divergence"].build(spark, sf_dir))
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "Window" not in plan
