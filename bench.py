@@ -119,6 +119,7 @@ HEADLINE = [
     "cluster_kmeans_assign",
     "cluster_silhouette",
     "mba_pair_lift",
+    "text_bpe_train_merges",
 ]
 
 
@@ -232,7 +233,10 @@ def main() -> None:
     # clearCache'd queries inherits their JVM old-gen/GC pressure and
     # Python-worker churn (r2→r3 "dip" 248→201 files/s was exactly this
     # context noise — the same build measures 430-500 files/s isolated).
-    files_per_sec = bench_pipeline_files(spark)
+    # best-of-2: same noise posture as the queries' min-of-3 — a single
+    # timed batch can land on a GC pause / noisy-neighbor spike and
+    # report half the steady-state rate.
+    files_per_sec = max(bench_pipeline_files(spark), bench_pipeline_files(spark))
     times = bench_queries(spark)
     out = {
         "metric": "headline query wall-clock at sf0.1 + bulk transfer throughput",

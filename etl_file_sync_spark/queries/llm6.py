@@ -94,3 +94,23 @@ def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_bpe_train_merges",
+    None,  # iterative merge training has no SQL spelling; exact
+    # pure-Python truth in tests/test_bpe.py pins every rule
+    "tokenizer",
+    "bpe",
+    "iterative",
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 20 BPE merge rules learned from the documents corpus
+    (operators/bpe.py): one combiner-friendly corpus pass to word
+    counts, then vocabulary-bounded merge iterations — pair explode +
+    partial-aggregated totals + a 1-row argmax pull + a pure-JVM greedy
+    merge fold. Deterministic (ties break lexicographically), so the
+    rule list is stable across runs and engines."""
+    from etl_file_sync_spark.operators.bpe import bpe_train
+
+    return bpe_train(t(spark, sf_dir, "documents"), num_merges=20)

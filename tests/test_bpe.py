@@ -1,0 +1,68 @@
+"""BPE merge training vs an exact pure-Python reimplementation: the
+distributed trainer (corpus pass -> vocab-bounded merge iterations)
+must reproduce the reference algorithm's rule list bit-for-bit,
+including lexicographic tie-breaks and the early stop below count 2."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from etl_file_sync_spark.operators.bpe import END, bpe_train, word_count_frame
+
+
+def python_bpe(word_counts: dict[str, int], num_merges: int):
+    vocab = {tuple(list(w) + [END]): c for w, c in word_counts.items()}
+    rules = []
+    for step in range(1, num_merges + 1):
+        pc: Counter = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        (l, r), n = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if n < 2:
+            break
+        rules.append((step, l, r, l + r, n))
+        merged_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            merged_vocab[tuple(out)] = merged_vocab.get(tuple(out), 0) + c
+        vocab = merged_vocab
+    return rules
+
+
+def test_bpe_matches_python_reference(spark, sf_dir):
+    from etl_file_sync_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = {r["word"]: r["cnt"] for r in word_count_frame(docs).collect()}
+    expected = python_bpe(wc, 12)
+    got = [
+        (r.step, r.left, r.right, r.merged, r.pair_count)
+        for r in bpe_train(docs, num_merges=12).orderBy("step").collect()
+    ]
+    assert got == expected
+    assert len(got) == 12  # the corpus supports at least 12 merges
+
+
+def test_bpe_early_stop_and_greedy_merge(spark):
+    # 'aaab' x3: pair (a,a) counts both overlapping positions (2 per
+    # word = 6) but greedy left-to-right merging collapses only ONE
+    # occurrence per word ('aa','a','b'), not two.
+    df = spark.createDataFrame([("aaab aaab aaab",)], "text string")
+    rules = bpe_train(df, num_merges=50).collect()
+    first = rules[0]
+    assert (first.left, first.right, first.pair_count) == ("a", "a", 6)
+    # next iteration sees ('aa','a') — the single-merge-per-pass proof
+    second = rules[1]
+    assert (second.left, second.right) in {("aa", "a"), ("a", "b")}
+    # merge count is finite and training stops without error
+    assert len(rules) <= 10
