@@ -18,8 +18,8 @@ corpus-bounded. Per iteration:
      greedy aggregate() HOF — the same semantics as the reference BPE
      implementation's single merge step.
 
-No Python UDFs anywhere; iteration state (the symbol frame) persists
-per step and unpersists its predecessor so lineage stays shallow.
+No Python UDFs in the training loop; each generation localCheckpoints
+so the logical plan stays one merge deep (see bpe_train).
 
 The reference (`/root/reference/`) has no analytics surface (SURVEY.md
 §2.2); this extends the engine-only LLM-data face. No SQL oracle exists
@@ -106,3 +106,75 @@ def bpe_train(df: DataFrame, num_merges: int = 20, text_col: str = "text") -> Da
         syms = _merge_pair(syms, l, r).localCheckpoint(eager=True)
     schema = "step int, left string, right string, merged string, pair_count bigint"
     return spark.createDataFrame(rules, schema=schema)
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    rules: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply learned merge rules to every document — the corpus-scale
+    half of BPE (training is a vocabulary-bounded driver loop; APPLYING
+    the tokenizer is the embarrassingly parallel pass a 100 TB corpus
+    actually pays for). One Arrow-batched mapInPandas stage with the
+    (tiny) rule list broadcast; each batch memoizes word→token-count so
+    repeated words (Zipf: most of the corpus) tokenize once per batch.
+    Returns (id_col, n_ws_tokens, n_bpe_tokens) — the whitespace and
+    BPE token counts whose ratio is the tokenizer's compression.
+
+    Chained JVM merge folds would express this declaratively, but 20
+    nested aggregate() lambdas hit the same exponential CollapseProject
+    inlining bpe_train dodges with localCheckpoint — and checkpointing
+    the full corpus 20 times is exactly the anti-pattern. The Python
+    applier is the idiomatic escape hatch here (SURVEY.md §7.3: custom
+    semantics -> mapInPandas).
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    b = spark.sparkContext.broadcast(list(rules))
+
+    def apply_rules(batches):
+        merge_rules = b.value
+
+        def word_tokens(word: str) -> int:
+            syms = list(word) + [END]
+            for l, r in merge_rules:
+                out, i = [], 0
+                n = len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == l and syms[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            # a BARE end marker is bookkeeping, but once a rule merges it
+            # into a real symbol ('e'+'</w>' -> 'e</w>') that symbol IS a
+            # token — only subtract a trailing stand-alone marker
+            return len(syms) - (1 if syms and syms[-1] == END else 0)
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            memo: dict[str, int] = {}
+            ws_counts, bpe_counts = [], []
+            for text in pdf["t"]:
+                words = [w for w in (text or "").split(" ") if w]
+                ws_counts.append(len(words))
+                total = 0
+                for w in words:
+                    c = memo.get(w)
+                    if c is None:
+                        c = memo[w] = word_tokens(w)
+                    total += c
+                bpe_counts.append(total)
+            yield pd.DataFrame(
+                {"id": pdf["id"].values, "n_ws_tokens": ws_counts, "n_bpe_tokens": bpe_counts}
+            )
+
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    out = src.mapInPandas(apply_rules, "id bigint, n_ws_tokens bigint, n_bpe_tokens bigint")
+    return out.withColumnRenamed("id", id_col)

@@ -114,3 +114,24 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_file_sync_spark.operators.bpe import bpe_train
 
     return bpe_train(t(spark, sf_dir, "documents"), num_merges=20)
+
+
+@register(
+    "text_bpe_apply_counts",
+    None,  # token counts depend on the iteratively-learned rules; the
+    # pure-Python tokenizer in tests/test_bpe.py pins every count
+    "tokenizer",
+    "bpe",
+)
+def text_bpe_apply_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with its own learned 20-rule BPE and report
+    per-document whitespace vs BPE token counts — the corpus-scale half
+    of the tokenizer (operators/bpe.py bpe_tokenize): one Arrow-batched
+    map pass with the rule list broadcast and per-batch word memoization.
+    Training cost is vocabulary-bounded; application is embarrassingly
+    parallel — the split a 100 TB tokenization actually uses."""
+    from etl_file_sync_spark.operators.bpe import bpe_tokenize, bpe_train
+
+    docs = t(spark, sf_dir, "documents")
+    rules = [(r.left, r.right) for r in bpe_train(docs, num_merges=20).orderBy("step").collect()]
+    return bpe_tokenize(docs, rules).orderBy("doc_id")

@@ -66,3 +66,45 @@ def test_bpe_early_stop_and_greedy_merge(spark):
     assert (second.left, second.right) in {("aa", "a"), ("a", "b")}
     # merge count is finite and training stops without error
     assert len(rules) <= 10
+
+
+def python_tokenize_count(word: str, rules) -> int:
+    syms = list(word) + [END]
+    for l, r in rules:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return len(syms) - (1 if syms and syms[-1] == END else 0)
+
+
+def test_bpe_tokenize_matches_python(spark, sf_dir):
+    from etl_file_sync_spark.catalog import load_table
+    from etl_file_sync_spark.operators.bpe import bpe_tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = {r["word"]: r["cnt"] for r in word_count_frame(docs).collect()}
+    rules = [(l, r) for (_s, l, r, _m, _n) in python_bpe(wc, 12)]
+    got = {
+        r.doc_id: (r.n_ws_tokens, r.n_bpe_tokens)
+        for r in bpe_tokenize(docs, rules).collect()
+    }
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    for doc_id, text in texts.items():
+        words = [w for w in text.split(" ") if w]
+        expected = (len(words), sum(python_tokenize_count(w, rules) for w in words))
+        assert got[doc_id] == expected, doc_id
+
+
+def test_bpe_tokenize_counts_merged_end_marker(spark):
+    from etl_file_sync_spark.operators.bpe import bpe_tokenize
+
+    df = spark.createDataFrame([(1, "the the")], "doc_id bigint, text string")
+    # rule chain merges 'e' with the end marker: 'the' -> t h e</w> = 3 tokens
+    out = bpe_tokenize(df, [("e", END)]).collect()[0]
+    assert (out.n_ws_tokens, out.n_bpe_tokens) == (2, 6)
