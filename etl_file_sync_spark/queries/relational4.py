@@ -491,3 +491,54 @@ def mba_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .drop("_ord")
     )
+
+
+@register(
+    "scalar_xml_extract",
+    """
+    WITH x AS (
+      SELECT o_orderkey,
+             '<order id="' || o_orderkey || '"><status>' || o_orderstatus ||
+             '</status><cents>' || CAST(round(o_totalprice * 100) AS BIGINT) ||
+             '</cents></order>' AS xml
+      FROM orders WHERE o_orderkey <= 200
+    )
+    SELECT o_orderkey, xml,
+           CAST(regexp_extract(xml, 'id="(\\d+)"', 1) AS BIGINT) AS id_back,
+           regexp_extract(xml, '<status>(.*)</status>', 1) AS status_back,
+           CAST(regexp_extract(xml, '<cents>(-?\\d+)</cents>', 1) AS BIGINT) AS cents_back
+    FROM x ORDER BY o_orderkey
+    """,
+    "scalar",
+    "xml",
+)
+def scalar_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML scalar surface (Spark 4 from_xml): serialize each order to an
+    XML fragment with JVM string expressions, then parse it back with a
+    schema'd from_xml — attribute id and both elements round-trip
+    value-exact (totals as integer cents, so no float formatting
+    skew). The oracle extracts the same fields relationally; both
+    engines construct byte-identical fragments, so the comparison pins
+    the parser, not the formatter."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    xml = F.concat(
+        F.lit('<order id="'),
+        F.col("o_orderkey").cast("string"),
+        F.lit('"><status>'),
+        F.col("o_orderstatus"),
+        F.lit("</status><cents>"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+        F.lit("</cents></order>"),
+    )
+    parsed = F.from_xml(xml, "STRUCT<_id: BIGINT, status: STRING, cents: BIGINT>")
+    return (
+        o.select(F.col("o_orderkey"), xml.alias("xml"), parsed.alias("p"))
+        .select(
+            "o_orderkey",
+            "xml",
+            F.col("p._id").alias("id_back"),
+            F.col("p.status").alias("status_back"),
+            F.col("p.cents").alias("cents_back"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -73,6 +73,10 @@ OPS = [
     "stat_js_divergence",
     "eval_roc_auc",
     "mba_pair_lift",
+    # round-4d: tokenizer — training cost is vocabulary-bounded (grows
+    # far slower than corpus bytes), application is a narrow map pass
+    "text_bpe_train_merges",
+    "text_bpe_apply_counts",
 ]
 
 TIERS = ["sf0.001", "sf0.01", "sf0.1"]
