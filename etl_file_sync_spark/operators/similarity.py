@@ -167,19 +167,16 @@ def ivf_assign(
             if round_decimals is not None:
                 S = np.round(S, round_decimals)
             best = np.argmax(S, axis=1)
-            yield pd.DataFrame(
-                {
-                    "id": pdf["id"].values,
-                    "v": pdf["v"],
-                    "centroid_id": ids_[best],
-                    "cos": S[np.arange(len(best)), best],
-                }
-            )
+            cols = {"id": pdf["id"].values, "v": pdf["v"], "centroid_id": ids_[best]}
+            if with_score:  # don't widen the IVF hot path's Arrow batches
+                cols["cos"] = S[np.arange(len(best)), best]
+            yield pd.DataFrame(cols)
 
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
-    out = v.mapInPandas(assign, "id bigint, v array<double>, centroid_id bigint, cos double")
-    if not with_score:
-        out = out.drop("cos")
+    schema = "id bigint, v array<double>, centroid_id bigint"
+    if with_score:
+        schema += ", cos double"
+    out = v.mapInPandas(assign, schema)
     return out.withColumnRenamed("id", id_col)
 
 
