@@ -211,3 +211,141 @@ def test_logloss_brier_matches_numpy(spark, toy_dir):
         float(-np.mean(y * np.log(p) + (1 - y) * np.log(1 - p))), abs=1e-5
     )
     assert got.brier_score == pytest.approx(float(np.mean((s - y) ** 2)), abs=1e-5)
+
+
+@pytest.fixture(scope="module")
+def toy_dir2(spark, tmp_path_factory):
+    """Second toy sf-dir: varied lineitem values (Spearman needs
+    variance) and a purchase-events table (Welch)."""
+    d = str(tmp_path_factory.mktemp("toy_sf2"))
+    orders = [
+        (1, 10, "O", 10.00, "1995-01-01", "1-URGENT"),
+        (2, 11, "O", 20.00, "1995-01-02", "1-URGENT"),
+        (3, 12, "F", 30.00, "1995-01-03", "1-URGENT"),
+        (4, 13, "O", 20.00, "1995-01-04", "2-HIGH"),
+        (5, 14, "F", 40.00, "1995-01-05", "2-HIGH"),
+        (6, 15, "O", 50.00, "1995-01-06", "2-HIGH"),
+        (7, 16, "F", 60.00, "1995-01-07", "3-MEDIUM"),
+        (8, 17, "O", 70.00, "1995-01-08", "3-MEDIUM"),
+        (9, 18, "F", 20.00, "1995-01-09", "3-MEDIUM"),
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "CAST(o_orderdate AS DATE) AS o_orderdate", "o_orderpriority",
+    ).coalesce(1).write.parquet(os.path.join(d, "orders.parquet"))
+
+    li = [  # (orderkey, partkey, quantity, extendedprice) — monotone-ish with ties
+        (1, 1, 1.0, 100.0), (1, 2, 2.0, 150.0), (2, 1, 3.0, 150.0),
+        (2, 2, 4.0, 300.0), (3, 1, 4.0, 500.0), (3, 2, 6.0, 450.0),
+        (4, 3, 7.0, 700.0), (5, 3, 8.0, 650.0),
+    ]
+    spark.createDataFrame(
+        li, "l_orderkey bigint, l_partkey bigint, l_quantity double, l_extendedprice double"
+    ).coalesce(1).write.parquet(os.path.join(d, "lineitem.parquet"))
+
+    ev = [  # (event_id, ts, user_id, event_type, value)
+        (1, "2024-01-01 10:00:00", 2, "purchase", 10.0),
+        (2, "2024-01-01 10:01:00", 4, "purchase", 20.0),
+        (3, "2024-01-01 10:02:00", 6, "purchase", 35.0),
+        (4, "2024-01-01 10:03:00", 8, "purchase", 15.0),
+        (5, "2024-01-01 10:04:00", 1, "purchase", 50.0),
+        (6, "2024-01-01 10:05:00", 3, "purchase", 65.0),
+        (7, "2024-01-01 10:06:00", 5, "purchase", 40.0),
+        (8, "2024-01-01 10:07:00", 7, "view", 99.0),
+    ]
+    spark.createDataFrame(
+        ev, "event_id bigint, ts string, user_id bigint, event_type string, value double"
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type", "value",
+        "'{}' AS props",
+    ).coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+def _midranks(values):
+    s = sorted(values)
+    return {
+        v: sum(i + 1 for i, x in enumerate(s) if x == v) / s.count(v)
+        for v in set(s)
+    }
+
+
+def test_mannwhitney_u_matches_pairwise_definition(spark, toy_dir2):
+    rows = {r.variant: r for r in
+            REGISTRY["stat_mannwhitney_u"].build(spark, toy_dir2).collect()}
+    a = [10.0, 30.0, 40.0, 60.0, 20.0]  # even custkeys 10,12,14,16,18
+    b = [20.0, 20.0, 50.0, 70.0]        # odd custkeys 11,13,15,17
+    u_a = sum(1.0 if x > y else 0.5 if x == y else 0.0 for x in a for y in b)
+    assert rows["A"].n == len(a) and rows["B"].n == len(b)
+    assert rows["A"].u_stat == pytest.approx(u_a, abs=1e-6)
+    assert rows["B"].u_stat == pytest.approx(len(a) * len(b) - u_a, abs=1e-6)
+    mr = _midranks(a + b)
+    assert rows["A"].rank_sum == pytest.approx(sum(mr[x] for x in a), abs=1e-6)
+
+
+def test_ks_two_sample_matches_ecdf_definition(spark, toy_dir2):
+    got = REGISTRY["stat_ks_two_sample"].build(spark, toy_dir2).collect()[0]
+    a = sorted([10.0, 30.0, 40.0, 60.0, 20.0])
+    b = sorted([20.0, 20.0, 50.0, 70.0])
+    vals = sorted(set(a + b))
+    gaps = {
+        v: abs(sum(x <= v for x in a) / len(a) - sum(x <= v for x in b) / len(b))
+        for v in vals
+    }
+    d = max(gaps.values())
+    at = min(v for v, g in gaps.items() if g == pytest.approx(d))
+    assert (got.n_a, got.n_b) == (len(a), len(b))
+    assert got.ks_d == pytest.approx(d, abs=1e-6)
+    assert got.at_value == pytest.approx(at, abs=1e-9)
+
+
+def test_anova_f_matches_direct_formula(spark, toy_dir2):
+    got = REGISTRY["stat_anova_oneway"].build(spark, toy_dir2).collect()[0]
+    groups = [[1000, 2000, 3000], [2000, 4000, 5000], [6000, 7000, 2000]]  # cents
+    n = sum(len(g) for g in groups)
+    k = len(groups)
+    grand = sum(sum(g) for g in groups) / n
+    ssb = sum(len(g) * (sum(g) / len(g) - grand) ** 2 for g in groups)
+    ssw = sum(sum((x - sum(g) / len(g)) ** 2 for x in g) for g in groups)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert (got.n_groups, got.n_rows) == (k, n)
+    assert got.f_stat == pytest.approx(f, abs=1e-4)
+
+
+def test_gini_matches_direct_formula(spark, toy_dir2):
+    got = REGISTRY["stat_gini_customer_spend"].build(spark, toy_dir2).collect()[0]
+    # one order per customer → spend = order cents, sorted asc (custkey ties)
+    spend = sorted([1000, 2000, 3000, 2000, 4000, 5000, 6000, 7000, 2000])
+    n, total = len(spend), sum(spend)
+    gini = 2.0 * sum((i + 1) * x for i, x in enumerate(spend)) / (n * total) - (n + 1) / n
+    top = sum(x for i, x in enumerate(spend) if (i + 1) > 0.9 * n)
+    assert got.n_customers == n
+    assert got.gini == pytest.approx(gini, abs=1e-5)
+    assert got.top10pct_share == pytest.approx(top / total, abs=1e-5)
+
+
+def test_welch_t_matches_numpy(spark, toy_dir2):
+    got = REGISTRY["stat_ab_welch_ttest"].build(spark, toy_dir2).collect()[0]
+    a = np.array([10.0, 20.0, 35.0, 15.0])  # even user_ids
+    b = np.array([50.0, 65.0, 40.0])        # odd user_ids
+    va, vb = a.var(ddof=1) / len(a), b.var(ddof=1) / len(b)
+    t = (a.mean() - b.mean()) / math.sqrt(va + vb)
+    df = (va + vb) ** 2 / (va**2 / (len(a) - 1) + vb**2 / (len(b) - 1))
+    assert (got.n_a, got.n_b) == (len(a), len(b))
+    assert got.t_stat == pytest.approx(t, abs=1e-3)
+    assert got.df_welch == pytest.approx(df, abs=5.1e-3)  # query rounds to 2dp
+
+
+def test_spearman_matches_numpy_midranks(spark, toy_dir2):
+    got = REGISTRY["stat_spearman_rank_corr"].build(spark, toy_dir2).collect()[0]
+    q = [1.0, 2.0, 3.0, 4.0, 4.0, 6.0, 7.0, 8.0]
+    p = [100.0, 150.0, 150.0, 300.0, 500.0, 450.0, 700.0, 650.0]
+    mq, mp = _midranks(q), _midranks(p)
+    rq = np.array([mq[x] for x in q])
+    rp = np.array([mp[x] for x in p])
+    rho = float(np.corrcoef(rq, rp)[0, 1])
+    assert got.spearman_rho == pytest.approx(rho, abs=1e-5)
