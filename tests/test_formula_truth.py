@@ -349,3 +349,24 @@ def test_spearman_matches_numpy_midranks(spark, toy_dir2):
     rp = np.array([mp[x] for x in p])
     rho = float(np.corrcoef(rq, rp)[0, 1])
     assert got.spearman_rho == pytest.approx(rho, abs=1e-5)
+
+
+def test_autocorrelation_matches_numpy_lagged_pearson(spark, toy_dir2):
+    rows = REGISTRY["ts_autocorrelation"].build(spark, toy_dir2).collect()
+    cents = np.array([1000, 2000, 3000, 2000, 4000, 5000, 6000, 7000, 2000], dtype=float)
+    for r in rows:
+        x, y = cents[r.lag:], cents[:-r.lag]  # pair (t, t-lag)
+        assert r.n_pairs == len(x)
+        assert r.acf == pytest.approx(float(np.corrcoef(x, y)[0, 1]), abs=1e-5)
+    assert {r.lag for r in rows} == set(range(1, 8))
+
+
+def test_cusum_changepoint_matches_numpy(spark, toy_dir2):
+    got = REGISTRY["ts_cusum_changepoint"].build(spark, toy_dir2).collect()[0]
+    cents = np.array([1000, 2000, 3000, 2000, 4000, 5000, 6000, 7000, 2000], dtype=np.int64)
+    n, total = len(cents), cents.sum()
+    d = n * np.cumsum(cents) - np.arange(1, n + 1) * total
+    k = int(np.argmax(np.abs(d)))  # earliest day attaining the max
+    assert got.n_days == n
+    assert str(got.cp_day)[:10] == f"1995-01-0{k + 1}"
+    assert got.max_cusum == pytest.approx(abs(d[k]) / (100.0 * n), abs=1e-3)
