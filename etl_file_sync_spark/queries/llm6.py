@@ -135,3 +135,95 @@ def text_bpe_apply_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     rules = [(r.left, r.right) for r in bpe_train(docs, num_merges=20).orderBy("step").collect()]
     return bpe_tokenize(docs, rules).orderBy("doc_id")
+
+
+@register(
+    "corpus_dedup_pipeline",
+    """
+    WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, array_to_string(w[i+1:i+3], ' ') AS s
+      FROM d, UNNEST(range(0, greatest(len(w) - 2, 1))) AS u(i)
+      WHERE array_to_string(w[i+1:i+3], ' ') <> ''
+    ),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM common JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+      WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.5
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach AS (
+      SELECT id, id AS r FROM nodes
+      UNION
+      SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    ),
+    comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT doc.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN comp.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_in_clusters,
+           CAST(sum(CASE WHEN comp.doc_id IS NOT NULL
+                          AND comp.doc_id <> comp.cluster_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CAST(count(*)
+                - sum(CASE WHEN comp.doc_id IS NOT NULL
+                            AND comp.doc_id <> comp.cluster_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN comp.doc_id IS NULL
+                          OR comp.doc_id = comp.cluster_id
+                         THEN doc.n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+    FROM documents doc LEFT JOIN comp ON doc.doc_id = comp.doc_id
+    GROUP BY doc.source ORDER BY doc.source
+    """,
+    "dedup",
+    "pipeline",
+    "composed",
+)
+def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed near-dedup pipeline a corpus actually runs, end to
+    end in one DAG: shingle-blocked Jaccard pairs (>=0.5) -> alternating
+    -star connected components -> min-id canonical survivors -> a
+    per-source retention report (docs, clustered, dropped, kept, kept
+    chars). Every stage is the registered operator the face exposes
+    individually (operators/dedup.py jaccard_pairs, operators/cluster.py
+    dedup_clusters); this query pins that they COMPOSE — the oracle
+    restates the full chain including the recursive-CTE closure."""
+    from etl_file_sync_spark.operators.cluster import dedup_clusters
+    from etl_file_sync_spark.operators.dedup import jaccard_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.5)
+    cl = dedup_clusters(docs.select("doc_id", "source", "n_chars"), pairs)
+    # "in a cluster" = the doc's component has >1 member (singletons keep
+    # their own id, so size is the flat way to tell them apart)
+    sizes = cl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    flagged = cl.join(sizes, "cluster_id").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.col("sz") > 1).alias("in_cluster"),
+        ((F.col("sz") > 1) & ~F.col("is_canonical")).alias("dropped"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("in_cluster").cast("int")).cast("bigint").alias("n_in_clusters"),
+            F.sum(F.col("dropped").cast("int")).cast("bigint").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.sum(F.col("dropped").cast("int")))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(~F.col("dropped"), F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
