@@ -108,3 +108,32 @@ def test_bpe_tokenize_counts_merged_end_marker(spark):
     # rule chain merges 'e' with the end marker: 'the' -> t h e</w> = 3 tokens
     out = bpe_tokenize(df, [("e", END)]).collect()[0]
     assert (out.n_ws_tokens, out.n_bpe_tokens) == (2, 6)
+
+
+def test_bpe_property_random_corpora(spark):
+    """Hypothesis-style sweep without per-example Spark jobs: a batch of
+    adversarial corpora (repeats, overlaps, single chars, shared
+    prefixes/suffixes) each trained distributed and checked against the
+    pure-Python reference rule-for-rule."""
+    corpora = [
+        "ab ab ab ba",
+        "aaaa aaaa aa",
+        "x y z x y z x y",
+        "abc abd abe abc",
+        "q",
+        "pre fix pre fix suf fix",
+        "ababab bababa ababab",
+        "one two one two three three",
+    ]
+    for text in corpora:
+        df = spark.createDataFrame([(text,)], "text string")
+        wc: dict[str, int] = {}
+        for w in text.split(" "):
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+        expected = python_bpe(wc, 8)
+        got = [
+            (r.step, r.left, r.right, r.merged, r.pair_count)
+            for r in bpe_train(df, num_merges=8).orderBy("step").collect()
+        ]
+        assert got == expected, text
