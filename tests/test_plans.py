@@ -200,3 +200,46 @@ def test_js_divergence_partial_aggregates(spark, sf_dir):
     plan = full_plan(REGISTRY["stat_js_divergence"].build(spark, sf_dir))
     assert "partial_count" in plan or "partial_sum" in plan
     assert "Window" not in plan
+
+
+def test_runtime_bloom_filter_join_injects(spark, sf_dir):
+    """100 TB posture: Spark's runtime Bloom-filter injection (row-level
+    runtime filtering) fires for a selective-dimension shuffle join. In
+    production the defaults gate on a >=10 GB application-side scan, so
+    a 100 TB lineitem qualifies with stock configs; locally we lower
+    that threshold (and disable broadcast, which would otherwise win at
+    toy scale) purely to make the machinery observable."""
+    from pyspark.sql import functions as F
+
+    from etl_file_sync_spark.catalog import load_table
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "bloom filter did not inject"
+        # the filter guards the FACT scan (application side), keyed on the join key
+        line = next(l for l in plan.splitlines() if "might_contain" in l)
+        assert "l_orderkey" in line
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
