@@ -243,3 +243,26 @@ def test_runtime_bloom_filter_join_injects(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_injects(spark, sf_dir, tmp_path):
+    """100 TB posture: a selective dimension predicate prunes fact
+    PARTITIONS at runtime (DPP) — the fact scan's PartitionFilters gain
+    a dynamicpruning subquery fed by the broadcast dimension, so a
+    partitioned 100 TB fact reads only the partitions the dim selects."""
+    from pyspark.sql import functions as F
+
+    from etl_file_sync_spark.catalog import load_table
+
+    part_dir = str(tmp_path / "orders_part")
+    load_table(spark, sf_dir, "orders").write.partitionBy("o_orderstatus").parquet(part_dir)
+    fact = spark.read.parquet(part_dir)
+    dim = spark.createDataFrame(
+        [("F", "keep"), ("O", "drop"), ("P", "drop")], "st string, tag string"
+    ).filter(F.col("tag") == "keep")  # the selective predicate DPP requires
+    j = fact.join(dim, fact.o_orderstatus == dim.st).groupBy("st").count()
+    plan = j._jdf.queryExecution().toString()
+    assert "dynamicpruning" in plan.lower(), "dynamic partition pruning did not inject"
+    scan_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("dynamicpruning" in l.lower() for l in plan.splitlines() if "Filter" in l or "PartitionFilters" in l)
+    assert scan_lines, "expected a partitioned fact scan in the plan"
