@@ -628,3 +628,55 @@ def behavior_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_users").desc(), "path")
         .limit(10)
     )
+
+
+@register(
+    "behavior_inter_event_gaps",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)
+               AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           quantile_cont(CAST(gap_us AS BIGINT), 0.5) AS med_gap_us,
+           quantile_cont(CAST(gap_us AS BIGINT), 0.9) AS p90_gap_us,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us
+    FROM s WHERE gap_us IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+    "behavior",
+    "window",
+    "percentile",
+)
+def behavior_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event dwell time per event type: each event's gap to the
+    SAME USER's previous event (event-time lag window, event_id
+    tiebreak), summarized as exact median/p90/max seconds per type of
+    the later event — the cadence profile a sessionization threshold is
+    tuned against. The window partitions by user (shuffle on user_id,
+    bounded state per user); gaps are exact integer MICROSECONDS
+    (sub-second components truncate differently in any seconds
+    spelling), so the interpolated percentiles agree bit-for-bit."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "event_type",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.expr("percentile(gap_us, 0.5)").alias("med_gap_us"),
+            F.expr("percentile(gap_us, 0.9)").alias("p90_gap_us"),
+            F.max("gap_us").cast("bigint").alias("max_gap_us"),
+        )
+        .orderBy("event_type")
+    )
