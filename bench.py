@@ -1,14 +1,26 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ..., "pipeline_files_per_sec": N}
+Prints ONE JSON line with the per-query map FIRST and the headline
+totals (value / sf / pipeline_files_per_sec) LAST — the driver records
+a bounded TAIL of stdout, and round 4's official record lost its
+headline number because the totals sat at the front of a line that had
+outgrown the tail window (BENCH_r04.json parsed: null):
+  {"metric": ..., "unit": "sec", "method": ..., "queries": {name: sec, ...},
+   "reference_files_per_sec": 21.73, "sf": ...,
+   "pipeline_files_per_sec": N, "value": <total sec>}
 
 pipeline_files_per_sec is the apples-to-apples number against the
 reference's bulk benchmark (21.73 files/sec over 1,000 files,
 /root/reference/README.md:478): 1,000 real local→local file transfers
 through the full parse→validate→enrich→transfer pipeline.
+
+Methodology (stated in the "method" field since round 5): per-query
+wall time is min-of-3; bulk transfer throughput is best-of-2. Both
+exist to ride out this box's documented ~2x run-to-run noise. Bulk was
+a SINGLE measured batch through round 3 (r1 248, r2 248, r3 201
+files/s) and best-of-2 from round 4 on — r4+ bulk numbers are not
+directly comparable to the single-run r1–r3 series.
 """
 
 from __future__ import annotations
@@ -238,14 +250,17 @@ def main() -> None:
     # report half the steady-state rate.
     files_per_sec = max(bench_pipeline_files(spark), bench_pipeline_files(spark))
     times = bench_queries(spark)
+    # totals LAST in the emitted line: the driver keeps a bounded tail of
+    # stdout, so the headline numbers must survive front truncation
     out = {
         "metric": "headline query wall-clock at sf0.1 + bulk transfer throughput",
-        "value": round(sum(times.values()), 3),
         "unit": "sec",
+        "method": "queries min-of-3; bulk best-of-2 (single-run through r3)",
         "queries": times,
+        "reference_files_per_sec": 21.73,
         "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
         "pipeline_files_per_sec": files_per_sec,
-        "reference_files_per_sec": 21.73,
+        "value": round(sum(times.values()), 3),
     }
     print(json.dumps(out))
 

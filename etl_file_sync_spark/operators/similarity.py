@@ -144,10 +144,13 @@ def ivf_assign(
 
     round_decimals quantizes the cosine BEFORE the argmax: two engines
     computing the same double-precision cosine agree to ~1e-14, so an
-    argmax over round(cos, 9) is decided identically everywhere unless
-    two centroids genuinely tie at the 1e-9 grain — and then both sides
-    break the tie to the lowest centroid_id. That makes the assignment
-    itself oracle-checkable; None (the IVF fast path) keeps the raw
+    argmax over round(cos, 9) is decided identically with overwhelming
+    probability — a cross-engine flip needs two cosines within ~1e-14
+    of each other that ALSO straddle a 0.5e-9 rounding boundary, a
+    measure-~1e-5 coincidence per near-tie (and a genuine tie at the
+    1e-9 grain breaks to the lowest centroid_id on both sides). This is
+    a probabilistic guarantee, not a certainty — accepted for the
+    oracle-checkable spelling; None (the IVF fast path) keeps the raw
     argmax.
     """
     import numpy as np

@@ -656,9 +656,9 @@ def behavior_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 def behavior_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-event dwell time per event type: each event's gap to the
     SAME USER's previous event (event-time lag window, event_id
-    tiebreak), summarized as exact median/p90/max seconds per type of
-    the later event — the cadence profile a sessionization threshold is
-    tuned against. The window partitions by user (shuffle on user_id,
+    tiebreak), summarized as exact median/p90/max MICROSECONDS per type
+    of the later event (med_gap_us/p90_gap_us/max_gap_us) — the cadence
+    profile a sessionization threshold is tuned against. The window partitions by user (shuffle on user_id,
     bounded state per user); gaps are exact integer MICROSECONDS
     (sub-second components truncate differently in any seconds
     spelling), so the interpolated percentiles agree bit-for-bit."""

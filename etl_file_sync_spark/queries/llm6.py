@@ -105,15 +105,19 @@ def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     "iterative",
 )
 def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First 20 BPE merge rules learned from the documents corpus
-    (operators/bpe.py): one combiner-friendly corpus pass to word
-    counts, then vocabulary-bounded merge iterations — pair explode +
-    partial-aggregated totals + a 1-row argmax pull + a pure-JVM greedy
-    merge fold. Deterministic (ties break lexicographically), so the
-    rule list is stable across runs and engines."""
+    """BPE merge rules learned from the documents corpus at a
+    production-posture merge budget (num_merges=1000; the synthetic
+    corpus's vocabulary early-stops training once no pair occurs twice):
+    ONE combiner-friendly corpus pass reduces the corpus to its
+    vocabulary-bounded (word, count) frame, collected once, then the
+    merge loop runs driver-local with incremental pair-count updates
+    (operators/bpe.py train_rules_local) — zero Spark jobs per merge, so
+    the merge budget costs driver microseconds, not cluster round-trips.
+    Deterministic (ties break lexicographically), so the rule list is
+    stable across runs and engines."""
     from etl_file_sync_spark.operators.bpe import bpe_train
 
-    return bpe_train(t(spark, sf_dir, "documents"), num_merges=20)
+    return bpe_train(t(spark, sf_dir, "documents"), num_merges=1000)
 
 
 @register(
@@ -124,16 +128,18 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bpe",
 )
 def text_bpe_apply_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenize the corpus with its own learned 20-rule BPE and report
+    """Tokenize the corpus with its own learned BPE rules and report
     per-document whitespace vs BPE token counts — the corpus-scale half
     of the tokenizer (operators/bpe.py bpe_tokenize): one Arrow-batched
     map pass with the rule list broadcast and per-batch word memoization.
-    Training cost is vocabulary-bounded; application is embarrassingly
-    parallel — the split a 100 TB tokenization actually uses."""
-    from etl_file_sync_spark.operators.bpe import bpe_tokenize, bpe_train
+    Training is one corpus pass + a driver-local merge loop (building
+    this query costs exactly one extra Spark job); application is
+    embarrassingly parallel — the split a 100 TB tokenization uses."""
+    from etl_file_sync_spark.operators.bpe import bpe_tokenize, train_rules_local, word_count_frame
 
     docs = t(spark, sf_dir, "documents")
-    rules = [(r.left, r.right) for r in bpe_train(docs, num_merges=20).orderBy("step").collect()]
+    wc = [(r["word"], r["cnt"]) for r in word_count_frame(docs).collect()]
+    rules = [(l, r) for (_s, l, r, _m, _n) in train_rules_local(wc, 20)]
     return bpe_tokenize(docs, rules).orderBy("doc_id")
 
 
@@ -141,11 +147,20 @@ def text_bpe_apply_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_dedup_pipeline",
     """
     WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    sh AS (
+    sh_all AS (
       SELECT DISTINCT doc_id AS id, array_to_string(w[i+1:i+3], ' ') AS s
       FROM d, UNNEST(range(0, greatest(len(w) - 2, 1))) AS u(i)
       WHERE array_to_string(w[i+1:i+3], ' ') <> ''
     ),
+    -- stop-shingle cut (max_df_frac=0.5), restating the Spark side's
+    -- default: shingles present in more than half of all docs are
+    -- dropped BEFORE the self-join, and per-doc set sizes are counted
+    -- AFTER the cut (standard stopword-removal semantics)
+    hot AS (
+      SELECT s FROM sh_all GROUP BY s
+      HAVING count(*) > 0.5 * (SELECT count(*) FROM documents)
+    ),
+    sh AS (SELECT id, s FROM sh_all WHERE s NOT IN (SELECT s FROM hot)),
     sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
     common AS (
       SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
@@ -195,7 +210,11 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     chars). Every stage is the registered operator the face exposes
     individually (operators/dedup.py jaccard_pairs, operators/cluster.py
     dedup_clusters); this query pins that they COMPOSE — the oracle
-    restates the full chain including the recursive-CTE closure."""
+    restates the full chain including jaccard_pairs' default
+    stop-shingle cut (max_df_frac=0.5; without it a boilerplate-heavy
+    corpus would silently diverge, round-4 ADVICE) and the
+    recursive-CTE closure. tests/test_scale_ops.py pins the agreement
+    ON a boilerplate-heavy corpus where the cut actually fires."""
     from etl_file_sync_spark.operators.cluster import dedup_clusters
     from etl_file_sync_spark.operators.dedup import jaccard_pairs
 

@@ -1,13 +1,22 @@
-"""BPE merge training vs an exact pure-Python reimplementation: the
-distributed trainer (corpus pass -> vocab-bounded merge iterations)
+"""BPE merge training vs an exact pure-Python reimplementation: both
+trainers — the default (one corpus pass -> driver-local incremental
+merge loop) and the distributed fallback (one Spark job per merge) —
 must reproduce the reference algorithm's rule list bit-for-bit,
-including lexicographic tie-breaks and the early stop below count 2."""
+including lexicographic tie-breaks and the early stop below count 2,
+at production merge budgets (num_merges=1000)."""
 
 from __future__ import annotations
 
+import random
 from collections import Counter
 
-from etl_file_sync_spark.operators.bpe import END, bpe_train, word_count_frame
+from etl_file_sync_spark.operators.bpe import (
+    END,
+    bpe_train,
+    bpe_train_distributed,
+    train_rules_local,
+    word_count_frame,
+)
 
 
 def python_bpe(word_counts: dict[str, int], num_merges: int):
@@ -66,6 +75,47 @@ def test_bpe_early_stop_and_greedy_merge(spark):
     assert (second.left, second.right) in {("aa", "a"), ("a", "b")}
     # merge count is finite and training stops without error
     assert len(rules) <= 10
+
+
+def test_bpe_thousand_merges_bit_identical():
+    """The round-5 production-posture gate: 1000 merge rules, learned by
+    the incremental driver-local trainer, bit-identical to the naive
+    recount-per-step reference. The synthetic vocabulary (seeded; every
+    word count >=2 so every pair has support >=2) sustains the full
+    1000-merge budget — the sf testdata corpus early-stops at ~107."""
+    rng = random.Random(7)
+    wc = {}
+    while len(wc) < 800:
+        w = "".join(rng.choice("abcdefgh") for _ in range(rng.randint(12, 18)))
+        if w not in wc:
+            wc[w] = 2 + len(wc) % 3
+    expected = python_bpe(wc, 1000)
+    got = train_rules_local(list(wc.items()), 1000)
+    assert got == expected
+    assert len(got) == 1000
+
+
+def test_bpe_distributed_fallback_matches_local(spark):
+    """The per-merge-Spark-job fallback must learn the identical rule
+    list, and must not leak checkpoint generations: after training, at
+    most ONE trainer-created RDD may remain persisted (the stale-
+    generation unpersist), not one per merge step."""
+    sc = spark.sparkContext
+    text = "low lower lowest newer newest wider widest low lower newer"
+    df = spark.createDataFrame([(text,)], "text string")
+    wc: dict[str, int] = {}
+    for w in text.split(" "):
+        wc[w] = wc.get(w, 0) + 1
+    expected = python_bpe(wc, 10)
+    before = {k for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    got = [
+        (r.step, r.left, r.right, r.merged, r.pair_count)
+        for r in bpe_train_distributed(df, num_merges=10).orderBy("step").collect()
+    ]
+    after = {k for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    assert got == expected
+    assert got == train_rules_local(list(wc.items()), 10)
+    assert len(after - before) <= 1, "stale checkpoint generations leaked"
 
 
 def python_tokenize_count(word: str, rules) -> int:

@@ -336,3 +336,39 @@ def test_expand_pairs_cap_keeps_cross_cluster_rep_pairs(spark):
     cross = [r for r in out if r.score == 0.9]
     assert len(stars) == 18 and len(cross) == 1
     assert (cross[0].id_a, cross[0].id_b) == (0, 100)
+
+
+def test_corpus_dedup_pipeline_oracle_agrees_when_stop_shingle_cut_fires(spark, tmp_path):
+    """Round-4 ADVICE: the composed pipeline's oracle must restate the
+    default stop-shingle cut (max_df_frac=0.5), not merely agree while
+    no shingle is hot. This corpus gives every doc a shared boilerplate
+    prefix (df = 100% > 0.5, the cut FIRES); Spark query and DuckDB
+    oracle must still agree — docs sharing only boilerplate form no
+    cluster, the two identical docs still collapse."""
+    import duckdb
+
+    from etl_file_sync_spark.queries import REGISTRY
+    from tests.conftest import assert_frames_match
+
+    boiler = "copyright acme corp all rights reserved do not redistribute"
+    rows = [
+        (i, f"{boiler} unique body {i} alpha{i} beta{i} gamma{i} delta{i}", "en", "webA")
+        for i in range(12)
+    ]
+    rows += [
+        (100, f"{boiler} same real content here twice over", "en", "webB"),
+        (101, f"{boiler} same real content here twice over", "en", "webB"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    df = df.withColumn("n_chars", F.length("text"))
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+
+    q = REGISTRY["corpus_dedup_pipeline"]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet/*.parquet'")
+    out = q.build(spark, str(tmp_path))
+    assert_frames_match(out, con.sql(q.oracle))
+    by_source = {r["source"]: r for r in out.collect()}
+    assert by_source["webA"]["n_dropped"] == 0  # boilerplate-only overlap: no pairs
+    assert by_source["webB"]["n_dropped"] == 1  # the identical pair still collapses
+    con.close()
