@@ -9,6 +9,14 @@ policy as the delta/iceberg/jdbc sources in sources/io.py) and is
 exercised by an env-gated test; the registry's stateful query
 (`stream_stateful_threshold`, queries/streaming_face.py) uses the
 applyInPandasWithState surface that runs everywhere.
+
+Offline-vendoring attempt (round 5, per the r4 verdict): the image has
+no `google.protobuf` module, no protobuf wheel or sdist anywhere on
+disk, and no protobuf body in the pip HTTP cache; package installs are
+disallowed in this sandbox and re-implementing the protobuf runtime is
+not a sane vendoring path. The gate stays; on any real cluster image
+(protobuf ships with standard Spark 4 distros) the env-gated parity
+test in tests/test_streaming.py runs as-is.
 """
 
 from __future__ import annotations
