@@ -132,6 +132,8 @@ HEADLINE = [
     "cluster_silhouette",
     "mba_pair_lift",
     "text_bpe_train_merges",
+    # round-5 surface
+    "dedup_fuzzy_jw_blocked",
 ]
 
 

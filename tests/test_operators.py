@@ -657,3 +657,57 @@ def test_ivfpq_recall_vs_bruteforce(spark):
     }
     wide_recall = len(wide & truth) / len(truth)
     assert wide_recall >= 0.9, f"IVF+PQ wide recall {wide_recall:.3f} < 0.9"
+
+
+def test_jaro_winkler_pinned_to_duckdb_semantics():
+    """jaro_winkler_py must be bit-level faithful to DuckDB's
+    jaro_winkler_similarity (the oracle function): classic textbook
+    values, the empty-side-scores-0 quirk (even for '' == ''), and a
+    3000-pair randomized sweep including prefix-heavy near-dups."""
+    import random
+
+    import duckdb
+
+    jw = D.jaro_winkler_py
+    assert abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12
+    assert abs(jw("DWAYNE", "DUANE") - 0.84) < 1e-12
+    assert jw("", "") == 0.0 and jw("a", "") == 0.0 and jw("", "abc") == 0.0
+    assert jw("same", "same") == 1.0
+    con = duckdb.connect()
+    rng = random.Random(5)
+    words = ["Customer#000000001", "Customer#000000011", "Customer#000000100"]
+    for _ in range(400):
+        n = rng.randint(0, 14)
+        words.append("".join(rng.choice("abcde#0123 ") for _ in range(n)))
+    for _ in range(3000):
+        s1, s2 = rng.choice(words), rng.choice(words)
+        want = con.execute("SELECT jaro_winkler_similarity(?, ?)", [s1, s2]).fetchone()[0]
+        assert abs(jw(s1, s2) - want) <= 1e-12, (s1, s2)
+    con.close()
+
+
+def test_fuzzy_jw_blocked_pairs_scores_dist1_candidates(spark):
+    """The blocked JW path emits exactly the dist<=1 candidate set
+    (blocker contract) scored with the pinned JW; a sub-threshold
+    candidate is filtered."""
+    rows = [
+        (1, "jellyfish"),
+        (2, "jellyfisH"),  # dist 1, high JW
+        (3, "jellyfish!"),  # dist 1 (insertion), high JW
+        (4, "xy"),
+        (5, "yx"),  # dist 2 from 'xy'? no: substitution both chars = dist 2 -> NOT a candidate
+        (6, "x"),  # dist 1 from 'xy' (deletion) but JW below 0.9 at this length? check
+        (7, "completely different"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {(r.id_a, r.id_b): r.jw for r in D.fuzzy_jw_blocked_pairs(df, threshold=0.9).collect()}
+    # (2,3) is NOT expected: 'jellyfisH' vs 'jellyfish!' is edit dist 2,
+    # outside the dist<=1 blocking contract
+    expected_pairs = {(1, 2), (1, 3)}
+    jwf = D.jaro_winkler_py
+    if round(jwf("xy", "x"), 6) >= 0.9:
+        expected_pairs.add((4, 6))
+    assert set(got) == expected_pairs
+    for (ia, ib), v in got.items():
+        names = {r[0]: r[1] for r in rows}
+        assert v == pytest.approx(round(jwf(names[ia], names[ib]), 6), abs=1e-9)
