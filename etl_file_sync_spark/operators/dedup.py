@@ -237,20 +237,32 @@ def jaro_winkler_py(s1: str, s2: str) -> float:
     return j
 
 
-def jaro_winkler_col(a, b):
+def jaro_winkler_col(a, b, single_eval: bool = False):
     """Arrow-batched Jaro-Winkler column over two string columns.
 
     Spark has no JW builtin (levenshtein only), so this is the
     documented pandas-UDF escape hatch — applied AFTER candidate
     blocking, never over a raw corpus, so the Python cost is paid on
-    the (small) candidate set while the joins stay JVM-side."""
+    the (small) candidate set while the joins stay JVM-side.
+
+    single_eval marks the UDF non-deterministic (it IS deterministic —
+    the marker is purely an optimizer fence): when the scored column
+    feeds BOTH a filter and the output projection, CollapseProject
+    otherwise inlines the deterministic UDF into each consumer and the
+    plan evaluates it TWICE (two ArrowEvalPython nodes — once over all
+    candidates for the filter, again over survivors for the output).
+    Set it whenever the score is filtered on; the only cost is losing
+    cross-UDF optimizations that don't apply here (plan-asserted in
+    tests/test_plans.py)."""
+
     @F.pandas_udf("double")
     def _jw(s1: pd.Series, s2: pd.Series) -> pd.Series:
         return pd.Series(
             [jaro_winkler_py(x or "", y or "") for x, y in zip(s1, s2)], dtype="float64"
         )
 
-    return _jw(a, b)
+    fn = _jw.asNondeterministic() if single_eval else _jw
+    return fn(a, b)
 
 
 def fuzzy_jw_blocked_pairs(
@@ -282,7 +294,10 @@ def fuzzy_jw_blocked_pairs(
     return (
         cand.join(na, "id_a")
         .join(nb, "id_b")
-        .withColumn("jw", F.round(jaro_winkler_col(F.col("name_a"), F.col("name_b")), 6))
+        .withColumn(
+            "jw",
+            F.round(jaro_winkler_col(F.col("name_a"), F.col("name_b"), single_eval=True), 6),
+        )
         .filter(F.col("jw") >= threshold)
         .select("id_a", "id_b", "jw")
     )

@@ -266,3 +266,23 @@ def test_dynamic_partition_pruning_injects(spark, sf_dir, tmp_path):
     scan_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert any("dynamicpruning" in l.lower() for l in plan.splitlines() if "Filter" in l or "PartitionFilters" in l)
     assert scan_lines, "expected a partitioned fact scan in the plan"
+
+
+def test_jw_blocked_plan_evaluates_udf_once_and_joins_jvm_side(spark, sf_dir):
+    """The Jaro-Winkler scorer must appear EXACTLY once in the plan: the
+    scored column feeds both the threshold filter and the output, and
+    without the optimizer fence (jaro_winkler_col(single_eval=True))
+    CollapseProject duplicates the pandas UDF into two ArrowEvalPython
+    nodes — the Python cost paid twice over the candidate set. Also pins
+    the scale shape: no cartesian anywhere (candidates come from the
+    deletion-neighborhood equi-join)."""
+    from etl_file_sync_spark.queries import REGISTRY
+
+    df = REGISTRY["dedup_fuzzy_jw_blocked"].build(spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    n_arrow = sum(
+        1 for l in plan.splitlines() if l.strip().startswith("(") and "ArrowEvalPython" in l
+    )
+    assert n_arrow == 1, f"JW pandas UDF must evaluate once, found {n_arrow} ArrowEvalPython nodes"
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
