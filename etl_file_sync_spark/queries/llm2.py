@@ -162,7 +162,13 @@ def dedup_fuzzy_jw_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     builtin, so scoring is an Arrow-batched pandas UDF pinned bit-level
     to DuckDB's jaro_winkler_similarity (operators/dedup.py
     jaro_winkler_py; rounded to 6 dp in both engines), paid only on the
-    blocked candidate set while every join stays JVM-side."""
+    blocked candidate set while every join stays JVM-side. Cost anatomy
+    at sf0.1: ~956k candidate pairs, every one a true >=0.9 match on
+    this synthetic name distribution (ids differing in one digit), so
+    the query is pair-OUTPUT-bound like the other dedup emitters —
+    score+sort of ~1M rows, not a blocking failure. The blocked frame
+    is repartitioned by bkey (single-file source would otherwise run
+    the explode and probe nearly single-threaded)."""
     from etl_file_sync_spark.operators.dedup import fuzzy_jw_blocked_pairs
 
     c = t(spark, sf_dir, "customer").select(
