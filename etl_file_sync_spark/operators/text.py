@@ -413,6 +413,32 @@ def vocab_coverage(df: DataFrame, text_col: str = "text", min_count: int = 5) ->
 LOGISTIC_QUALITY_WEIGHTS = (-1.5, 0.8, 2.0, 1.5)
 
 
+def quality_feature_exprs(text_col: str = "text"):
+    """The quality-filter feature triple as column expressions:
+    (len_score, ttr, stop_frac) — shared by fixed-weight inference
+    (with_logistic_quality) and distributed IRLS training
+    (operators/mlfit.py via quality_features), so the trainer learns in
+    exactly the feature space the inference pass applies."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    len_score = F.least(n.cast("double") / 100.0, F.lit(10.0))
+    ttr = F.size(F.array_distinct(toks)) / n
+    stop_frac = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) / n
+    return len_score, ttr, stop_frac
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append len_score/ttr/stop_frac columns; rows with no tokens are
+    dropped (their ratio features are undefined — 0/0)."""
+    len_score, ttr, stop_frac = quality_feature_exprs(text_col)
+    return (
+        df.withColumn("len_score", len_score)
+        .withColumn("ttr", ttr)
+        .withColumn("stop_frac", stop_frac)
+        .filter(F.col("ttr").isNotNull())
+    )
+
+
 def with_logistic_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Model-based quality scoring as a vectorized inference pass: a
     logistic classifier over cheap text features (length score, type-
@@ -421,13 +447,7 @@ def with_logistic_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     expressions: at 100 TB this is a narrow map over the scan, no
     shuffle at all. Adds `quality_prob` = σ(w·x) rounded to 4 decimals.
     """
-    toks = tokens(text_col)
-    n = F.size(toks)
-    len_score = F.least(n.cast("double") / 100.0, F.lit(10.0))
-    ttr = F.size(F.array_distinct(toks)) / n
-    stop_frac = (
-        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) / n
-    )
+    len_score, ttr, stop_frac = quality_feature_exprs(text_col)
     w0, w1, w2, w3 = LOGISTIC_QUALITY_WEIGHTS
     z = F.lit(w0) + F.lit(w1) * len_score + F.lit(w2) * ttr + F.lit(w3) * stop_frac
     return df.withColumn("quality_prob", F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4))

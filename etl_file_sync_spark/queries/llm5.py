@@ -160,6 +160,38 @@ def text_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_quality_train_irls",
+    None,  # iterative Newton fit has no SQL spelling; an independent
+    # numpy IRLS on the collected feature matrix pins every coefficient
+    # (tests/test_mlfit.py)
+    "text",
+    "quality",
+    "model-training",
+    "iterative",
+)
+def text_quality_train_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN the quality classifier the engine's inference pass applies
+    (text_quality_logistic): distributed IRLS logistic regression on
+    (len_score, ttr, stop_frac) against the lang='en' weak label — the
+    same weak-supervision recipe as eval_roc_auc's evaluation frame.
+    Per Newton step ONE map-side-combinable aggregation computes the
+    gradient and Hessian (k + k(k+1)/2 sums, k=4) and the driver solves
+    the 4x4 system — 8 cluster passes total, aggregate-sized state
+    (operators/mlfit.py). Output: (term, weight) rows, intercept first,
+    weights rounded to 6 dp (inside IRLS's convergence and above the
+    double-sum ordering jitter)."""
+    from etl_file_sync_spark.operators.mlfit import logistic_irls_frame
+    from etl_file_sync_spark.operators.text import quality_features
+
+    docs = t(spark, sf_dir, "documents")
+    feats = quality_features(docs).withColumn(
+        "label", (F.col("lang") == "en").cast("double")
+    )
+    out = logistic_irls_frame(feats, ["len_score", "ttr", "stop_frac"], "label")
+    return out.select("term", F.round("weight", 6).alias("weight"))
+
+
+@register(
     "sample_dup_weighted",
     """
     WITH g AS (
