@@ -610,3 +610,73 @@ def stream_pyds_replay_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")
     )
     return run_to_memory_sink(agg, "stream_pyds_sink", "complete").orderBy("event_type")
+
+
+@register(
+    "stream_static_enrich",
+    """
+    WITH counts AS (SELECT event_type, count(*) AS c FROM events GROUP BY event_type),
+    dim AS (
+      SELECT event_type,
+             CAST(row_number() OVER (ORDER BY c DESC, event_type) AS BIGINT) AS type_rank
+      FROM counts WHERE c > (SELECT avg(c) FROM counts)
+    ),
+    w AS (
+      SELECT CAST(to_timestamp(floor(epoch(CAST(e.ts AS TIMESTAMP)) / 300) * 300) AS TIMESTAMP)
+               AS window_start,
+             e.event_type, d.type_rank, e.value
+      FROM events e JOIN dim d USING (event_type)
+    )
+    SELECT window_start, event_type, type_rank,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM w GROUP BY 1, 2, 3
+    """,
+    "streaming",
+    "stream-static-join",
+    "enrichment",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC broadcast join (round 5): the canonical streaming
+    enrichment pattern — a batch-computed dimension (above-average-count
+    event types, ranked deterministically by (count desc, type)) joined
+    into the live stream, where the inner join both FILTERS the stream
+    (below-average types drop) and ENRICHES it (type_rank flows into the
+    windowed aggregation's keys). Executed as a real streaming query:
+    parquet replay -> withWatermark -> broadcast stream-static join ->
+    5-minute tumbling agg -> memory sink. At scale the dim is the
+    nightly profile table broadcast to every executor; the stream side
+    never shuffles for the join (broadcast hash), only for the windowed
+    agg. The oracle restates dim + join + windows over the same events
+    batch-side."""
+    from etl_file_sync_spark.streaming import events_stream, run_to_memory_sink
+
+    e = t(spark, sf_dir, "events")
+    counts = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    avg_c = counts.agg(F.avg("c").alias("a"))
+    from pyspark.sql import Window as W
+
+    # dim is DIMENSION-CARDINALITY bounded (distinct event types): the
+    # 1-row avg threshold join and the unpartitioned rank window both
+    # run over a handful of aggregate rows, never event-grain data
+    dim = (
+        counts.join(F.broadcast(avg_c), F.col("c") > F.col("a"))
+        .withColumn(
+            "type_rank",
+            F.row_number().over(W.orderBy(F.col("c").desc(), "event_type")).cast("bigint"),
+        )
+        .select("event_type", "type_rank")
+    )
+    stream = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    joined = stream.join(F.broadcast(dim), "event_type")
+    agg = (
+        joined.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type", "type_rank")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "type_rank",
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_to_memory_sink(agg, "stream_static_enrich_sink", "complete")
