@@ -134,6 +134,7 @@ HEADLINE = [
     "text_bpe_train_merges",
     # round-5 surface
     "dedup_fuzzy_jw_blocked",
+    "text_quality_train_irls",
 ]
 
 

@@ -182,3 +182,25 @@ def test_snapshot_diff_matches_dict_semantics(spark, old_rows, new_rows):
         else:
             want[k] = "unchanged"
     assert got == want
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab#01 é", min_size=0, max_size=20), min_size=2, max_size=2
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_jaro_winkler_properties(pair):
+    """JW is symmetric, bounded in [0,1], 1.0 iff equal non-empty, and
+    0.0 whenever a side is empty (the pinned DuckDB quirk) — over
+    arbitrary unicode-ish strings, no Spark needed."""
+    from etl_file_sync_spark.operators.dedup import jaro_winkler_py
+
+    s1, s2 = pair
+    v = jaro_winkler_py(s1, s2)
+    assert 0.0 <= v <= 1.0
+    assert v == jaro_winkler_py(s2, s1)
+    if not s1 or not s2:
+        assert v == 0.0
+    elif s1 == s2:
+        assert v == 1.0
