@@ -187,3 +187,13 @@ def test_bpe_property_random_corpora(spark):
             for r in bpe_train(df, num_merges=8).orderBy("step").collect()
         ]
         assert got == expected, text
+
+
+def test_bpe_train_max_vocab_guard(spark):
+    """A vocabulary larger than max_vocab must fail loudly with a
+    pointer to the distributed fallback, not OOM the driver."""
+    import pytest
+
+    df = spark.createDataFrame([("a b c d e f",)], "text string")
+    with pytest.raises(ValueError, match="bpe_train_distributed"):
+        bpe_train(df, num_merges=2, max_vocab=3)

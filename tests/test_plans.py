@@ -286,3 +286,15 @@ def test_jw_blocked_plan_evaluates_udf_once_and_joins_jvm_side(spark, sf_dir):
     )
     assert n_arrow == 1, f"JW pandas UDF must evaluate once, found {n_arrow} ArrowEvalPython nodes"
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_snapshot_diff_query_executes_one_outer_join(spark, sf_dir):
+    """Round-4 verdict #3 regression guard: dq_snapshot_diff must roll
+    count/min/max into ONE aggregation over ONE full-outer join — the
+    r4 spelling consumed the diff twice (diff_summary + a separate
+    min/max groupBy), executing the join and both orders scans twice."""
+    from etl_file_sync_spark.queries import REGISTRY
+
+    df = REGISTRY["dq_snapshot_diff"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FullOuter") == 1, "expected exactly one full-outer join"

@@ -180,3 +180,26 @@ def test_explicit_evict_closes_only_expired_and_frees_capacity():
     # capacity freed: a new borrow beyond c2 creates instead of timing out
     got = {p.borrow(), p.borrow()}
     assert c2 in got and len(created) == 3
+
+
+def test_sweeper_thread_evicts_without_explicit_call():
+    """With evict_idle on and a real clock, the daemon sweeper alone
+    (interval = idle_timeout/2, floored at 50ms) closes an expired idle
+    connection — no borrow or explicit evict call needed."""
+    created = []
+
+    def factory():
+        c = FakeConn()
+        created.append(c)
+        return c
+
+    p = FTPConnectionPool(
+        "h", 21, "u", "p", pool_size=1, idle_timeout=0.2, factory=factory, evict_idle=True
+    )
+    conn = p.borrow()
+    p.return_connection(conn)
+    deadline = time.monotonic() + 5.0
+    while not conn.closed and time.monotonic() < deadline:
+        time.sleep(0.05)
+    assert conn.closed, "sweeper did not evict the expired connection within 5s"
+    p.close_all()
