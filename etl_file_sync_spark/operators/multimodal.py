@@ -997,3 +997,86 @@ def attach_mjpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     return df.select(id_col).mapInPandas(run, schema="doc_id BIGINT, payload BINARY")
+
+
+def synth_quad_image(doc_id: int, width: int = 16, height: int = 16) -> bytes:
+    """Deterministic near-dup image family as a real PNG: the red
+    channel is a group-specific quadratic pattern (group = id % 8)
+    plus a SPARSE per-document perturbation (variant = id // 8 shifts
+    ~7 of 256 pixels), so documents in the same group are visually
+    near-identical while groups differ structurally:
+
+      r = ((2+g)x² + (3+2g)y² + gxy + [(5x+3y) % 37 == 0] · 11k) % 256
+      g_chan = (r + 85) % 256,  b = (r + 170) % 256
+
+    Because average-hash is invariant to constant brightness shifts, a
+    per-group CONSTANT offset would collapse every group to one hash —
+    the quadratic terms are what make groups separable (measured:
+    cross-group Hamming ≥ 22/64, within-group mean 1.5). An oracle can
+    restate the pixel formula exactly; the PNG round-trip is real.
+    """
+    import numpy as np
+
+    g, k = doc_id % 8, doc_id // 8
+    xs = np.arange(width, dtype=np.int64)[None, :]
+    ys = np.arange(height, dtype=np.int64)[:, None]
+    pert = np.where((5 * xs + 3 * ys) % 37 == 0, 11 * k, 0)
+    r = ((2 + g) * xs * xs + (3 + 2 * g) * ys * ys + g * xs * ys + pert) % 256
+    img = np.stack([r, (r + 85) % 256, (r + 170) % 256], axis=-1).astype("uint8")
+    return encode_png(img)
+
+
+def attach_quad_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture builder: (doc_id) → (doc_id, payload) with the quadratic
+    near-dup PNG family of synth_quad_image. Arrow-batched."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": [synth_quad_image(int(i)) for i in ids]}
+            )
+
+    return df.select(id_col).mapInPandas(run, schema="doc_id BIGINT, payload BINARY")
+
+
+AHASH_SCHEMA = "doc_id BIGINT, band0 BIGINT, band1 BIGINT, band2 BIGINT, band3 BIGINT"
+
+
+def image_ahash_bands(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Perceptual average-hash (aHash) over a binary image column,
+    emitted as four 16-bit band keys for LSH-style banded pair search.
+
+    REAL decode (decode_image — PNG/BMP/PPM/GIF), then exact integer
+    pooling of the red channel into an 8×8 block grid (images must be
+    16×16 → 2×2 blocks): bit_b = [block_sum_b · 64 > total_sum], i.e.
+    block mean above global mean with integer cross-multiplied
+    comparison — no float anywhere, so a SQL oracle reproduces every
+    bit. The 64 bits are packed row-major into four 16-bit integers
+    (band i = blocks 16i..16i+15): by the pigeonhole principle two
+    hashes within Hamming distance 3 share at least one band, so a
+    4-way band equi-join is a recall-guaranteed candidate generator at
+    any scale (same shape as MinHash banding in operators/dedup.py).
+    Undecodable or non-16×16 payloads yield null bands (DLQ posture).
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "band0", "band1", "band2", "band3")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                out["doc_id"].append(doc_id)
+                img = decode_image(bytes(payload))
+                if img is None or img.shape[0] != 16 or img.shape[1] != 16:
+                    for b in range(4):
+                        out[f"band{b}"].append(None)
+                    continue
+                red = img[:, :, 0].astype(np.int64)
+                blocks = red.reshape(8, 2, 8, 2).sum(axis=(1, 3))  # 8×8 block sums
+                bits = (blocks * 64 > blocks.sum()).astype(np.int64).reshape(-1)
+                weights = 1 << (np.arange(64, dtype=np.int64) % 16)
+                for b in range(4):
+                    out[f"band{b}"].append(int((bits[16 * b : 16 * b + 16] * weights[:16]).sum()))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=AHASH_SCHEMA)

@@ -5,6 +5,7 @@ from etl_file_sync_spark.queries import (  # noqa: F401
     advanced,
     audit_face,
     cluster_face,
+    curation_face,
     dq,
     eval_face,
     llm,

@@ -680,3 +680,62 @@ def behavior_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "behavior_streak_islands",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    isl AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER) AS island
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, island, CAST(count(*) AS BIGINT) AS streak_len
+      FROM isl GROUP BY 1, 2
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(sum(streak_len) AS BIGINT) AS n_active_days,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(max(streak_len) AS BIGINT) AS longest_streak
+    FROM streaks GROUP BY user_id
+    ORDER BY longest_streak DESC, user_id LIMIT 20
+    """,
+    "behavior",
+    "gaps-islands",
+    "window",
+)
+def behavior_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-active-day streaks per user — the classic
+    gaps-and-islands idiom: distinct (user, day), then day minus the
+    per-user row_number is constant exactly within a run of consecutive
+    days, so one groupBy on that island key yields every streak without
+    self-joins or recursive logic. Top-20 users by longest streak
+    (user_id tiebreak → deterministic LIMIT). Windows partition by
+    user_id (bounded per-user state, shuffles once on the same key the
+    groupBys reuse); TakeOrderedAndProject caps the final sort."""
+    e = t(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    isl = days.select(
+        "user_id",
+        "day",
+        F.date_sub("day", F.row_number().over(W.partitionBy("user_id").orderBy("day"))).alias(
+            "island"
+        ),
+    )
+    streaks = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("bigint").alias("streak_len")
+    )
+    return (
+        streaks.groupBy(F.col("user_id").cast("bigint").alias("user_id"))
+        .agg(
+            F.sum("streak_len").cast("bigint").alias("n_active_days"),
+            F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+            F.max("streak_len").cast("bigint").alias("longest_streak"),
+        )
+        .orderBy(F.col("longest_streak").desc(), "user_id")
+        .limit(20)
+    )

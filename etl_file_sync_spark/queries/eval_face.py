@@ -310,3 +310,80 @@ def eval_logloss_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg((F.col("score") - F.col("label")) * (F.col("score") - F.col("label"))), 6
         ).alias("brier_score"),
     )
+
+
+@register(
+    "eval_ndcg_topk",
+    """
+    WITH rel AS (
+      SELECT c.c_custkey, c.c_nationkey, c.c_acctbal,
+             CAST(count(o.o_orderkey) AS BIGINT) AS gain
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT c_nationkey, gain,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS pred_rk,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY gain DESC, c_custkey) AS ideal_rk
+      FROM rel
+    ),
+    agg AS (
+      SELECT c_nationkey,
+             sum(CASE WHEN pred_rk <= 10 THEN gain / log2(pred_rk + 1) ELSE 0 END) AS dcg,
+             sum(CASE WHEN ideal_rk <= 10 THEN gain / log2(ideal_rk + 1) ELSE 0 END) AS idcg
+      FROM scored GROUP BY 1
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+           round(dcg, 6) AS dcg_10, round(idcg, 6) AS idcg_10,
+           round(dcg / nullif(idcg, 0), 6) AS ndcg_10
+    FROM agg ORDER BY nationkey
+    """,
+    "eval",
+    "ranking",
+    "ndcg",
+)
+def eval_ndcg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 per nation for a ranking that orders customers by
+    account balance against integer relevance gains (order count) —
+    the offline ranking-quality metric for any retrieval/recommender
+    eval. Gains are exact integers; DCG divides each by log2(rank+1)
+    of a small integer and sums ≤10 terms (round-6 absorbs the
+    summation-order ulps). Both the predicted and ideal rankings break
+    ties on c_custkey, so the permutations are bit-identical across
+    engines. One shuffle keys everything by nation; per-nation windows
+    carry bounded state."""
+    from pyspark.sql import Window as W
+
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    rel = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_nationkey", "c_acctbal")
+        .agg(F.count("o_orderkey").cast("bigint").alias("gain"))
+    )
+    scored = rel.select(
+        "c_nationkey",
+        "gain",
+        F.row_number()
+        .over(W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey"))
+        .alias("pred_rk"),
+        F.row_number()
+        .over(W.partitionBy("c_nationkey").orderBy(F.col("gain").desc(), "c_custkey"))
+        .alias("ideal_rk"),
+    )
+    agg = scored.groupBy("c_nationkey").agg(
+        F.sum(
+            F.when(F.col("pred_rk") <= 10, F.col("gain") / F.log2(F.col("pred_rk") + 1)).otherwise(0.0)
+        ).alias("dcg"),
+        F.sum(
+            F.when(F.col("ideal_rk") <= 10, F.col("gain") / F.log2(F.col("ideal_rk") + 1)).otherwise(0.0)
+        ).alias("idcg"),
+    )
+    return agg.select(
+        F.col("c_nationkey").cast("bigint").alias("nationkey"),
+        F.round("dcg", 6).alias("dcg_10"),
+        F.round("idcg", 6).alias("idcg_10"),
+        F.round(F.col("dcg") / F.nullif(F.col("idcg"), F.lit(0)), 6).alias("ndcg_10"),
+    ).orderBy("nationkey")

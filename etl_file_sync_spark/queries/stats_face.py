@@ -703,3 +703,189 @@ def stat_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shared_vocab",
         "jsd_nats",
     )
+
+
+@register(
+    "stat_bh_fdr",
+    """
+    WITH cents AS (
+      SELECT event_type, hour(CAST(ts AS TIMESTAMP)) AS hr,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    g AS (
+      SELECT event_type, hr, count(*) AS n_g, sum(c) AS s_g
+      FROM cents GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT count(*) AS n, sum(c) AS s, sum(c * c) AS ss FROM cents
+    ),
+    z AS (
+      SELECT event_type, hr, n_g,
+             round((s_g * 1.0 / n_g - s * 1.0 / n) * sqrt(n_g)
+                   / sqrt((ss - CAST(s AS DOUBLE) * s / n) / (n - 1)), 4) AS z_stat
+      FROM g, tot
+    ),
+    p AS (
+      SELECT event_type, hr, n_g, z_stat,
+             round(1 - (1 - (((((1.061405429 * tt - 1.453152027) * tt + 1.421413741) * tt
+                    - 0.284496736) * tt + 0.254829592) * tt) * exp(-xx * xx)), 6) AS p_value
+      FROM (SELECT *, abs(z_stat) / sqrt(2) AS xx,
+                   1 / (1 + 0.3275911 * abs(z_stat) / sqrt(2)) AS tt FROM z)
+    ),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (ORDER BY p_value, event_type, hr) AS BIGINT) AS rk,
+             CAST(count(*) OVER () AS BIGINT) AS m
+      FROM p
+    )
+    SELECT event_type, CAST(hr AS BIGINT) AS hr, CAST(n_g AS BIGINT) AS n,
+           z_stat, p_value,
+           round(least(min(p_value * m / rk) OVER (
+             ORDER BY rk DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0), 6) AS p_bh,
+           (round(least(min(p_value * m / rk) OVER (
+             ORDER BY rk DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0), 6) <= 0.05) AS reject
+    FROM ranked ORDER BY event_type, hr
+    """,
+    "stats",
+    "multiple-testing",
+    "fdr",
+)
+def stat_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR control over 120 simultaneous z-tests
+    (event_type × hour-of-day cell mean vs the global mean) — the
+    multiple-testing correction an experimentation platform applies to
+    any metric scan. Sums are exact integer cents (one division before
+    each round); the normal tail is the Abramowitz–Stegun 7.1.26 erf
+    polynomial, restated identically in the oracle, fed the ROUNDED z so
+    both engines evaluate exp() on bit-identical input (residual risk is
+    one exp ulp under round-6 — the repo's accepted posture). The BH
+    step-up is a reverse cumulative min window over the p-ranked cells:
+    the hypothesis frame is aggregate-sized (cells, not rows), so the
+    unpartitioned window is bounded regardless of corpus scale. sum(c*c)
+    stays in bigint up to ~sf10; beyond that cast the square to DECIMAL."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    cents = e.select(
+        "event_type",
+        F.hour("ts").alias("hr"),
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    g = cents.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("n_g"), F.sum("c").alias("s_g")
+    )
+    tot = cents.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("s"), F.sum(F.col("c") * F.col("c")).alias("ss")
+    )
+    z = g.crossJoin(F.broadcast(tot)).select(
+        "event_type", "hr", "n_g",
+        F.round(
+            (F.col("s_g") * 1.0 / F.col("n_g") - F.col("s") * 1.0 / F.col("n"))
+            * F.sqrt(F.col("n_g"))
+            / F.sqrt(
+                (F.col("ss") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+                / (F.col("n") - 1)
+            ),
+            4,
+        ).alias("z_stat"),
+    )
+    xx = F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))
+    tt = 1 / (1 + 0.3275911 * xx)
+    poly = ((((1.061405429 * tt - 1.453152027) * tt + 1.421413741) * tt - 0.284496736) * tt + 0.254829592) * tt
+    p = z.select(
+        "event_type", "hr", "n_g", "z_stat",
+        F.round(1 - (1 - poly * F.exp(-xx * xx)), 6).alias("p_value"),
+    )
+    wr = W.orderBy("p_value", "event_type", "hr")
+    ranked = p.select(
+        "*",
+        F.row_number().over(wr).cast("bigint").alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy()).cast("bigint").alias("m"),
+    )
+    wmin = W.orderBy(F.col("rk").desc()).rowsBetween(W.unboundedPreceding, 0)
+    p_bh = F.round(F.least(F.min(F.col("p_value") * F.col("m") / F.col("rk")).over(wmin), F.lit(1.0)), 6)
+    return ranked.select(
+        "event_type",
+        F.col("hr").cast("bigint").alias("hr"),
+        F.col("n_g").cast("bigint").alias("n"),
+        "z_stat",
+        "p_value",
+        p_bh.alias("p_bh"),
+        (p_bh <= 0.05).alias("reject"),
+    ).orderBy("event_type", "hr")
+
+
+@register(
+    "stat_theil_sen",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    head AS (
+      SELECT datediff('day', DATE '1992-01-01', day) AS x, cents,
+             row_number() OVER (ORDER BY day) AS rn
+      FROM daily
+    ),
+    pts AS (SELECT x, cents FROM head WHERE rn <= 60),
+    slopes AS (
+      SELECT (b.cents - a.cents) * 1.0 / (b.x - a.x) AS slope
+      FROM pts a JOIN pts b ON a.x < b.x
+    ),
+    med AS (
+      SELECT CAST((SELECT count(*) FROM pts) AS BIGINT) AS n_days,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             round(quantile_cont(slope, 0.5), 6) AS slope_cents_per_day
+      FROM slopes
+    )
+    SELECT m.n_days, m.n_pairs, m.slope_cents_per_day,
+           round(quantile_cont(p.cents - m.slope_cents_per_day * p.x, 0.5), 4) AS intercept_cents
+    FROM med m, pts p GROUP BY 1, 2, 3
+    """,
+    "stats",
+    "robust-regression",
+    "theil-sen",
+)
+def stat_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend: the median of all pairwise slopes over
+    the first 60 days of daily revenue (integer cents), then the median
+    intercept at the ROUNDED slope so both engines interpolate from
+    bit-identical residuals. Pairwise expansion is explicitly bounded
+    (60 points → 1,770 pairs — a driver-side constant, not data-scaled;
+    the all-pairs frame never leaves aggregate size, the same bounded-
+    verifier posture as queries/llm2.py's fuzzy all-pairs). Each slope
+    is one exact-integer subtraction pair and a single division; the
+    only cross-engine seam is the shared linear-interpolation midpoint,
+    absorbed by round-6/round-4."""
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("bigint").alias("cents")
+    )
+    head = daily.select(
+        F.datediff("day", F.lit("1992-01-01")).alias("x"),
+        "cents",
+        F.row_number().over(W.orderBy("day")).alias("rn"),
+    )
+    pts = head.filter(F.col("rn") <= 60).select("x", "cents")
+    a, b = pts.alias("a"), pts.alias("b")
+    slopes = a.join(b, F.col("a.x") < F.col("b.x")).select(
+        ((F.col("b.cents") - F.col("a.cents")) * 1.0 / (F.col("b.x") - F.col("a.x"))).alias("slope")
+    )
+    n_days = pts.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    med = slopes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.expr("percentile(slope, 0.5)"), 6).alias("slope_cents_per_day"),
+    ).crossJoin(F.broadcast(n_days))
+    return (
+        pts.crossJoin(F.broadcast(med))
+        .groupBy("n_days", "n_pairs", "slope_cents_per_day")
+        .agg(
+            F.round(
+                F.expr("percentile(cents - slope_cents_per_day * x, 0.5)"), 4
+            ).alias("intercept_cents")
+        )
+        .select("n_days", "n_pairs", "slope_cents_per_day", "intercept_cents")
+    )

@@ -304,3 +304,65 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_from_unix_date(-F.col("s.nd")).cast("timestamp").alias("cp_day"),
         F.round(F.col("s.ad") / (F.lit(100.0) * F.col("n_days")), 4).alias("max_cusum"),
     )
+
+
+@register(
+    "ts_seasonal_dow",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS total_days, CAST(sum(cents) AS BIGINT) AS total_cents
+      FROM daily
+    ),
+    dow AS (
+      SELECT dayofweek(day) AS dow, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(cents) AS BIGINT) AS sum_cents
+      FROM daily GROUP BY 1
+    )
+    SELECT CAST(dow AS BIGINT) AS dow, n_days, sum_cents,
+           round(sum_cents * 1.0 / n_days, 2) AS mean_cents,
+           round(sum_cents * total_days * 1.0 / (n_days * total_cents), 6) AS seasonal_index
+    FROM dow, tot ORDER BY dow
+    """,
+    "timeseries",
+    "seasonality",
+)
+def ts_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal decomposition of daily revenue (ratio-to-
+    overall-mean seasonal index, the multiplicative-decomposition
+    building block): two combiner-friendly aggregations (orders → day,
+    day → dow) plus a 1-row broadcast totals dimension. The index is
+    exact-integer cross-multiplication with ONE division before the
+    round — sum_cents·total_days / (n_days·total_cents) — so both
+    engines divide bit-identical integers (products stay inside bigint
+    up to ~sf1; use DECIMAL(38) beyond). dow is 0=Sunday in both
+    spellings (DuckDB dayofweek; Spark dayofweek−1)."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("bigint").alias("cents")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_days"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )
+    dow = daily.groupBy((F.dayofweek("day") - 1).cast("bigint").alias("dow")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
+    return (
+        dow.crossJoin(F.broadcast(tot))
+        .select(
+            "dow", "n_days", "sum_cents",
+            F.round(F.col("sum_cents") * 1.0 / F.col("n_days"), 2).alias("mean_cents"),
+            F.round(
+                F.col("sum_cents") * F.col("total_days") * 1.0
+                / (F.col("n_days") * F.col("total_cents")),
+                6,
+            ).alias("seasonal_index"),
+        )
+        .orderBy("dow")
+    )
