@@ -135,6 +135,14 @@ HEADLINE = [
     # round-5 surface
     "dedup_fuzzy_jw_blocked",
     "text_quality_train_irls",
+    "text_gopher_rules",
+    "dedup_url_canonical",
+    "multimodal_phash_neardup",
+    "stat_bh_fdr",
+    "stat_theil_sen",
+    "ts_seasonal_dow",
+    "behavior_streak_islands",
+    "eval_ndcg_topk",
 ]
 
 

@@ -298,3 +298,38 @@ def test_snapshot_diff_query_executes_one_outer_join(spark, sf_dir):
     df = REGISTRY["dq_snapshot_diff"].build(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FullOuter") == 1, "expected exactly one full-outer join"
+
+
+def test_phash_neardup_never_cartesian(spark, sf_dir):
+    """The perceptual-hash pair search must stay a banded equi-join
+    (LSH posture): no CartesianProduct / BroadcastNestedLoopJoin
+    anywhere in the candidate generation, and the narrow map that
+    computes hashes appears once per band branch at most."""
+    from etl_file_sync_spark.plans import physical_plan
+
+    plan = physical_plan(REGISTRY["multimodal_phash_neardup"].build(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_gopher_rules_is_narrow_scan(spark, sf_dir):
+    """Quality gating is a pure map: the only exchange in the plan is
+    the final presentation sort; the parquet scan prunes to the three
+    referenced columns."""
+    from etl_file_sync_spark.plans import physical_plan
+
+    plan = physical_plan(REGISTRY["text_gopher_rules"].build(spark, sf_dir))
+    assert plan.count("Exchange") <= 2, "expected only the ORDER BY exchange(s)"
+    read = plan[plan.index("ReadSchema") :][:200] if "ReadSchema" in plan else ""
+    assert "n_chars" not in read and "lang" not in read, "scan must prune unused columns"
+
+
+def test_bh_fdr_single_fact_aggregation(spark, sf_dir):
+    """The 120-cell hypothesis frame is built by ONE partial-aggregated
+    pass over events (plus the 1-row totals branch); the BH window runs
+    over the aggregate, never the fact rows."""
+    from etl_file_sync_spark.plans import physical_plan
+
+    plan = physical_plan(REGISTRY["stat_bh_fdr"].build(spark, sf_dir))
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "CartesianProduct" not in plan or "BroadcastExchange" in plan
