@@ -77,6 +77,17 @@ OPS = [
     # far slower than corpus bytes), application is a narrow map pass
     "text_bpe_train_merges",
     "text_bpe_apply_counts",
+    # round-5: curation face (documents-grain narrow maps), perceptual-
+    # hash banding (bounded 80-image fixture — flat by design), BH
+    # (events-grain fact pass + aggregate-sized hypothesis window),
+    # streaks (events-grain), NDCG (customer/orders-grain)
+    "text_gopher_rules",
+    "dedup_url_canonical",
+    "multimodal_phash_neardup",
+    "stat_bh_fdr",
+    "behavior_streak_islands",
+    "eval_ndcg_topk",
+    "ts_seasonal_dow",
 ]
 
 TIERS = ["sf0.001", "sf0.01", "sf0.1"]
