@@ -143,6 +143,9 @@ HEADLINE = [
     "ts_seasonal_dow",
     "behavior_streak_islands",
     "eval_ndcg_topk",
+    "stat_poisson_bootstrap_ci",
+    "behavior_event_regex",
+    "dq_entropy_profile",
 ]
 
 

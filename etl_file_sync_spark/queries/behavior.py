@@ -739,3 +739,79 @@ def behavior_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("longest_streak").desc(), "user_id")
         .limit(20)
     )
+
+
+@register(
+    "behavior_event_regex",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                        WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                        ELSE 'o' END, '' ORDER BY ts, event_id) AS path
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT user_id, length(path) AS n_events,
+             CASE WHEN regexp_matches(path, 'v[^p]*c[^p]*p') THEN TRUE ELSE FALSE END AS funnel_hit,
+             length(path) - length(regexp_replace(path, 'vc', '', 'g')) AS vc_pairs_x2,
+             CASE WHEN regexp_matches(path, 'p.*p') THEN TRUE ELSE FALSE END AS repeat_buyer
+      FROM seq
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN funnel_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_funnel_users,
+           CAST(sum(CASE WHEN repeat_buyer THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat_buyers,
+           CAST(sum(vc_pairs_x2 // 2) AS BIGINT) AS n_view_click_adjacencies,
+           CAST(max(n_events) AS BIGINT) AS max_session_len
+    FROM m
+    """,
+    "behavior",
+    "sequence-pattern",
+    "regex",
+)
+def behavior_event_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence-pattern mining without the SQL
+    extension: each user's event history collapses to a compact
+    symbol string (one char per event, ts+event_id ordered — the
+    deterministic ordered-string-agg idiom), and ordinary regexes do
+    the pattern work: view→click→purchase funnels with no intervening
+    purchase (`v[^p]*c[^p]*p`), repeat buyers (`p.*p`), and adjacent
+    view→click counts via replace-length arithmetic. One groupBy on
+    user_id (the same shuffle key every behavior query reuses);
+    per-user strings are session-bounded, and the regex pass is a
+    narrow map over the aggregate — the plan a 100 TB event log wants.
+    Spark spells the ordered agg as array_sort(collect_list(struct))
+    → transform → concat_ws, bit-identical to the oracle's
+    string_agg(... ORDER BY)."""
+    e = t(spark, sf_dir, "events")
+    sym = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("o")
+    )
+    seq = (
+        e.select("user_id", F.struct("ts", "event_id", sym.alias("s")).alias("ev"))
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.array_sort(F.collect_list("ev")), lambda x: x["s"])
+            ).alias("path")
+        )
+    )
+    m = seq.select(
+        F.length("path").alias("n_events"),
+        F.col("path").rlike("v[^p]*c[^p]*p").alias("funnel_hit"),
+        ((F.length("path") - F.length(F.regexp_replace("path", "vc", ""))) / 2)
+        .cast("bigint")
+        .alias("vc_pairs"),
+        F.col("path").rlike("p.*p").alias("repeat_buyer"),
+    )
+    return m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.when(F.col("funnel_hit"), 1).otherwise(0)).cast("bigint").alias("n_funnel_users"),
+        F.sum(F.when(F.col("repeat_buyer"), 1).otherwise(0)).cast("bigint").alias("n_repeat_buyers"),
+        F.sum("vc_pairs").cast("bigint").alias("n_view_click_adjacencies"),
+        F.max("n_events").cast("bigint").alias("max_session_len"),
+    )

@@ -181,3 +181,65 @@ def dq_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = t(spark, sf_dir, "orders")
     return key_skew_report(o, "o_custkey", top=20, skew_factor=10.0)
+
+
+@register(
+    "dq_entropy_profile",
+    """
+    WITH
+    c1 AS (SELECT event_type AS v, count(*) AS c FROM events GROUP BY 1),
+    c2 AS (SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS VARCHAR) AS v, count(*) AS c FROM events GROUP BY 1),
+    c3 AS (SELECT lang AS v, count(*) AS c FROM documents GROUP BY 1),
+    c4 AS (SELECT source AS v, count(*) AS c FROM documents GROUP BY 1),
+    u AS (
+      SELECT 'events.event_type' AS col, * FROM c1
+      UNION ALL SELECT 'events.hour', * FROM c2
+      UNION ALL SELECT 'documents.lang', * FROM c3
+      UNION ALL SELECT 'documents.source', * FROM c4
+    )
+    SELECT col, CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_distinct,
+           round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy_nats,
+           round((ln(sum(c)) - sum(c * ln(c)) / sum(c)) / ln(count(*)), 6) AS norm_entropy
+    FROM u GROUP BY col ORDER BY col
+    """,
+    "dq",
+    "profiling",
+    "entropy",
+)
+def dq_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy profile of categorical columns — the uniformity /
+    skew signal a data-quality scanner reports per column (0 = constant,
+    1 = uniform after normalizing by ln(cardinality)). Each column costs
+    one combiner-friendly groupBy; the entropy is computed on the
+    aggregate (value, count) frame via the cancellation-free identity
+    H = ln(n) − Σ c·ln(c)/n, so only count integers enter the logs and
+    both engines evaluate ln() on identical inputs (round-6 absorbs the
+    final-ulp libm seam). The union of per-column count frames is
+    aggregate-sized regardless of table size."""
+    e = t(spark, sf_dir, "events")
+    d = t(spark, sf_dir, "documents")
+
+    def counts(df: DataFrame, col, label: str) -> DataFrame:
+        return (
+            df.groupBy(col.alias("v"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(F.lit(label).alias("col"), "v", "c")
+        )
+
+    u = (
+        counts(e, F.col("event_type"), "events.event_type")
+        .unionByName(counts(e, F.hour("ts").cast("string"), "events.hour"))
+        .unionByName(counts(d, F.col("lang"), "documents.lang"))
+        .unionByName(counts(d, F.col("source"), "documents.source"))
+    )
+    h = F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c")
+    return (
+        u.groupBy("col")
+        .agg(
+            F.sum("c").cast("bigint").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.round(h, 6).alias("entropy_nats"),
+            F.round(h / F.log(F.count(F.lit(1)).cast("double")), 6).alias("norm_entropy"),
+        )
+        .orderBy("col")
+    )

@@ -889,3 +889,103 @@ def stat_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_days", "n_pairs", "slope_cents_per_day", "intercept_cents")
     )
+
+
+# Poisson(1) inverse CDF as integer thresholds on the md5-uniform
+# 32-bit bucket (floor(CDF(k) * 2^32) for k = 0..4; k=5 tail beyond).
+_POIS = [1580030168, 3160060337, 3950075421, 4213413783, 4279248373]
+_POIS_CASE_SQL = (
+    "CASE WHEN u < 1580030168 THEN 0 WHEN u < 3160060337 THEN 1 "
+    "WHEN u < 3950075421 THEN 2 WHEN u < 4213413783 THEN 3 "
+    "WHEN u < 4279248373 THEN 4 ELSE 5 END"
+)
+
+
+@register(
+    "stat_poisson_bootstrap_ci",
+    f"""
+    WITH base AS (
+      SELECT event_id, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE event_type = 'purchase'
+    ),
+    fan AS (
+      SELECT c, r,
+             ('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)), 1, 8))::UBIGINT AS u
+      FROM base, generate_series(0, 99) rs(r)
+    ),
+    rep AS (
+      SELECT r,
+             CAST(sum(({_POIS_CASE_SQL}) * c) AS BIGINT) AS wc,
+             CAST(sum({_POIS_CASE_SQL}) AS BIGINT) AS w
+      FROM fan GROUP BY r
+    ),
+    means AS (SELECT r, wc * 1.0 / w AS m FROM rep),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s FROM base
+    )
+    SELECT n, CAST(100 AS BIGINT) AS n_replicates,
+           round(s * 1.0 / n, 4) AS mean_cents,
+           round(quantile_cont(m, 0.025), 4) AS ci_lo_cents,
+           round(quantile_cont(m, 0.975), 4) AS ci_hi_cents
+    FROM tot, means GROUP BY 1, 2, 3
+    """,
+    "stats",
+    "bootstrap",
+    "confidence-interval",
+)
+def stat_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed bootstrap CI for the mean purchase value — the
+    ONE-PASS Poisson bootstrap (the classic large-scale spelling: with
+    n large, a with-replacement resample's per-row multiplicity is
+    ~Poisson(1), so each of the B=100 replicates needs only a
+    deterministic per-(row, replicate) weight, never a resample shuffle
+    of the data). The weight is the Poisson(1) inverse CDF applied to
+    the md5-uniform 32-bit bucket of (event_id, replicate) — integer
+    threshold compares, the repo's portable-selection idiom, identical
+    in the oracle. The ×B fan-out exists only inside the map stage:
+    partial aggregation collapses it to B rows per partition before the
+    one shuffle, so cluster cost is B extra CPU per row and a B-row
+    shuffle — no replicated data, no driver loop. Replicate means are
+    exact-integer sums with one division; the CI is the 2.5/97.5
+    percentile over the 100-row replicate frame."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    base = e.select("event_id", F.round(F.col("value") * 100).cast("bigint").alias("c"))
+    fan = base.select(
+        "event_id", "c", F.explode(F.sequence(F.lit(0), F.lit(99))).alias("r")
+    ).select(
+        "c", "r",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("event_id").cast("string"), F.col("r").cast("string"))), 1, 8
+            ),
+            16, 10,
+        ).cast("bigint").alias("u"),
+    )
+    w = (
+        F.when(F.col("u") < _POIS[0], 0)
+        .when(F.col("u") < _POIS[1], 1)
+        .when(F.col("u") < _POIS[2], 2)
+        .when(F.col("u") < _POIS[3], 3)
+        .when(F.col("u") < _POIS[4], 4)
+        .otherwise(5)
+    )
+    rep = fan.groupBy("r").agg(
+        F.sum(w * F.col("c")).cast("bigint").alias("wc"),
+        F.sum(w).cast("bigint").alias("w"),
+    )
+    means = rep.select((F.col("wc") * 1.0 / F.col("w")).alias("m"))
+    tot = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"), F.sum("c").cast("bigint").alias("s")
+    )
+    return (
+        means.crossJoin(F.broadcast(tot))
+        .groupBy(
+            "n",
+            F.lit(100).cast("bigint").alias("n_replicates"),
+            F.round(F.col("s") * 1.0 / F.col("n"), 4).alias("mean_cents"),
+        )
+        .agg(
+            F.round(F.expr("percentile(m, 0.025)"), 4).alias("ci_lo_cents"),
+            F.round(F.expr("percentile(m, 0.975)"), 4).alias("ci_hi_cents"),
+        )
+    )

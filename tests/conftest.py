@@ -129,3 +129,37 @@ def assert_frames_match(spark_df, duck_rel, float_tol: float = 1e-9) -> None:
             assert a_n == b_n, f"col {c} differs; first mismatch: " + next(
                 (f"row {i}: {x!r} != {y!r}" for i, (x, y) in enumerate(zip(a_n, b_n)) if x != y), ""
             )
+
+
+# ---- test-priority cascade (reference parity) -------------------------
+# Mirrors /root/reference/tests/conftest.py:183-213 + pytest.ini:7-14:
+# e2e first, then integration, then unit — so a full-suite run surfaces
+# whole-system breakage fastest. Explicit markers win; unmarked tests
+# are classified by shape (driver-contract / pipeline modules are the
+# e2e tier; anything touching the Spark or DuckDB fixtures is
+# integration; pure-Python truth tests are unit).
+MARKER_PRIORITY = {"e2e": 1, "integration": 2, "unit": 3}
+DEFAULT_E2E_MODULES = {
+    "test_pipeline_e2e",
+    "test_cli",
+    "test_kafka_live",
+    "test_kafka_mode",
+    "test_queries_oracle",  # the driver's own contract, engine vs oracle
+}
+
+
+def _priority(item) -> int:
+    for name, pri in MARKER_PRIORITY.items():
+        if name in item.keywords:
+            return pri
+    module = item.module.__name__.rsplit(".", 1)[-1] if item.module else ""
+    if module in DEFAULT_E2E_MODULES:
+        return MARKER_PRIORITY["e2e"]
+    fixtures = set(getattr(item, "fixturenames", ()))
+    if fixtures & {"spark", "duck"}:
+        return MARKER_PRIORITY["integration"]
+    return MARKER_PRIORITY["unit"]
+
+
+def pytest_collection_modifyitems(session, config, items):
+    items.sort(key=_priority)  # stable: preserves order within a tier
