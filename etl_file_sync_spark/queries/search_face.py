@@ -164,3 +164,133 @@ def search_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("doc_id"), "term", F.round("tfidf", 4).alias("tfidf"), "trank")
         .orderBy("doc_id", "trank")
     )
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR as chained CTEs (4 picks, lambda=0.7)."""
+    head = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v FROM e WHERE vec_id = 0),
+    cand AS (
+      SELECT e.vec_id, e.v, round(list_cosine_similarity(e.v, q.v), 4) AS rel
+      FROM e, q WHERE e.vec_id <> 0
+      ORDER BY rel DESC, e.vec_id LIMIT 12
+    ),
+    pairs AS (
+      SELECT a.vec_id AS aid, b.vec_id AS bid,
+             round(list_cosine_similarity(a.v, b.v), 4) AS sim
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ),
+    p1 AS (SELECT vec_id, rel, rel AS mmr FROM cand ORDER BY rel DESC, vec_id LIMIT 1)
+    """
+    parts, sel = [head], "SELECT vec_id FROM p1"
+    for i in range(2, 5):
+        parts.append(
+            f""",
+    s{i - 1} AS ({sel}),
+    m{i} AS (
+      SELECT p.aid AS vec_id, max(p.sim) AS ms
+      FROM pairs p JOIN s{i - 1} s ON p.bid = s.vec_id GROUP BY 1
+    ),
+    sc{i} AS (
+      SELECT c.vec_id, c.rel, 0.7 * c.rel - 0.3 * m.ms AS mmr
+      FROM cand c JOIN m{i} m USING (vec_id)
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM s{i - 1})
+    ),
+    p{i} AS (SELECT vec_id, rel, mmr FROM sc{i} ORDER BY mmr DESC, vec_id LIMIT 1)"""
+        )
+        sel += f" UNION ALL SELECT vec_id FROM p{i}"
+    union = " UNION ALL ".join(
+        f"SELECT {i} AS rank, vec_id, rel, mmr FROM p{i}" for i in range(1, 5)
+    )
+    parts.append(
+        f"""
+    SELECT CAST(rank AS BIGINT) AS rank, CAST(vec_id AS BIGINT) AS vec_id,
+           rel AS relevance, round(mmr, 6) AS mmr_score
+    FROM ({union}) ORDER BY rank"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "sim_mmr_rerank",
+    _mmr_oracle(),
+    "similarity",
+    "mmr",
+    "rerank",
+    "rag",
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversified re-rank (Carbonell &
+    Goldstein 1998) — the RAG serving step between ANN retrieval and the
+    prompt: greedily pick results that are relevant to the query but
+    dissimilar to what is already picked
+    (score = λ·rel − (1−λ)·max_sim_to_selected, λ=0.7, 4 picks from a
+    12-candidate pool around query vec_id 0).
+
+    Scale shape: only the CANDIDATE stage touches the corpus (top-12 by
+    quantized cosine — at fleet scale that is sim_topk_bruteforce /
+    sim_topk_ivf's GEMM path; here the JVM zip_with/aggregate fold keeps
+    the whole query declarative); the greedy unroll runs on the bounded
+    candidate frame — each pick is an argmax over ≤12 rows, built as
+    chained limit-1 plans with NO driver collect. Cosines are quantized
+    to the 1e-4 grain before every comparison and ties break on vec_id,
+    so both engines walk the identical greedy trajectory (same
+    accepted-risk posture as operators/similarity.py ivf_assign)."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def cos(a, b):
+        dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+        na = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+        nb = F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x)
+        return dot / (F.sqrt(na) * F.sqrt(nb))
+
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "v", F.round(cos(F.col("v"), F.col("qv")), 4).alias("rel"))
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(12)
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("aid"),
+        F.col("b.vec_id").alias("bid"),
+        F.round(cos(F.col("a.v"), F.col("b.v")), 4).alias("sim"),
+    )
+    picks = [
+        cand.orderBy(F.col("rel").desc(), "vec_id")
+        .limit(1)
+        .select("vec_id", "rel", F.col("rel").alias("mmr"), F.lit(1).alias("rank"))
+    ]
+    for i in range(2, 5):
+        sel = picks[0].select("vec_id")
+        for p in picks[1:]:
+            sel = sel.unionByName(p.select("vec_id"))
+        ms = (
+            pairs.join(sel.withColumnRenamed("vec_id", "bid"), "bid")
+            .groupBy(F.col("aid").alias("vec_id"))
+            .agg(F.max("sim").alias("ms"))
+        )
+        scored = (
+            cand.join(ms, "vec_id")
+            .join(sel, "vec_id", "left_anti")
+            .select("vec_id", "rel", (0.7 * F.col("rel") - 0.3 * F.col("ms")).alias("mmr"))
+        )
+        picks.append(
+            scored.orderBy(F.col("mmr").desc(), "vec_id")
+            .limit(1)
+            .select("vec_id", "rel", "mmr", F.lit(i).alias("rank"))
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("rel").alias("relevance"),
+        F.round("mmr", 6).alias("mmr_score"),
+    ).orderBy("rank")
