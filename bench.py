@@ -146,6 +146,13 @@ HEADLINE = [
     "stat_poisson_bootstrap_ci",
     "behavior_event_regex",
     "dq_entropy_profile",
+    # round-5 decision face
+    "ops_max_concurrency",
+    "stat_kaplan_meier",
+    "eval_corpus_bleu",
+    "ops_skyline_pareto",
+    "embed_int8_quant",
+    "ts_period_growth",
 ]
 
 

@@ -94,14 +94,23 @@ def bucketed_cumsums(
         # a NULL key would silently drop at the offsets join — refuse
         raise ValueError(f"rankstats: NULL values in order column {order_col!r}; filter them first")
     totals.sort(key=lambda r: r[_BUCKET])
-    offsets, acc = [], {w: 0 for w in weight_cols}
+    # seed/declare each offset with the weight column's numeric family —
+    # a fractional weight (e.g. ln factors) must not infer from the
+    # integer zero of the first bucket (LongType/DoubleType merge error)
+    frac = {
+        w: b.schema[w].dataType.simpleString() in ("double", "float")
+        for w in weight_cols
+    }
+    offsets, acc = [], {w: (0.0 if frac[w] else 0) for w in weight_cols}
     for row in totals:
         offsets.append((row[_BUCKET], *[acc[w] for w in weight_cols]))
         for w in weight_cols:
             acc[w] += row[w] or 0
-    off_df = b.sparkSession.createDataFrame(
-        offsets, [_BUCKET] + [f"__off_{w}" for w in weight_cols]
+    schema = ", ".join(
+        [f"{_BUCKET} int"]
+        + [f"__off_{w} {'double' if frac[w] else 'bigint'}" for w in weight_cols]
     )
+    off_df = b.sparkSession.createDataFrame(offsets, schema)
 
     end = 0 if inclusive else -1
     win = (
@@ -116,6 +125,124 @@ def bucketed_cumsums(
             F.coalesce(F.sum(w).over(win), F.lit(0)) + F.col(f"__off_{w}"),
         )
     return out.drop(_BUCKET, *[f"__off_{w}" for w in weight_cols])
+
+
+def grouped_bucketed_cumsum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    weight_col: str,
+    out_col: str = "cum",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Per-group global running sum of ``weight_col`` over rows ordered
+    by ``order_col`` ascending (keys assumed distinct WITHIN a group —
+    aggregate first), without a single-partition-per-group window.
+
+    Same two-phase plan as :func:`bucketed_cumsums` but the offsets are
+    prefix-summed independently per group, so a group whose rows span
+    every time bucket still never funnels through one task. The driver
+    pull is ``n_groups * n_buckets`` rows — callers must only use this
+    with a BOUNDED group cardinality (an enum-like column such as
+    event_type, not a user id)."""
+    src = df.cache()
+    bounds = _boundaries(src, order_col, n_buckets)
+    b = src.withColumn(_BUCKET, _bucket_expr(order_col, bounds))
+
+    # per (group, bucket) totals: n_groups * n_buckets rows — k-row pull
+    totals = (
+        b.groupBy(*group_cols, _BUCKET).agg(F.sum(weight_col).alias("__w")).collect()
+    )
+    if not totals:
+        return df.withColumn(out_col, F.col(weight_col))
+    if any(row[_BUCKET] is None for row in totals):
+        raise ValueError(
+            f"rankstats: NULL values in order column {order_col!r}; filter them first"
+        )
+    if any(any(row[g] is None for g in group_cols) for row in totals):
+        raise ValueError(
+            f"rankstats: NULL values in group columns {group_cols!r}; filter them first"
+        )
+    totals.sort(key=lambda r: ([r[g] for g in group_cols], r[_BUCKET]))
+    frac = b.schema[weight_col].dataType.simpleString() in ("double", "float")
+    zero = 0.0 if frac else 0
+    offsets, acc = [], {}
+    for row in totals:
+        gkey = tuple(row[g] for g in group_cols)
+        prev = acc.get(gkey, zero)
+        offsets.append((*gkey, row[_BUCKET], prev))
+        acc[gkey] = prev + (row["__w"] or 0)
+    gschema = ", ".join(
+        f"{g} {b.schema[g].dataType.simpleString()}" for g in group_cols
+    )
+    off_df = b.sparkSession.createDataFrame(
+        offsets, f"{gschema}, {_BUCKET} int, __off {'double' if frac else 'bigint'}"
+    )
+
+    win = (
+        Window.partitionBy(*group_cols, _BUCKET)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        b.join(F.broadcast(off_df), [*group_cols, _BUCKET])
+        .withColumn(out_col, F.sum(weight_col).over(win) + F.col("__off"))
+        .drop(_BUCKET, "__off")
+    )
+
+
+def bucketed_cummax(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cummax",
+    inclusive: bool = True,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Global running MAX of ``value_col`` over rows ordered by
+    ``order_col`` ascending (keys assumed distinct — aggregate first),
+    without a single-partition window. ``inclusive=False`` gives the
+    strict prefix (max over strictly-smaller keys; NULL when none) —
+    the building block for distributed 2-D skyline membership.
+
+    Same two-phase plan as :func:`bucketed_cumsums`: max is associative,
+    so per-bucket maxima (<= n_buckets rows, a k-row driver pull)
+    prefix-combine into bucket offsets and rejoin broadcast; the
+    within-bucket window is PARTITIONED BY bucket, never global."""
+    src = df.cache()
+    bounds = _boundaries(src, order_col, n_buckets)
+    b = src.withColumn(_BUCKET, _bucket_expr(order_col, bounds))
+
+    totals = b.groupBy(_BUCKET).agg(F.max(value_col).alias("__m")).collect()
+    if not totals:
+        vtype = df.schema[value_col].dataType.simpleString()
+        out_val = F.col(value_col) if inclusive else F.lit(None).cast(vtype)
+        return df.withColumn(out_col, out_val)
+    if any(row[_BUCKET] is None for row in totals):
+        raise ValueError(
+            f"rankstats: NULL values in order column {order_col!r}; filter them first"
+        )
+    totals.sort(key=lambda r: r[_BUCKET])
+    offsets, running = [], None
+    for row in totals:
+        offsets.append((row[_BUCKET], running))
+        m = row["__m"]
+        if m is not None and (running is None or m > running):
+            running = m
+    schema = f"{_BUCKET} int, __off {b.schema[value_col].dataType.simpleString()}"
+    off_df = b.sparkSession.createDataFrame(offsets, schema)
+
+    end = 0 if inclusive else -1
+    win = (
+        Window.partitionBy(_BUCKET)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    return (
+        b.join(F.broadcast(off_df), _BUCKET)
+        .withColumn(out_col, F.greatest(F.max(value_col).over(win), F.col("__off")))
+        .drop(_BUCKET, "__off")
+    )
 
 
 def bucketed_row_number(

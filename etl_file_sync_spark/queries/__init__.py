@@ -6,6 +6,7 @@ from etl_file_sync_spark.queries import (  # noqa: F401
     audit_face,
     cluster_face,
     curation_face,
+    decision_face,
     dq,
     eval_face,
     llm,

@@ -333,3 +333,46 @@ def test_bh_fdr_single_fact_aggregation(spark, sf_dir):
     plan = physical_plan(REGISTRY["stat_bh_fdr"].build(spark, sf_dir))
     assert "partial_count" in plan or "HashAggregate" in plan
     assert "CartesianProduct" not in plan or "BroadcastExchange" in plan
+
+
+def test_decision_cumulatives_are_bucket_partitioned(spark, sf_dir):
+    """Sweep-line concurrency, Kaplan-Meier, and the skyline prefix-max
+    must run on the two-phase bucketed plan: every Window node in their
+    plans is PARTITIONED BY the rank bucket (for the grouped sweep-line,
+    bucket + group key) — never a bare global orderBy."""
+    from etl_file_sync_spark.plans import physical_plan
+
+    for name in ("ops_max_concurrency", "stat_kaplan_meier", "ops_skyline_pareto"):
+        plan = physical_plan(REGISTRY[name].build(spark, sf_dir))
+        win_lines = [
+            l for l in plan.splitlines() if "Window" in l and "windowspecdefinition" in l
+        ]
+        assert win_lines, f"{name}: expected a bucketed window in the plan"
+        for line in win_lines:
+            assert "_rs_bucket" in line, f"{name}: unpartitioned window: {line[:200]}"
+
+
+def test_int8_quant_is_shuffle_free_narrow_map(spark, sf_dir):
+    """Quantization is a pure per-row projection: zero exchanges except
+    the presentation sort, no Python UDF (JVM higher-order functions
+    only), and the scan prunes the unused label column."""
+    from etl_file_sync_spark.plans import physical_plan
+
+    plan = physical_plan(REGISTRY["embed_int8_quant"].build(spark, sf_dir))
+    assert plan.count("Exchange") <= 2, "expected only the ORDER BY exchange(s)"
+    assert "Python" not in plan, "must stay JVM-side (no Arrow/Python eval)"
+    read = plan[plan.index("ReadSchema") :][:200] if "ReadSchema" in plan else ""
+    assert "label" not in read, "scan must prune the unused label column"
+
+
+def test_corpus_bleu_never_cartesian_over_data(spark, sf_dir):
+    """The n-gram clip joins are keyed equi-joins on (doc, ngram); the
+    only nested-loop joins are the three 1-row summary frames at the
+    end."""
+    from etl_file_sync_spark.plans import physical_plan
+
+    df = REGISTRY["eval_corpus_bleu"].build(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    js = join_strategies(df)
+    assert js["broadcast_nested_loop"] <= 2, js  # 1-row lens × u1 × u2 only

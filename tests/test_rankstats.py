@@ -102,3 +102,79 @@ def test_null_order_key_raises(spark):
         bucketed_row_number(df, "v", ["id"]).collect()
     with pytest.raises(ValueError, match="NULL"):
         bucketed_cumsums(df.withColumnRenamed("id", "c"), "v", ["c"]).collect()
+
+
+def test_grouped_cumsum_matches_per_group_window(spark):
+    from etl_file_sync_spark.operators.rankstats import grouped_bucketed_cumsum
+
+    rows = [(chr(97 + i % 3), float(i % 29), (-1) ** i * (i + 1)) for i in range(300)]
+    df = (
+        spark.createDataFrame(rows, ["g", "v", "w"])
+        .groupBy("g", "v")
+        .agg(F.sum("w").cast("bigint").alias("w"))
+    )
+    got = grouped_bucketed_cumsum(df, ["g"], "v", "w", out_col="cum", n_buckets=8)
+    w = Window.partitionBy("g").orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.withColumn("cum", F.sum("w").over(w))
+    g = {(r["g"], r["v"]): r["cum"] for r in got.collect()}
+    e = {(r["g"], r["v"]): r["cum"] for r in want.collect()}
+    assert g == e
+
+
+def test_grouped_cumsum_double_weights(spark):
+    from etl_file_sync_spark.operators.rankstats import grouped_bucketed_cumsum
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 0.5), ("a", 2.0, 0.25), ("b", 1.0, -1.5)], ["g", "v", "w"]
+    )
+    got = {
+        (r["g"], r["v"]): r["cum"]
+        for r in grouped_bucketed_cumsum(df, ["g"], "v", "w").collect()
+    }
+    assert got == {("a", 1.0): 0.5, ("a", 2.0): 0.75, ("b", 1.0): -1.5}
+
+
+def test_cummax_matches_global_window(spark):
+    from etl_file_sync_spark.operators.rankstats import bucketed_cummax
+
+    rows = [(float(i), float((i * 37) % 101)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["v", "x"])
+    for inclusive in (True, False):
+        got = bucketed_cummax(
+            df, "v", "x", out_col="m", inclusive=inclusive, n_buckets=8
+        )
+        end = 0 if inclusive else -1
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, end)
+        want = df.withColumn("m", F.max("x").over(w))
+        g = {r["v"]: r["m"] for r in got.collect()}
+        e = {r["v"]: r["m"] for r in want.collect()}
+        assert g == e, f"inclusive={inclusive}"
+
+
+def test_cummax_strict_prefix_is_null_at_minimum(spark):
+    from etl_file_sync_spark.operators.rankstats import bucketed_cummax
+
+    df = spark.createDataFrame([(1.0, 9), (2.0, 3), (3.0, 11)], ["v", "x"])
+    got = {
+        r["v"]: r["m"]
+        for r in bucketed_cummax(df, "v", "x", out_col="m", inclusive=False).collect()
+    }
+    assert got == {1.0: None, 2.0: 9, 3.0: 9}
+
+
+def test_cumsums_double_weights_keep_fractional_offsets(spark):
+    """Regression (round 5): a fractional weight column must not infer a
+    LongType offset frame from the integer zero of the first bucket.
+    Bucketed association reorders double additions, so agreement with
+    the sequential global window is to ulp tolerance, not bit-exact —
+    the documented accepted risk for fractional weights."""
+    import pytest
+
+    rows = [(float(i), 0.1 * i) for i in range(100)]
+    df = spark.createDataFrame(rows, ["v", "w"])
+    got = bucketed_cumsums(df, "v", ["w"], inclusive=True, n_buckets=8)
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.withColumn("cum_w", F.sum("w").over(w))
+    g = {r["v"]: r["cum_w"] for r in got.collect()}
+    e = {r["v"]: r["cum_w"] for r in want.collect()}
+    assert g == pytest.approx(e, abs=1e-9)

@@ -88,6 +88,15 @@ OPS = [
     "behavior_streak_islands",
     "eval_ndcg_topk",
     "ts_seasonal_dow",
+    # round-5 decision face: sweep-line + survival on the grouped/
+    # bucketed cumulative plans (events-grain), skyline on the bucketed
+    # strict-prefix cummax (part-grain), BLEU n-gram join passes
+    # (documents-grain), int8 quantization (embeddings-grain narrow map)
+    "ops_max_concurrency",
+    "stat_kaplan_meier",
+    "ops_skyline_pareto",
+    "eval_corpus_bleu",
+    "embed_int8_quant",
 ]
 
 TIERS = ["sf0.001", "sf0.01", "sf0.1"]
