@@ -153,6 +153,13 @@ HEADLINE = [
     "ops_skyline_pareto",
     "embed_int8_quant",
     "ts_period_growth",
+    # round-5 experimentation + sketch face
+    "stat_logrank_test",
+    "stat_cuped_adjustment",
+    "sketch_count_min",
+    "sketch_bloom_prefilter",
+    "text_pmi_collocations",
+    "stat_permutation_test",
 ]
 
 

@@ -8,6 +8,7 @@ from etl_file_sync_spark.queries import (  # noqa: F401
     curation_face,
     decision_face,
     dq,
+    experiment_face,
     eval_face,
     llm,
     llm2,

@@ -1,0 +1,862 @@
+"""Experimentation & sketch queries (round 5): log-rank survival
+comparison, two-proportion z-test, CUPED variance reduction, an md5
+count-min sketch, an md5 Bloom-filter prefilter, PMI collocations,
+Mann-Kendall trend, and an md5-seeded permutation test — the A/B-test
+readout layer plus the probabilistic-structure layer a large pipeline
+uses to cheap-screen before exact work.
+
+The reference (`/root/reference/`) has no analytics surface (SURVEY.md
+§2.2); this face extends the LLM-data-pipeline component set. Sketches
+use md5-derived hash positions (the repo's standardized-hash rule from
+the round-3 verdict) so DuckDB reproduces the exact bit/bucket layout
+and the oracle can check the sketch CONTENTS, not just shapes.
+Cross-engine determinism: exact integer counts/cents everywhere, a
+single division before each round(); group-aggregated double sums
+(CUPED moments, log-rank expectation terms) carry the documented
+summation-order ulp risk under round(6) (linear-regression precedent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_file_sync_spark.operators.rankstats import bucketed_cumsums
+from etl_file_sync_spark.queries.registry import register, t
+
+
+def _md5_bucket(expr, mod: int):
+    """First 8 hex chars of md5 as an integer in [0, mod) — the
+    engine-portable hash (DuckDB: ('0x'||substr(md5(x),1,8))::BIGINT)."""
+    return F.conv(F.substring(F.md5(expr), 1, 8), 16, 10).cast("bigint") % mod
+
+
+def _user_lifetimes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user (dur_s, obs, grp): lifetime seconds, death-observed flag
+    (ever hit 'error'), and the even/odd-user A/B split."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.expr("(max(unix_micros(ts)) - min(unix_micros(ts))) div 1000000").alias(
+                "dur_s"
+            ),
+            F.max(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("bigint")
+            .alias("obs"),
+        )
+        .select(
+            F.col("dur_s").cast("bigint").alias("dur_s"),
+            "obs",
+            (F.col("user_id") % 2).cast("bigint").alias("grp"),
+        )
+    )
+
+
+@register(
+    "stat_logrank_test",
+    """
+    WITH u AS (
+      SELECT (max(epoch_us(CAST(ts AS TIMESTAMP)))
+              - min(epoch_us(CAST(ts AS TIMESTAMP)))) // 1000000 AS dur_s,
+             CAST(max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS obs,
+             CAST(user_id % 2 AS BIGINT) AS grp
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT CAST(dur_s AS BIGINT) AS dur_s,
+             CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb,
+             CAST(sum(CASE WHEN grp = 0 THEN obs ELSE 0 END) AS BIGINT) AS da,
+             CAST(sum(CASE WHEN grp = 1 THEN obs ELSE 0 END) AS BIGINT) AS db
+      FROM u GROUP BY dur_s
+    ),
+    tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM g),
+    risk AS (
+      SELECT dur_s, da, db,
+             (SELECT na FROM tot)
+               - coalesce(sum(ca) OVER (ORDER BY dur_s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_a,
+             (SELECT nb FROM tot)
+               - coalesce(sum(cb) OVER (ORDER BY dur_s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_b
+      FROM g
+    ),
+    terms AS (
+      SELECT da, da + db AS d, n_a + n_b AS n, n_a, n_b,
+             ((da + db) * n_a) * 1.0 / (n_a + n_b) AS e_a,
+             CASE WHEN n_a + n_b > 1
+                  THEN (n_a * n_b * (da + db) * (n_a + n_b - da - db)) * 1.0
+                       / ((n_a + n_b) * (n_a + n_b) * (n_a + n_b - 1))
+                  ELSE 0.0 END AS v
+      FROM risk WHERE da + db > 0
+    )
+    SELECT (SELECT na FROM tot) AS n_a, (SELECT nb FROM tot) AS n_b,
+           CAST(sum(da) AS BIGINT) AS o_a,
+           round(sum(e_a), 6) AS e_a,
+           round(sum(v), 6) AS var_lr,
+           round((sum(da) - sum(e_a)) / sqrt(sum(v)), 6) AS z,
+           round((sum(da) - sum(e_a)) * (sum(da) - sum(e_a)) / sum(v), 6) AS chi2
+    FROM terms
+    """,
+    "stats",
+    "survival",
+    "ab-test",
+    "distributed-rank",
+)
+def stat_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group log-rank test comparing the survival (user-lifetime)
+    curves of even- vs odd-id users — the hypothesis test that pairs
+    with stat_kaplan_meier's estimator. Per event time: observed group-A
+    deaths vs the hypergeometric expectation d*nA/n and variance
+    nA*nB*d*(n-d)/(n^2*(n-1)), each an exact-integer numerator with ONE
+    division; at-risk counts come from the EXCLUSIVE bucketed prefix
+    sums of both groups in a single two-phase pass (no single-partition
+    window). The final sums of e/v terms are group-aggregated doubles —
+    summation-order ulp risk under round(6), the linear-regression
+    precedent. Integer numerators overflow BIGINT only beyond ~3e4
+    at-risk-squared-times-d per stratum at 9e18 — promote to double
+    first at that scale."""
+    u = _user_lifetimes(spark, sf_dir)
+    g = u.groupBy("dur_s").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("bigint").alias("ca"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("bigint").alias("cb"),
+        F.sum(F.when(F.col("grp") == 0, F.col("obs")).otherwise(0))
+        .cast("bigint")
+        .alias("da"),
+        F.sum(F.when(F.col("grp") == 1, F.col("obs")).otherwise(0))
+        .cast("bigint")
+        .alias("db"),
+    )
+    tot = g.agg(
+        F.sum("ca").cast("bigint").alias("na"), F.sum("cb").cast("bigint").alias("nb")
+    )
+    cum = bucketed_cumsums(g, "dur_s", ["ca", "cb"], inclusive=False)
+    risk = cum.crossJoin(F.broadcast(tot)).select(  # 1-row totals dimension
+        "dur_s",
+        "da",
+        "db",
+        (F.col("na") - F.col("cum_ca")).alias("n_a"),
+        (F.col("nb") - F.col("cum_cb")).alias("n_b"),
+    )
+    d = F.col("da") + F.col("db")
+    n = F.col("n_a") + F.col("n_b")
+    terms = risk.where(d > 0).select(
+        "da",
+        "n_a",
+        "n_b",
+        (d * F.col("n_a") * F.lit(1.0) / n).alias("e_a"),
+        F.when(
+            n > 1,
+            (F.col("n_a") * F.col("n_b") * d * (n - d)) * F.lit(1.0) / (n * n * (n - 1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("v"),
+    )
+    agg = terms.agg(
+        F.sum("da").cast("bigint").alias("o_a"),
+        F.sum("e_a").alias("se"),
+        F.sum("v").alias("sv"),
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(  # 1-row totals dimension
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        "o_a",
+        F.round(F.col("se"), 6).alias("e_a"),
+        F.round(F.col("sv"), 6).alias("var_lr"),
+        F.round((F.col("o_a") - F.col("se")) / F.sqrt(F.col("sv")), 6).alias("z"),
+        F.round(
+            (F.col("o_a") - F.col("se")) * (F.col("o_a") - F.col("se")) / F.col("sv"), 6
+        ).alias("chi2"),
+    )
+
+
+@register(
+    "stat_two_proportion_ztest",
+    """
+    WITH u AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS grp,
+             CAST(max(CASE WHEN event_type = 'purchase' AND value > 200
+                           THEN 1 ELSE 0 END) AS BIGINT) AS conv
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN grp = 0 THEN conv ELSE 0 END) AS BIGINT) AS s_a,
+             CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN grp = 1 THEN conv ELSE 0 END) AS BIGINT) AS s_b
+      FROM u
+    )
+    SELECT n_a, s_a, n_b, s_b,
+           round(s_a * 1.0 / n_a, 6) AS p_a,
+           round(s_b * 1.0 / n_b, 6) AS p_b,
+           round((s_a * 1.0 / n_a - s_b * 1.0 / n_b)
+                 / sqrt(((s_a + s_b) * 1.0 / (n_a + n_b))
+                        * (1.0 - (s_a + s_b) * 1.0 / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z
+    FROM g
+    """,
+    "stats",
+    "ab-test",
+)
+def stat_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled two-proportion z-test on user conversion (ever made a
+    high-value purchase, value > 200 — strict enough that both
+    converted and unconverted users exist at every tier, keeping the
+    pooled variance nonzero) between the even/odd-id variants. Bit-exact across engines: counts
+    are exact integers, every division is spelled identically, and sqrt
+    is IEEE correctly-rounded — no accepted risk. One groupBy over the
+    user-grain frame; the per-user reduction is the only corpus-scale
+    pass."""
+    u = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > 200), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("conv")
+        )
+        .select((F.col("user_id") % 2).cast("bigint").alias("grp"), "conv")
+    )
+    g = u.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("grp") == 0, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("s_a"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("grp") == 1, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("s_b"),
+    )
+    pa = F.col("s_a") * 1.0 / F.col("n_a")
+    pb = F.col("s_b") * 1.0 / F.col("n_b")
+    pp = (F.col("s_a") + F.col("s_b")) * 1.0 / (F.col("n_a") + F.col("n_b"))
+    return g.select(
+        "n_a",
+        "s_a",
+        "n_b",
+        "s_b",
+        F.round(pa, 6).alias("p_a"),
+        F.round(pb, 6).alias("p_b"),
+        F.round(
+            (pa - pb)
+            / F.sqrt(pp * (F.lit(1.0) - pp) * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))),
+            6,
+        ).alias("z"),
+    )
+
+
+@register(
+    "stat_cuped_adjustment",
+    """
+    WITH u AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS grp,
+             CAST(coalesce(sum(CASE WHEN CAST(date_part('day', CAST(ts AS TIMESTAMP)) AS INTEGER) < 16
+                       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END), 0) AS BIGINT) AS x,
+             CAST(coalesce(sum(CASE WHEN CAST(date_part('day', CAST(ts AS TIMESTAMP)) AS INTEGER) >= 16
+                       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END), 0) AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ),
+    m AS (SELECT count(*) AS n, avg(x) AS mx, avg(y) AS my FROM u),
+    c AS (
+      SELECT sum((u.x - m.mx) * (u.x - m.mx)) AS sxx,
+             sum((u.x - m.mx) * (u.y - m.my)) AS sxy,
+             sum((u.y - m.my) * (u.y - m.my)) AS syy
+      FROM u, m
+    ),
+    v AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy
+      FROM u GROUP BY grp
+    )
+    SELECT v.grp AS variant, v.n_users,
+           round(v.sy * 1.0 / v.n_users, 4) AS mean_y_cents,
+           round(v.sx * 1.0 / v.n_users, 4) AS mean_x_cents,
+           round(v.sy * 1.0 / v.n_users
+                 - (c.sxy / c.sxx) * (v.sx * 1.0 / v.n_users - m.mx), 4) AS adj_mean_cents,
+           round(c.sxy / c.sxx, 6) AS theta,
+           round(c.sxy * c.sxy / (c.sxx * c.syy), 6) AS rho2
+    FROM v, c, m ORDER BY variant
+    """,
+    "stats",
+    "ab-test",
+    "cuped",
+)
+def stat_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Deng et al. 2013) variance-reduced A/B readout: per user,
+    pre-period covariate x = day-of-month < 16 spend, experiment metric
+    y = rest-of-month spend (exact integer cents), variants = even/odd
+    user id. theta = cov(x,y)/var(x) fitted GLOBALLY (two-pass centered
+    moments, the linear-regression algebra + its documented double-sum
+    round() envelope); each variant reports its raw and adjusted mean
+    (mean_y - theta*(mean_x - global mean_x)) and the achievable
+    variance reduction rho². The per-user reduction is the only
+    corpus-scale pass; everything after runs on the user-grain frame."""
+    ev = t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    pre = F.dayofmonth("ts") < 16
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.coalesce(F.sum(F.when(pre, cents).otherwise(0)), F.lit(0))
+            .cast("bigint")
+            .alias("x"),
+            F.coalesce(F.sum(F.when(~pre, cents).otherwise(0)), F.lit(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+        .select((F.col("user_id") % 2).cast("bigint").alias("grp"), "x", "y")
+    )
+    uc = u.cache()  # moments + per-variant sums reuse the user frame
+    m = uc.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("x").alias("mx"), F.avg("y").alias("my")
+    )
+    c = uc.crossJoin(F.broadcast(m)).agg(  # 1-row moments dimension
+        F.sum((F.col("x") - F.col("mx")) * (F.col("x") - F.col("mx"))).alias("sxx"),
+        F.sum((F.col("x") - F.col("mx")) * (F.col("y") - F.col("my"))).alias("sxy"),
+        F.sum((F.col("y") - F.col("my")) * (F.col("y") - F.col("my"))).alias("syy"),
+    )
+    v = uc.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+    )
+    theta = F.col("sxy") / F.col("sxx")
+    mean_y = F.col("sy") * 1.0 / F.col("n_users")
+    mean_x = F.col("sx") * 1.0 / F.col("n_users")
+    return (
+        v.crossJoin(F.broadcast(c))  # 1-row co-moments dimension
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("grp").alias("variant"),
+            "n_users",
+            F.round(mean_y, 4).alias("mean_y_cents"),
+            F.round(mean_x, 4).alias("mean_x_cents"),
+            F.round(mean_y - theta * (mean_x - F.col("mx")), 4).alias("adj_mean_cents"),
+            F.round(theta, 6).alias("theta"),
+            F.round(
+                F.col("sxy") * F.col("sxy") / (F.col("sxx") * F.col("syy")), 6
+            ).alias("rho2"),
+        )
+        .orderBy("variant")
+    )
+
+
+_CMS_D, _CMS_W = 4, 256
+
+
+@register(
+    "sketch_count_min",
+    f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS tok
+      FROM documents
+    ),
+    tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+    cells AS (
+      SELECT i.range AS row_i,
+             CAST(('0x' || substr(md5(CAST(i.range AS VARCHAR) || ':' || tok), 1, 8))
+                  AS BIGINT) % {_CMS_W} AS bucket,
+             c
+      FROM tc, range({_CMS_D}) i
+    ),
+    sketch AS (
+      SELECT row_i, bucket, CAST(sum(c) AS BIGINT) AS total
+      FROM cells GROUP BY row_i, bucket
+    ),
+    top AS (
+      SELECT tok, c FROM tc ORDER BY c DESC, tok LIMIT 20
+    ),
+    est AS (
+      SELECT p.tok, p.c, min(s.total) AS cms_est
+      FROM (SELECT top.tok, top.c, i.range AS row_i,
+                   CAST(('0x' || substr(md5(CAST(i.range AS VARCHAR) || ':' || top.tok), 1, 8))
+                        AS BIGINT) % {_CMS_W} AS bucket
+            FROM top, range({_CMS_D}) i) p
+      JOIN sketch s ON s.row_i = p.row_i AND s.bucket = p.bucket
+      GROUP BY p.tok, p.c
+    )
+    SELECT tok, c AS true_count, CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(cms_est - c AS BIGINT) AS overcount
+    FROM est ORDER BY true_count DESC, tok
+    """,
+    "sketch",
+    "count-min",
+)
+def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of the corpus
+    unigram frequencies — depth 4 × width 256, md5-derived buckets so
+    the oracle reproduces the EXACT cell totals, not just the shape.
+    Reports the sketch estimate vs truth for the top-20 tokens; the CMS
+    guarantee est >= true holds exactly (asserted in tests). Plan: one
+    explode+groupBy token-count pass (vocab-bounded output), a 4x
+    fan-out of the count frame into 1024 cells, and a broadcast-sized
+    probe join — at 100 TB the sketch is the thing you SHIP (1024
+    rows) instead of the vocabulary."""
+    toks = t(spark, sf_dir, "documents").select(
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda x: F.length(x) > 0)
+        ).alias("tok")
+    )
+    tc = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("c")).cache()
+    rows_i = spark.range(_CMS_D).select(F.col("id").cast("bigint").alias("row_i"))
+    cells = tc.crossJoin(F.broadcast(rows_i)).select(  # 4-row depth dimension
+        "row_i",
+        _md5_bucket(
+            F.concat(F.col("row_i").cast("string"), F.lit(":"), F.col("tok")), _CMS_W
+        ).alias("bucket"),
+        "c",
+    )
+    sketch = cells.groupBy("row_i", "bucket").agg(
+        F.sum("c").cast("bigint").alias("total")
+    )
+    top = tc.orderBy(F.desc("c"), F.asc("tok")).limit(20)
+    probe = top.crossJoin(F.broadcast(rows_i)).select(
+        "tok",
+        "c",
+        "row_i",
+        _md5_bucket(
+            F.concat(F.col("row_i").cast("string"), F.lit(":"), F.col("tok")), _CMS_W
+        ).alias("bucket"),
+    )
+    est = (
+        probe.join(F.broadcast(sketch), ["row_i", "bucket"])
+        .groupBy("tok", "c")
+        .agg(F.min("total").cast("bigint").alias("cms_est"))
+    )
+    return est.select(
+        "tok",
+        F.col("c").alias("true_count"),
+        "cms_est",
+        (F.col("cms_est") - F.col("c")).cast("bigint").alias("overcount"),
+    ).orderBy(F.desc("true_count"), F.asc("tok"))
+
+
+_BLOOM_M, _BLOOM_K = 4096, 3
+
+
+@register(
+    "sketch_bloom_prefilter",
+    f"""
+    WITH members AS (
+      SELECT DISTINCT o_custkey AS k FROM orders
+      WHERE o_totalprice > 250000 AND o_orderpriority = '1-URGENT'
+    ),
+    bits AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5(CAST(i.range AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {_BLOOM_M} AS pos
+      FROM members, range({_BLOOM_K}) i
+    ),
+    probe AS (
+      SELECT c.c_custkey,
+             CAST(('0x' || substr(md5(CAST(i.range AS VARCHAR) || ':' || CAST(c.c_custkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {_BLOOM_M} AS pos
+      FROM customer c, range({_BLOOM_K}) i
+    ),
+    hits AS (
+      SELECT p.c_custkey,
+             CAST(sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS nhit
+      FROM probe p LEFT JOIN bits b ON p.pos = b.pos
+      GROUP BY p.c_custkey
+    ),
+    lab AS (
+      SELECT h.c_custkey,
+             CASE WHEN h.nhit = {_BLOOM_K} THEN 1 ELSE 0 END AS positive,
+             CASE WHEN m.k IS NOT NULL THEN 1 ELSE 0 END AS member
+      FROM hits h LEFT JOIN members m ON h.c_custkey = m.k
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(member) AS BIGINT) AS n_members,
+           CAST(sum(positive) AS BIGINT) AS n_positive,
+           CAST(sum(CASE WHEN positive = 1 AND member = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_pos,
+           round(sum(CASE WHEN positive = 1 AND member = 0 THEN 1 ELSE 0 END) * 1.0
+                 / (count(*) - sum(member)), 6) AS fp_rate
+    FROM lab
+    """,
+    "sketch",
+    "bloom",
+)
+def sketch_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership prefilter: build a 4096-bit / 3-hash
+    filter over the customers with an URGENT >250k order (a proper
+    subset of customers at every tier, so non-members exist and the FP
+    rate is well-defined; md5 positions, so the oracle reproduces the
+    exact bit set), probe EVERY customer, and
+    report the measured false-positive rate against exact membership.
+    The no-false-negative guarantee holds exactly (asserted in tests:
+    n_positive >= n_members). Plan: the bit set is a <= 4096-row frame
+    — at 100 TB this is what a selective-join prefilter broadcasts
+    instead of shuffling the fact table (same posture as Spark's own
+    runtime Bloom injection, test_plans.py)."""
+    members = (
+        t(spark, sf_dir, "orders")
+        .where((F.col("o_totalprice") > 250000) & (F.col("o_orderpriority") == "1-URGENT"))
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    ks = spark.range(_BLOOM_K).select(F.col("id").cast("bigint").alias("i"))
+    bits = (
+        members.crossJoin(F.broadcast(ks))  # 3-row hash dimension
+        .select(
+            _md5_bucket(
+                F.concat(F.col("i").cast("string"), F.lit(":"), F.col("k").cast("string")),
+                _BLOOM_M,
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    probe = (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .crossJoin(F.broadcast(ks))
+        .select(
+            "c_custkey",
+            _md5_bucket(
+                F.concat(
+                    F.col("i").cast("string"), F.lit(":"), F.col("c_custkey").cast("string")
+                ),
+                _BLOOM_M,
+            ).alias("pos"),
+        )
+    )
+    hits = (
+        probe.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("c_custkey")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("nhit"))
+    )
+    lab = hits.join(
+        F.broadcast(members.withColumn("member", F.lit(1))),
+        F.col("c_custkey") == F.col("k"),
+        "left",
+    ).select(
+        (F.col("nhit") == _BLOOM_K).cast("int").alias("positive"),
+        F.coalesce(F.col("member"), F.lit(0)).alias("member"),
+    )
+    fp = F.sum(((F.col("positive") == 1) & (F.col("member") == 0)).cast("int"))
+    return lab.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("member").cast("bigint").alias("n_members"),
+        F.sum("positive").cast("bigint").alias("n_positive"),
+        fp.cast("bigint").alias("n_false_pos"),
+        F.round(
+            fp * F.lit(1.0) / (F.count(F.lit(1)) - F.sum("member")), 6
+        ).alias("fp_rate"),
+    )
+
+
+@register(
+    "text_pmi_collocations",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS tk
+      FROM documents
+    ),
+    uni AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(tk) AS tok FROM toks) GROUP BY tok
+    ),
+    bi AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+                   unnest(list_transform(range(1, len(tk)), i -> tk[i + 1])) AS w2
+            FROM toks)
+      GROUP BY w1, w2
+    ),
+    nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uni),
+    nb AS (SELECT CAST(sum(c) AS BIGINT) AS n_bi FROM bi),
+    scored AS (
+      SELECT b.w1, b.w2, b.c AS c_xy, u1.c AS c_x, u2.c AS c_y,
+             (CAST(b.c AS DOUBLE) * (SELECT n_uni FROM nu) * (SELECT n_uni FROM nu))
+             / (CAST(u1.c AS DOUBLE) * u2.c * (SELECT n_bi FROM nb)) AS score
+      FROM bi b JOIN uni u1 ON b.w1 = u1.tok JOIN uni u2 ON b.w2 = u2.tok
+      WHERE b.c >= 5
+    )
+    SELECT w1, w2, c_xy, c_x, c_y, round(ln(score), 6) AS pmi
+    FROM scored ORDER BY score DESC, w1, w2 LIMIT 20
+    """,
+    "text",
+    "collocation",
+    "pmi",
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PMI collocations (Church & Hanks 1990) over corpus
+    bigrams with a min-support floor of 5. The ranking key is the PMI
+    ratio (c_xy·N_uni²)/(c_x·c_y·N_bi) computed as ONE identically-
+    spelled double expression from exact integer counts, so both
+    engines order identically; ln() is applied only to the reported
+    value (round 6, libm ulp precedent). Plan: two explode+groupBy
+    count passes (vocab-bounded outputs), two equi-joins keyed on the
+    words, TakeOrdered top-20 — no window, no all-pairs."""
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(F.split(F.col("text"), " "), lambda x: F.length(x) > 0).alias("tk"),
+    ).cache()
+    uni = (
+        toks.select(F.explode("tk").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    pairs = toks.select(
+        F.explode(
+            F.when(F.size("tk") < 2, F.array().cast("array<struct<w1:string,w2:string>>")).otherwise(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1),"
+                    " i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))"
+                )
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    nu = uni.agg(F.sum("c").cast("bigint").alias("n_uni"))
+    nb = bi.agg(F.sum("c").cast("bigint").alias("n_bi"))
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c_x"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c_y"))
+    scored = (
+        bi.where(F.col("c") >= 5)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(nu))  # 1-row totals dimensions
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").alias("c_xy"),
+            "c_x",
+            "c_y",
+            (
+                F.col("c").cast("double") * F.col("n_uni") * F.col("n_uni")
+                / (F.col("c_x").cast("double") * F.col("c_y") * F.col("n_bi"))
+            ).alias("score"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+        .select("w1", "w2", "c_xy", "c_x", "c_y", F.round(F.log("score"), 6).alias("pmi"))
+    )
+
+
+@register(
+    "stat_mann_kendall",
+    """
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(sum(CASE WHEN b.cents > a.cents THEN 1
+                           WHEN b.cents < a.cents THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      FROM m a JOIN m b ON b.month > a.month
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m),
+    ties AS (
+      SELECT CAST(coalesce(sum(tc * (tc - 1) * (2 * tc + 5)), 0) AS BIGINT) AS tie_term
+      FROM (SELECT CAST(count(*) AS BIGINT) AS tc FROM m GROUP BY cents) WHERE tc > 1
+    )
+    SELECT (SELECT n FROM n) AS n_periods, s.s_stat,
+           CAST((SELECT n FROM n) * ((SELECT n FROM n) - 1) * (2 * (SELECT n FROM n) + 5)
+                - (SELECT tie_term FROM ties) AS BIGINT) AS var_num18,
+           round(CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+                      WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+                      ELSE 0 END
+                 / sqrt(((SELECT n FROM n) * ((SELECT n FROM n) - 1) * (2 * (SELECT n FROM n) + 5)
+                         - (SELECT tie_term FROM ties)) / 18.0), 6) AS z
+    FROM s
+    """,
+    "stats",
+    "trend",
+)
+def stat_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test on monthly revenue: S = sum of
+    sign(later - earlier) over all month pairs, tie-corrected variance,
+    continuity-corrected z. The pair space is the CALENDAR-BOUNDED
+    monthly frame (~80 rows at ANY corpus scale — the corpus-scale work
+    is the one groupBy to cents), so the self-join is a broadcast over
+    dozens of rows, not data. S, n, and the variance numerator (x18)
+    are exact integers; the single division and sqrt make z bit-exact
+    across engines."""
+    m = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .cache()  # bounded frame reused by pairs / count / ties
+    )
+    a = m.select(F.col("month").alias("ma"), F.col("cents").alias("xa"))
+    b = m.select(F.col("month").alias("mb"), F.col("cents").alias("xb"))
+    s = (
+        a.join(F.broadcast(b), F.col("mb") > F.col("ma"))  # bounded ~80x80
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), 1)
+                .when(F.col("xb") < F.col("xa"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    n = m.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ties = (
+        m.groupBy("cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tc"))
+        .where(F.col("tc") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("tc") * (F.col("tc") - 1) * (2 * F.col("tc") + 5)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    var_num = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term")
+    )
+    cc = (
+        F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+        .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+        .otherwise(0)
+    )
+    return (
+        s.crossJoin(F.broadcast(n))  # 1-row totals dimensions
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("n").alias("n_periods"),
+            "s_stat",
+            var_num.cast("bigint").alias("var_num18"),
+            F.round(cc / F.sqrt(var_num / F.lit(18.0)), 6).alias("z"),
+        )
+    )
+
+
+_N_PERMS = 200
+
+
+@register(
+    "stat_permutation_test",
+    f"""
+    WITH u AS (
+      SELECT user_id, CAST(user_id % 2 AS BIGINT) AS grp,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY user_id
+    ),
+    obs AS (
+      SELECT sum(CASE WHEN grp = 0 THEN cents ELSE 0 END) * 1.0
+               / sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)
+             - sum(CASE WHEN grp = 1 THEN cents ELSE 0 END) * 1.0
+               / sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS d
+      FROM u
+    ),
+    perms AS (
+      SELECT p.range AS perm,
+             CAST(('0x' || substr(md5(CAST(p.range AS VARCHAR) || ':' || CAST(u.user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 2 AS side,
+             u.cents
+      FROM u, range({_N_PERMS}) p
+    ),
+    pd AS (
+      SELECT perm,
+             sum(CASE WHEN side = 0 THEN cents ELSE 0 END) * 1.0
+               / sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)
+             - sum(CASE WHEN side = 1 THEN cents ELSE 0 END) * 1.0
+               / sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS d
+      FROM perms GROUP BY perm
+      HAVING sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) > 0
+         AND sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) > 0
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM u) AS n_users,
+           round((SELECT d FROM obs), 4) AS obs_diff_cents,
+           CAST(count(*) AS BIGINT) AS n_perms,
+           CAST(sum(CASE WHEN abs(pd.d) >= abs((SELECT d FROM obs)) THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_extreme,
+           round((1 + sum(CASE WHEN abs(pd.d) >= abs((SELECT d FROM obs)) THEN 1 ELSE 0 END))
+                 * 1.0 / (1 + count(*)), 6) AS p_value
+    FROM pd
+    """,
+    "stats",
+    "ab-test",
+    "permutation",
+)
+def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test for the difference in mean user spend between
+    the even/odd-id variants: 200 md5-seeded relabelings (deterministic
+    and engine-portable — no RNG), add-one-smoothed two-sided p-value.
+    Per-user spend is exact integer cents; every mean is one division;
+    the |diff| comparisons are between identically-computed doubles, so
+    the extreme-count is bit-exact across engines. Plan: the corpus-
+    scale pass is the per-user reduction; the 200x fan-out runs on the
+    USER-grain frame and shuffles on (perm) — linear in users, never
+    in events. Degenerate one-sided relabelings (a side with zero
+    users) are excluded in both engines."""
+    u = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .select("user_id", (F.col("user_id") % 2).cast("bigint").alias("grp"), "cents")
+        .cache()  # observed diff + 200-perm fan-out reuse the user frame
+    )
+    obs = u.agg(
+        (
+            F.sum(F.when(F.col("grp") == 0, F.col("cents")).otherwise(0))
+            * F.lit(1.0)
+            / F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+            - F.sum(F.when(F.col("grp") == 1, F.col("cents")).otherwise(0))
+            * F.lit(1.0)
+            / F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        ).alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+    )
+    perms = u.crossJoin(
+        F.broadcast(spark.range(_N_PERMS).select(F.col("id").cast("bigint").alias("perm")))
+    ).select(
+        "perm",
+        _md5_bucket(
+            F.concat(
+                F.col("perm").cast("string"), F.lit(":"), F.col("user_id").cast("string")
+            ),
+            2,
+        ).alias("side"),
+        "cents",
+    )
+    pd_ = (
+        perms.groupBy("perm")
+        .agg(
+            F.sum(F.when(F.col("side") == 0, F.col("cents")).otherwise(0)).alias("s0"),
+            F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("c0"),
+            F.sum(F.when(F.col("side") == 1, F.col("cents")).otherwise(0)).alias("s1"),
+            F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("c1"),
+        )
+        .where((F.col("c0") > 0) & (F.col("c1") > 0))
+        .select(
+            (F.col("s0") * F.lit(1.0) / F.col("c0") - F.col("s1") * F.lit(1.0) / F.col("c1")).alias("d")
+        )
+    )
+    extreme = F.sum(
+        F.when(F.abs(F.col("d")) >= F.abs(F.col("obs_d")), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        pd_.crossJoin(F.broadcast(obs.select(F.col("d").alias("obs_d"), "n_users")))
+        .agg(
+            F.first("n_users").alias("n_users"),
+            F.round(F.first("obs_d"), 4).alias("obs_diff_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_perms"),
+            extreme.alias("n_extreme"),
+            F.round(
+                (F.lit(1) + extreme) * F.lit(1.0) / (F.lit(1) + F.count(F.lit(1))), 6
+            ).alias("p_value"),
+        )
+    )

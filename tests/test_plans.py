@@ -376,3 +376,33 @@ def test_corpus_bleu_never_cartesian_over_data(spark, sf_dir):
     assert "CartesianProduct" not in plan
     js = join_strategies(df)
     assert js["broadcast_nested_loop"] <= 2, js  # 1-row lens × u1 × u2 only
+
+
+def test_permutation_fanout_is_user_grain(spark, sf_dir):
+    """The 200x relabeling fan-out must multiply the USER-grain frame,
+    never raw events: exactly one scan of the events parquet feeds the
+    whole plan (the per-user reduction), and the perm dimension joins
+    as a broadcast."""
+    from etl_file_sync_spark.plans import physical_plan
+
+    plan = physical_plan(REGISTRY["stat_permutation_test"].build(spark, sf_dir))
+    assert plan.count("events.parquet") <= 2, "events must be scanned once (+cache reuse)"
+    assert "CartesianProduct" not in plan
+
+
+def test_cms_sketch_probe_is_broadcast(spark, sf_dir):
+    """The CMS estimate probe joins the 1024-cell sketch broadcast —
+    the vocabulary never shuffles to meet the sketch."""
+    plan_js = join_strategies(REGISTRY["sketch_count_min"].build(spark, sf_dir))
+    assert plan_js["broadcast_hash"] >= 1
+    from etl_file_sync_spark.plans import physical_plan
+
+    plan = physical_plan(REGISTRY["sketch_count_min"].build(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_bits_join_is_broadcast(spark, sf_dir):
+    """The <=4096-row bit set and the member set broadcast to the probe
+    side; the customer scan is the only data-scale input."""
+    js = join_strategies(REGISTRY["sketch_bloom_prefilter"].build(spark, sf_dir))
+    assert js["broadcast_hash"] >= 2  # bits + membership label joins

@@ -97,6 +97,13 @@ OPS = [
     "ops_skyline_pareto",
     "eval_corpus_bleu",
     "embed_int8_quant",
+    # round-5 experiment/sketch face: log-rank + permutation run their
+    # corpus-scale pass at the events grain then fan out on the user-
+    # grain frame; CMS/PMI are vocab-bounded explode+groupBy passes
+    "stat_logrank_test",
+    "stat_permutation_test",
+    "sketch_count_min",
+    "text_pmi_collocations",
 ]
 
 TIERS = ["sf0.001", "sf0.01", "sf0.1"]
