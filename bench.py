@@ -160,6 +160,13 @@ HEADLINE = [
     "sketch_bloom_prefilter",
     "text_pmi_collocations",
     "stat_permutation_test",
+    # round-5 insight face
+    "eval_isotonic_calibration",
+    "eval_rouge_l",
+    "agg_rfm_segments",
+    "stat_winsorized_mean",
+    "sketch_kmv_distinct",
+    "eval_conformal_interval",
 ]
 
 

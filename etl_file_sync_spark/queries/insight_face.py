@@ -1,0 +1,870 @@
+"""Insight-analytics queries (round 5, batch 3): isotonic calibration,
+ROUGE-L, difference-in-differences, mutual information, RFM
+segmentation, grouped winsorized means, a KMV distinct-count sketch,
+and split-conformal prediction intervals — the model-quality and
+business-readout layer on top of the engine's statistics machinery.
+
+The reference (`/root/reference/`) has no analytics surface (SURVEY.md
+§2.2). Conventions as elsewhere: exact integer cents/counts/ranks, one
+division before each round(); md5-standardized hashing where a sketch
+needs portable randomness; transcendentals (MI's ln) carry the
+documented libm-ulp risk under round(6). ROUGE-L is the face's pandas-
+UDF showcase: an Arrow-batched numpy DP on the Spark side, value-
+checked against a recursive-CTE dynamic program in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_file_sync_spark.operators.rankstats import (
+    bucketed_row_number,
+    grouped_bucketed_cumsum,
+)
+from etl_file_sync_spark.queries.registry import register, t
+
+_BIN_W = 8.0  # isotonic: value-axis bin width
+
+
+@register(
+    "eval_isotonic_calibration",
+    f"""
+    WITH e AS (
+      SELECT CAST(floor(value / {_BIN_W}) AS BIGINT) AS bin,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    b AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS w, CAST(sum(y) AS BIGINT) AS s
+      FROM e GROUP BY bin
+    ),
+    r AS (
+      SELECT bin, w, s,
+             CAST(row_number() OVER (ORDER BY bin) AS BIGINT) AS rn,
+             CAST(sum(w) OVER (ORDER BY bin) AS BIGINT) AS pw,
+             CAST(sum(s) OVER (ORDER BY bin) AS BIGINT) AS ps
+      FROM b
+    ),
+    pairs AS (
+      SELECT a.rn AS i, c.rn AS j,
+             (c.ps - a.ps + a.s) * 1.0 / (c.pw - a.pw + a.w) AS m
+      FROM r a JOIN r c ON c.rn >= a.rn
+    ),
+    mn AS (
+      SELECT k.rn AS k, p.i, min(p.m) AS mn
+      FROM r k JOIN pairs p ON p.i <= k.rn AND p.j >= k.rn
+      GROUP BY k.rn, p.i
+    ),
+    fit AS (SELECT k, max(mn) AS f FROM mn GROUP BY k)
+    SELECT r.bin, r.w, r.s,
+           round(r.s * 1.0 / r.w, 6) AS raw_rate,
+           round(fit.f, 6) AS iso_rate
+    FROM r JOIN fit ON fit.k = r.rn
+    ORDER BY r.bin
+    """,
+    "eval",
+    "calibration",
+    "isotonic",
+)
+def eval_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted isotonic regression (PAVA solution via the minimax
+    formula f(k) = max_{{i<=k}} min_{{j>=k}} mean(i..j), Barlow et al.
+    1972) of P(purchase) against the event-value axis, binned to width
+    8 — the calibration step that turns a raw score into a monotone
+    probability (Zadrozny & Elkan 2002). The corpus-scale work is ONE
+    groupBy to the bin frame; the minimax runs on the BIN-BOUNDED frame
+    (<= ~50 rows at any scale — the windows/joins there are free and
+    say so). Each candidate mean is an exact-integer numerator with
+    one division; min/max over identically-computed doubles are
+    bit-exact across engines."""
+    e = t(spark, sf_dir, "events").select(
+        F.floor(F.col("value") / _BIN_W).cast("bigint").alias("bin"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    b = e.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("w"),
+        F.sum("y").cast("bigint").alias("s"),
+    )
+    # bin-bounded frame (<= ~50 rows): plain windows are fine here
+    wsp = Window.orderBy("bin")
+    r = b.select(
+        "bin",
+        "w",
+        "s",
+        F.row_number().over(wsp).cast("bigint").alias("rn"),
+        F.sum("w").over(wsp).cast("bigint").alias("pw"),
+        F.sum("s").over(wsp).cast("bigint").alias("ps"),
+    ).cache()
+    a = r.select(
+        F.col("rn").alias("i"),
+        F.col("pw").alias("pwi"),
+        F.col("ps").alias("psi"),
+        F.col("w").alias("wi"),
+        F.col("s").alias("si"),
+    )
+    c = r.select(
+        F.col("rn").alias("j"), F.col("pw").alias("pwj"), F.col("ps").alias("psj")
+    )
+    pairs = a.join(F.broadcast(c), F.col("j") >= F.col("i")).select(
+        "i",
+        "j",
+        (
+            (F.col("psj") - F.col("psi") + F.col("si"))
+            * F.lit(1.0)
+            / (F.col("pwj") - F.col("pwi") + F.col("wi"))
+        ).alias("m"),
+    )
+    k = r.select(F.col("rn").alias("k"))
+    mn = (
+        k.join(F.broadcast(pairs), (F.col("i") <= F.col("k")) & (F.col("j") >= F.col("k")))
+        .groupBy("k", "i")
+        .agg(F.min("m").alias("mn"))
+    )
+    fit = mn.groupBy("k").agg(F.max("mn").alias("f"))
+    return (
+        r.join(F.broadcast(fit), F.col("rn") == F.col("k"))
+        .select(
+            "bin",
+            "w",
+            "s",
+            F.round(F.col("s") * 1.0 / F.col("w"), 6).alias("raw_rate"),
+            F.round(F.col("f"), 6).alias("iso_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+_ROUGE_CAP = 40
+
+
+@register(
+    "eval_rouge_l",
+    f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             list_slice(list_filter(string_split(text, ' '), x -> length(x) > 0),
+                        1, {_ROUGE_CAP}) AS tk
+      FROM documents
+    ),
+    pair AS (
+      SELECT c.doc_id, c.tk AS ct, r.tk AS rt
+      FROM toks c JOIN toks r ON r.doc_id = xor(c.doc_id, 1)
+    ),
+    dp AS (
+      SELECT doc_id, 0 AS i,
+             list_transform(range(0, len(rt) + 1), x -> CAST(0 AS INTEGER)) AS row,
+             ct, rt
+      FROM pair
+      UNION ALL
+      SELECT doc_id, i + 1,
+             list_reduce(
+               [[CAST(0 AS INTEGER)]]
+                 || list_transform(range(1, len(rt) + 1), j -> [CAST(j AS INTEGER)]),
+               (acc, x) -> acc || [CASE WHEN ct[i + 1] = rt[x[1]]
+                                        THEN row[x[1]] + 1
+                                        ELSE greatest(row[x[1] + 1], acc[len(acc)]) END]
+             ) AS row, ct, rt
+      FROM dp WHERE i < len(ct)
+    ),
+    res AS (
+      SELECT doc_id,
+             CAST(len(ct) AS BIGINT) AS len_c,
+             CAST(len(rt) AS BIGINT) AS len_r,
+             CAST(row[len(rt) + 1] AS BIGINT) AS lcs
+      FROM dp WHERE i = len(ct)
+    )
+    SELECT doc_id, len_c, len_r, lcs,
+           round(lcs * 1.0 / len_r, 6) AS rouge_recall,
+           round(lcs * 1.0 / len_c, 6) AS rouge_precision,
+           round(CASE WHEN lcs = 0 THEN 0.0
+                      ELSE 2.0 * (lcs * 1.0 / len_r) * (lcs * 1.0 / len_c)
+                           / (lcs * 1.0 / len_r + lcs * 1.0 / len_c) END, 6) AS rouge_f
+    FROM res ORDER BY doc_id
+    """,
+    "eval",
+    "rouge",
+    "pandas-udf",
+)
+def eval_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L (Lin 2004) per candidate/reference pair: candidate = a
+    document's first 40 tokens, reference = its xor-1 partner's first
+    40 — the same deterministic pairing as eval_corpus_bleu, with a
+    real (non-subsequence) LCS. The Spark side runs the DP as an
+    Arrow-batched numpy kernel in mapInPandas (the designed slow-path
+    escape hatch for operators Catalyst can't express); the oracle runs
+    the SAME dynamic program as a recursive CTE carrying the DP row as
+    a list, so the pandas-UDF machinery itself is value-checked. LCS,
+    lengths are exact integers; P/R/F divide once per reported column.
+    The 40-token cap bounds the DP at 1600 cells/pair, keeping per-row
+    cost constant — the corpus-scale cost is linear in pairs."""
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.slice(
+            F.filter(F.split(F.col("text"), " "), lambda x: F.length(x) > 0),
+            1,
+            _ROUGE_CAP,
+        ).alias("tk"),
+    )
+    ref = toks.select(F.col("doc_id").alias("r_id"), F.col("tk").alias("rt"))
+    pair = toks.join(ref, F.col("r_id") == F.expr("doc_id ^ 1")).select(
+        "doc_id", F.col("tk").alias("ct"), "rt"
+    )
+
+    def lcs_batches(it):
+        import numpy as np
+        import pandas as pd
+
+        def lcs(a, b):
+            # vectorized LCS row update; candidate-then-running-max is
+            # exact because DP rows are nondecreasing (validated against
+            # the textbook O(nm) loop in tests/test_insight_face.py)
+            if len(a) == 0 or len(b) == 0:
+                return 0
+            bn = np.array(b, dtype=object)
+            prev = np.zeros(len(b) + 1, dtype=np.int64)
+            for tok in a:
+                cand = np.maximum(prev[1:], np.where(bn == tok, prev[:-1] + 1, 0))
+                curr = np.empty_like(prev)
+                curr[0] = 0
+                curr[1:] = np.maximum.accumulate(cand)
+                prev = curr
+            return int(prev[-1])
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "len_c": pdf["ct"].map(len).astype("int64"),
+                    "len_r": pdf["rt"].map(len).astype("int64"),
+                    "lcs": [
+                        lcs(list(c), list(r)) for c, r in zip(pdf["ct"], pdf["rt"])
+                    ],
+                }
+            )
+
+    res = pair.mapInPandas(
+        lcs_batches, schema="doc_id long, len_c long, len_r long, lcs long"
+    )
+    rr = F.col("lcs") * 1.0 / F.col("len_r")
+    rp = F.col("lcs") * 1.0 / F.col("len_c")
+    return res.select(
+        "doc_id",
+        "len_c",
+        "len_r",
+        "lcs",
+        F.round(rr, 6).alias("rouge_recall"),
+        F.round(rp, 6).alias("rouge_precision"),
+        F.round(
+            F.when(F.col("lcs") == 0, F.lit(0.0)).otherwise(
+                F.lit(2.0) * rr * rp / (rr + rp)
+            ),
+            6,
+        ).alias("rouge_f"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "stat_diff_in_differences",
+    """
+    WITH u AS (
+      SELECT user_id, CAST(user_id % 2 AS BIGINT) AS grp,
+             CAST(coalesce(sum(CASE WHEN CAST(date_part('day', CAST(ts AS TIMESTAMP)) AS INTEGER) < 16
+                       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END), 0) AS BIGINT) AS pre,
+             CAST(coalesce(sum(CASE WHEN CAST(date_part('day', CAST(ts AS TIMESTAMP)) AS INTEGER) >= 16
+                       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END), 0) AS BIGINT) AS post
+      FROM events GROUP BY user_id
+    ),
+    cells AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pre) AS BIGINT) AS sp, CAST(sum(pre * pre) AS BIGINT) AS spp,
+             CAST(sum(post) AS BIGINT) AS so, CAST(sum(post * post) AS BIGINT) AS soo
+      FROM u GROUP BY grp
+    ),
+    w AS (
+      SELECT max(CASE WHEN grp = 1 THEN n END) AS n1,
+             max(CASE WHEN grp = 0 THEN n END) AS n0,
+             max(CASE WHEN grp = 1 THEN sp * 1.0 / n END) AS pre1,
+             max(CASE WHEN grp = 1 THEN so * 1.0 / n END) AS post1,
+             max(CASE WHEN grp = 0 THEN sp * 1.0 / n END) AS pre0,
+             max(CASE WHEN grp = 0 THEN so * 1.0 / n END) AS post0,
+             max(CASE WHEN grp = 1 THEN (spp - sp * 1.0 / n * sp) / (n - 1) END) AS vp1,
+             max(CASE WHEN grp = 1 THEN (soo - so * 1.0 / n * so) / (n - 1) END) AS vo1,
+             max(CASE WHEN grp = 0 THEN (spp - sp * 1.0 / n * sp) / (n - 1) END) AS vp0,
+             max(CASE WHEN grp = 0 THEN (soo - so * 1.0 / n * so) / (n - 1) END) AS vo0
+      FROM cells
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_treat, CAST(n0 AS BIGINT) AS n_ctrl,
+           round(pre1, 4) AS pre_treat, round(post1, 4) AS post_treat,
+           round(pre0, 4) AS pre_ctrl, round(post0, 4) AS post_ctrl,
+           round((post1 - pre1) - (post0 - pre0), 4) AS did_cents,
+           round(sqrt(vp1 / n1 + vo1 / n1 + vp0 / n0 + vo0 / n0), 4) AS se_cents,
+           round(((post1 - pre1) - (post0 - pre0))
+                 / sqrt(vp1 / n1 + vo1 / n1 + vp0 / n0 + vo0 / n0), 6) AS t_stat
+    FROM w
+    """,
+    "stats",
+    "ab-test",
+    "did",
+)
+def stat_diff_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on per-user spend: treated = odd-id
+    users, periods = day-of-month </>= 16. Effect = (post-pre) of
+    treated minus (post-pre) of control, with the independent-samples
+    standard error from per-cell sample variances (computed as
+    (Σy² − (Σy)²/n)/(n−1) — exact integer Σy and Σy², single
+    divisions, identical spelling both engines). One corpus-scale
+    groupBy to the user grain; everything after is a 2-row frame."""
+    ev = t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    pre = F.dayofmonth("ts") < 16
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.coalesce(F.sum(F.when(pre, cents).otherwise(0)), F.lit(0))
+            .cast("bigint")
+            .alias("pre"),
+            F.coalesce(F.sum(F.when(~pre, cents).otherwise(0)), F.lit(0))
+            .cast("bigint")
+            .alias("post"),
+        )
+        .select((F.col("user_id") % 2).cast("bigint").alias("grp"), "pre", "post")
+    )
+    cells = u.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pre").cast("bigint").alias("sp"),
+        F.sum(F.col("pre") * F.col("pre")).cast("bigint").alias("spp"),
+        F.sum("post").cast("bigint").alias("so"),
+        F.sum(F.col("post") * F.col("post")).cast("bigint").alias("soo"),
+    )
+
+    def cell(g, expr):
+        return F.max(F.when(F.col("grp") == g, expr))
+
+    mean_p = F.col("sp") * 1.0 / F.col("n")
+    mean_o = F.col("so") * 1.0 / F.col("n")
+    var_p = (F.col("spp") - F.col("sp") * 1.0 / F.col("n") * F.col("sp")) / (F.col("n") - 1)
+    var_o = (F.col("soo") - F.col("so") * 1.0 / F.col("n") * F.col("so")) / (F.col("n") - 1)
+    w = cells.agg(
+        cell(1, F.col("n")).alias("n1"),
+        cell(0, F.col("n")).alias("n0"),
+        cell(1, mean_p).alias("pre1"),
+        cell(1, mean_o).alias("post1"),
+        cell(0, mean_p).alias("pre0"),
+        cell(0, mean_o).alias("post0"),
+        cell(1, var_p).alias("vp1"),
+        cell(1, var_o).alias("vo1"),
+        cell(0, var_p).alias("vp0"),
+        cell(0, var_o).alias("vo0"),
+    )
+    did = (F.col("post1") - F.col("pre1")) - (F.col("post0") - F.col("pre0"))
+    se = F.sqrt(
+        F.col("vp1") / F.col("n1")
+        + F.col("vo1") / F.col("n1")
+        + F.col("vp0") / F.col("n0")
+        + F.col("vo0") / F.col("n0")
+    )
+    return w.select(
+        F.col("n1").cast("bigint").alias("n_treat"),
+        F.col("n0").cast("bigint").alias("n_ctrl"),
+        F.round(F.col("pre1"), 4).alias("pre_treat"),
+        F.round(F.col("post1"), 4).alias("post_treat"),
+        F.round(F.col("pre0"), 4).alias("pre_ctrl"),
+        F.round(F.col("post0"), 4).alias("post_ctrl"),
+        F.round(did, 4).alias("did_cents"),
+        F.round(se, 4).alias("se_cents"),
+        F.round(did / se, 6).alias("t_stat"),
+    )
+
+
+@register(
+    "stat_mutual_information",
+    """
+    WITH e AS (
+      SELECT event_type AS x,
+             CAST(date_part('dow', CAST(ts AS TIMESTAMP)) AS BIGINT) + 1 AS y
+      FROM events
+    ),
+    xy AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY x, y),
+    mx AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM xy GROUP BY x),
+    my AS (SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM xy GROUP BY y),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM xy),
+    terms AS (
+      SELECT xy.c, mx.cx, my.cy,
+             (xy.c * 1.0 / (SELECT n FROM n))
+               * ln((CAST(xy.c AS DOUBLE) * (SELECT n FROM n))
+                    / (CAST(mx.cx AS DOUBLE) * my.cy)) AS t
+      FROM xy JOIN mx ON xy.x = mx.x JOIN my ON xy.y = my.y
+    ),
+    hx AS (SELECT -sum((cx * 1.0 / (SELECT n FROM n))
+                       * ln(cx * 1.0 / (SELECT n FROM n))) AS h FROM mx),
+    hy AS (SELECT -sum((cy * 1.0 / (SELECT n FROM n))
+                       * ln(cy * 1.0 / (SELECT n FROM n))) AS h FROM my)
+    SELECT CAST((SELECT count(*) FROM xy) AS BIGINT) AS n_cells,
+           (SELECT n FROM n) AS n_events,
+           round(sum(t), 6) AS mi_nats,
+           round((SELECT h FROM hx), 6) AS h_x,
+           round((SELECT h FROM hy), 6) AS h_y,
+           round(sum(t) / sqrt((SELECT h FROM hx) * (SELECT h FROM hy)), 6) AS nmi
+    FROM terms
+    """,
+    "stats",
+    "information",
+)
+def stat_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between event type and day-of-week,
+    with marginal entropies and the sqrt-normalized NMI (Strehl &
+    Ghosh 2002). Counts are exact integers; each term is one division
+    inside ln — the JSD/divergence-face precedent: summation-order and
+    libm ulp risk under round(6). Cell space is enum-bounded (5 types x
+    7 days); the corpus-scale work is one groupBy."""
+    e = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("x"), F.dayofweek("ts").cast("bigint").alias("y")
+    )
+    xy = e.groupBy("x", "y").agg(F.count(F.lit(1)).cast("bigint").alias("c")).cache()
+    mx = xy.groupBy("x").agg(F.sum("c").cast("bigint").alias("cx"))
+    my = xy.groupBy("y").agg(F.sum("c").cast("bigint").alias("cy"))
+    n = xy.agg(F.sum("c").cast("bigint").alias("n"))
+    terms = (
+        xy.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(n))  # 1-row totals dimension
+        .select(
+            (
+                (F.col("c") * F.lit(1.0) / F.col("n"))
+                * F.log(
+                    (F.col("c").cast("double") * F.col("n"))
+                    / (F.col("cx").cast("double") * F.col("cy"))
+                )
+            ).alias("t")
+        )
+    )
+    hx = (
+        mx.crossJoin(F.broadcast(n))
+        .agg(
+            (-F.sum(
+                (F.col("cx") * F.lit(1.0) / F.col("n"))
+                * F.log(F.col("cx") * F.lit(1.0) / F.col("n"))
+            )).alias("h")
+        )
+    )
+    hy = (
+        my.crossJoin(F.broadcast(n))
+        .agg(
+            (-F.sum(
+                (F.col("cy") * F.lit(1.0) / F.col("n"))
+                * F.log(F.col("cy") * F.lit(1.0) / F.col("n"))
+            )).alias("h")
+        )
+    )
+    cells = xy.agg(F.count(F.lit(1)).cast("bigint").alias("n_cells"))
+    return (
+        terms.agg(F.sum("t").alias("mi"))
+        .crossJoin(F.broadcast(cells))
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(hx.select(F.col("h").alias("h_x_raw"))))
+        .crossJoin(F.broadcast(hy.select(F.col("h").alias("h_y_raw"))))
+        .select(
+            "n_cells",
+            F.col("n").alias("n_events"),
+            F.round(F.col("mi"), 6).alias("mi_nats"),
+            F.round(F.col("h_x_raw"), 6).alias("h_x"),
+            F.round(F.col("h_y_raw"), 6).alias("h_y"),
+            F.round(
+                F.col("mi") / F.sqrt(F.col("h_x_raw") * F.col("h_y_raw")), 6
+            ).alias("nmi"),
+        )
+    )
+
+
+@register(
+    "agg_rfm_segments",
+    """
+    WITH c AS (
+      SELECT o_custkey,
+             date_diff('day', CAST(max(o_orderdate) AS DATE),
+                       (SELECT CAST(max(o_orderdate) AS DATE) FROM orders)) AS r_days,
+             CAST(count(*) AS BIGINT) AS f,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m
+      FROM orders GROUP BY o_custkey
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+    sc AS (
+      SELECT o_custkey, m,
+             ((row_number() OVER (ORDER BY r_days DESC, o_custkey) - 1) * 5)
+               // (SELECT n FROM n) + 1 AS r_score,
+             ((row_number() OVER (ORDER BY f ASC, o_custkey) - 1) * 5)
+               // (SELECT n FROM n) + 1 AS f_score,
+             ((row_number() OVER (ORDER BY m ASC, o_custkey) - 1) * 5)
+               // (SELECT n FROM n) + 1 AS m_score
+      FROM c
+    )
+    SELECT CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(m) * 1.0 / count(*), 4) AS avg_monetary_cents
+    FROM sc GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+    "aggregation",
+    "rfm",
+    "distributed-rank",
+)
+def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer, recency (days since last order,
+    vs the corpus max date), frequency (order count), monetary (exact
+    cents); each scored into quintiles 1-5 (5 = most recent / most
+    frequent / highest spend) by GLOBAL rank — the three rankings run
+    on the bucketed two-phase row_number plan (no single-partition
+    window over the customer frame). Quintile = ((rn-1)*5) div n + 1
+    with integer division in BOTH engines (the //-vs-round divergence
+    gotcha). Output is the bounded <=125-segment cube with exact
+    counts."""
+    o = t(spark, sf_dir, "orders")
+    maxd = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("dmax"))
+    c = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+            F.count(F.lit(1)).cast("bigint").alias("f"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("m"),
+        )
+        .crossJoin(F.broadcast(maxd))  # 1-row max-date dimension
+        .select(
+            "o_custkey",
+            F.datediff(F.col("dmax"), F.col("last_d")).cast("bigint").alias("r_days"),
+            "f",
+            "m",
+        )
+    )
+    cc = c.cache()  # three rankings + totals reuse the customer frame
+    n = cc.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # negative key => descending recency rank without a desc order path
+    rr = bucketed_row_number(
+        cc.withColumn("neg_r", -F.col("r_days")), "neg_r", ["o_custkey"], out_col="rn_r"
+    ).select("o_custkey", "rn_r")
+    rf = bucketed_row_number(cc, "f", ["o_custkey"], out_col="rn_f").select(
+        "o_custkey", "rn_f"
+    )
+    rm = bucketed_row_number(cc, "m", ["o_custkey"], out_col="rn_m").select(
+        "o_custkey", "rn_m"
+    )
+    sc = (
+        cc.select("o_custkey", "m")
+        .join(rr, "o_custkey")
+        .join(rf, "o_custkey")
+        .join(rm, "o_custkey")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "m",
+            (F.expr("((rn_r - 1) * 5) div n") + 1).cast("bigint").alias("r_score"),
+            (F.expr("((rn_f - 1) * 5) div n") + 1).cast("bigint").alias("f_score"),
+            (F.expr("((rn_m - 1) * 5) div n") + 1).cast("bigint").alias("m_score"),
+        )
+    )
+    return (
+        sc.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(F.sum("m") * F.lit(1.0) / F.count(F.lit(1)), 4).alias(
+                "avg_monetary_cents"
+            ),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+@register(
+    "stat_winsorized_mean",
+    """
+    WITH o AS (
+      SELECT o_orderpriority AS pri,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    g AS (
+      SELECT pri, cents, CAST(count(*) AS BIGINT) AS w FROM o GROUP BY pri, cents
+    ),
+    cum AS (
+      SELECT pri, cents, w,
+             CAST(sum(w) OVER (PARTITION BY pri ORDER BY cents) AS BIGINT) AS cw
+      FROM g
+    ),
+    ng AS (SELECT pri, CAST(sum(w) AS BIGINT) AS n FROM g GROUP BY pri),
+    ranks AS (
+      SELECT pri, n,
+             ((n - 1) * 10) // 100 + 1 AS klo,
+             ((n - 1) * 90) // 100 + 1 AS khi
+      FROM ng
+    ),
+    lo AS (
+      SELECT c.pri, min(c.cents) AS lo_cents
+      FROM cum c JOIN ranks r ON c.pri = r.pri AND c.cw >= r.klo
+      GROUP BY c.pri
+    ),
+    hi AS (
+      SELECT c.pri, min(c.cents) AS hi_cents
+      FROM cum c JOIN ranks r ON c.pri = r.pri AND c.cw >= r.khi
+      GROUP BY c.pri
+    )
+    SELECT o.pri AS o_orderpriority, r.n,
+           CAST(lo.lo_cents AS BIGINT) AS lo_cents,
+           CAST(hi.hi_cents AS BIGINT) AS hi_cents,
+           round(sum(greatest(lo.lo_cents, least(hi.hi_cents, o.cents))) * 1.0
+                 / count(*), 4) AS winsor_mean_cents
+    FROM o JOIN ranks r ON o.pri = r.pri
+           JOIN lo ON o.pri = lo.pri JOIN hi ON o.pri = hi.pri
+    GROUP BY o.pri, r.n, lo.lo_cents, hi.hi_cents
+    ORDER BY o_orderpriority
+    """,
+    "stats",
+    "robust",
+    "distributed-rank",
+)
+def stat_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority winsorized mean of order totals: values clamped to
+    the group's exact type-1 p10/p90 order statistics (rank
+    ((n-1)*q)div 100 + 1 over exact cents), then averaged. The
+    per-group quantiles come from the GROUPED bucketed cumulative plan
+    (operators/rankstats.py) — a group never funnels through one task
+    even though group count (5 priorities) is far below task count.
+    Everything is exact integers until the single mean division."""
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    g = o.groupBy("pri", "cents").agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    cum = grouped_bucketed_cumsum(g, ["pri"], "cents", "w", out_col="cw")
+    ng = g.groupBy("pri").agg(F.sum("w").cast("bigint").alias("n"))
+    ranks = ng.select(
+        "pri",
+        "n",
+        (F.expr("((n - 1) * 10) div 100") + 1).alias("klo"),
+        (F.expr("((n - 1) * 90) div 100") + 1).alias("khi"),
+    )
+    cr = cum.join(F.broadcast(ranks), "pri")
+    lo = (
+        cr.where(F.col("cw") >= F.col("klo"))
+        .groupBy("pri")
+        .agg(F.min("cents").alias("lo_cents"))
+    )
+    hi = (
+        cr.where(F.col("cw") >= F.col("khi"))
+        .groupBy("pri")
+        .agg(F.min("cents").alias("hi_cents"))
+    )
+    return (
+        o.join(F.broadcast(ranks), "pri")
+        .join(F.broadcast(lo), "pri")
+        .join(F.broadcast(hi), "pri")
+        .groupBy(F.col("pri").alias("o_orderpriority"), "n", "lo_cents", "hi_cents")
+        .agg(
+            F.round(
+                F.sum(
+                    F.greatest(F.col("lo_cents"), F.least(F.col("hi_cents"), F.col("cents")))
+                )
+                * F.lit(1.0)
+                / F.count(F.lit(1)),
+                4,
+            ).alias("winsor_mean_cents")
+        )
+        .select(
+            "o_orderpriority",
+            "n",
+            F.col("lo_cents").cast("bigint").alias("lo_cents"),
+            F.col("hi_cents").cast("bigint").alias("hi_cents"),
+            "winsor_mean_cents",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_KMV_K = 256
+_TWO60 = float(1 << 60)
+
+
+@register(
+    "sketch_kmv_distinct",
+    f"""
+    WITH toks AS (
+      SELECT list_filter(string_split(text, ' '), x -> length(x) > 0) AS tk
+      FROM documents
+    ),
+    tri AS (
+      SELECT DISTINCT g
+      FROM (SELECT unnest(list_transform(range(1, len(tk) - 1),
+                     i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS g
+            FROM toks)
+    ),
+    h AS (
+      SELECT DISTINCT CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS th FROM tri
+    ),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS d FROM h),
+    kth AS (
+      SELECT max(th) AS kth, CAST(count(*) AS BIGINT) AS k_used
+      FROM (SELECT th FROM h ORDER BY th LIMIT {_KMV_K})
+    )
+    SELECT s.d AS true_distinct, k.k_used,
+           CAST(k.kth AS BIGINT) AS kth_hash,
+           round(CASE WHEN s.d <= {_KMV_K} THEN s.d * 1.0
+                      ELSE ({_KMV_K} - 1) * {_TWO60} / k.kth END, 4) AS est_distinct,
+           round((CASE WHEN s.d <= {_KMV_K} THEN s.d * 1.0
+                       ELSE ({_KMV_K} - 1) * {_TWO60} / k.kth END - s.d) * 1.0 / s.d,
+                 6) AS rel_err
+    FROM stats s, kth k
+    """,
+    "sketch",
+    "kmv",
+    "distinct-count",
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values, Bar-Yossef et al. 2002) distinct-count
+    sketch over corpus trigrams with k=256 and 60-bit md5 hashes — the
+    oracle reproduces the exact k-th minimum and therefore the exact
+    estimate (vs HLL, which is engine-seeded and rows-only). Estimator
+    (k-1)/u_(k) with u = h/2^60; when the true cardinality is <= k the
+    sketch IS exact and says so. Plan: explode → distinct (the
+    corpus-scale shuffle), then a global min-k = sort-limit
+    (TakeOrderedAndProject) — the sketch ships 256 rows at 100 TB."""
+    toks = t(spark, sf_dir, "documents").select(
+        F.filter(F.split(F.col("text"), " "), lambda x: F.length(x) > 0).alias("tk")
+    )
+    tri = toks.select(
+        F.explode(
+            F.when(
+                F.size("tk") < 3, F.array().cast("array<string>")
+            ).otherwise(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 2),"
+                    " i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1),"
+                    " ' ', element_at(tk, i + 2)))"
+                )
+            )
+        ).alias("g")
+    ).distinct()
+    h = tri.select(
+        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint").alias("th")
+    ).distinct().cache()
+    stats = h.agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    kth = (
+        h.orderBy("th")
+        .limit(_KMV_K)
+        .agg(F.max("th").alias("kth"), F.count(F.lit(1)).cast("bigint").alias("k_used"))
+    )
+    est = F.when(
+        F.col("d") <= _KMV_K, F.col("d") * F.lit(1.0)
+    ).otherwise(F.lit(_KMV_K - 1) * F.lit(_TWO60) / F.col("kth"))
+    return (
+        stats.crossJoin(F.broadcast(kth))  # two 1-row frames
+        .select(
+            F.col("d").alias("true_distinct"),
+            "k_used",
+            F.col("kth").cast("bigint").alias("kth_hash"),
+            F.round(est, 4).alias("est_distinct"),
+            F.round((est - F.col("d")) * F.lit(1.0) / F.col("d"), 6).alias("rel_err"),
+        )
+    )
+
+
+@register(
+    "eval_conformal_interval",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_orderpriority AS pri,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey % 2 AS half
+      FROM orders
+    ),
+    model AS (
+      SELECT pri, sum(cents) * 1.0 / count(*) AS yhat
+      FROM o WHERE half = 0 GROUP BY pri
+    ),
+    cal AS (
+      SELECT abs(o.cents - m.yhat) AS resid, o.o_orderkey
+      FROM o JOIN model m ON o.pri = m.pri WHERE o.half = 0
+    ),
+    nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
+    r AS (
+      SELECT resid, row_number() OVER (ORDER BY resid, o_orderkey) AS rn FROM cal
+    ),
+    q AS (
+      SELECT r.resid AS q_resid
+      FROM r, nc
+      WHERE r.rn = least(nc.n_cal, (9 * (nc.n_cal + 1) + 9) // 10)
+    ),
+    test AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(CASE WHEN abs(o.cents - m.yhat) <= (SELECT q_resid FROM q)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS covered
+      FROM o JOIN model m ON o.pri = m.pri WHERE o.half = 1
+    )
+    SELECT (SELECT n_cal FROM nc) AS n_cal, t.n_test,
+           round((SELECT q_resid FROM q), 4) AS q_resid_cents,
+           t.covered,
+           round(t.covered * 1.0 / t.n_test, 6) AS coverage
+    FROM test t
+    """,
+    "eval",
+    "conformal",
+    "distributed-rank",
+)
+def eval_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval (Vovk et al. 2005; Lei et
+    al. 2018) for a per-priority mean-price model: residual quantile at
+    rank ceil(0.9*(n+1)) on the even-orderkey calibration half, marginal
+    coverage measured on the odd half (~>= 90% by the conformal
+    guarantee — asserted in tests). Residual ranking runs on the
+    bucketed two-phase row_number plan; residuals are
+    identically-computed doubles (one division inside the model mean),
+    so the rank and quantile agree bit-exactly across engines."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        (F.col("o_orderkey") % 2).alias("half"),
+    ).cache()  # model fit + calibration + test all reuse this
+    model = (
+        o.where(F.col("half") == 0)
+        .groupBy("pri")
+        .agg((F.sum("cents") * F.lit(1.0) / F.count(F.lit(1))).alias("yhat"))
+    )
+    cal = (
+        o.where(F.col("half") == 0)
+        .join(F.broadcast(model), "pri")
+        .select(F.abs(F.col("cents") - F.col("yhat")).alias("resid"), "o_orderkey")
+    )
+    nc = cal.agg(F.count(F.lit(1)).cast("bigint").alias("n_cal"))
+    r = bucketed_row_number(cal, "resid", ["o_orderkey"], out_col="rn")
+    q = (
+        r.crossJoin(F.broadcast(nc))  # 1-row count dimension
+        .where(
+            F.col("rn")
+            == F.least(F.col("n_cal"), F.expr("(9 * (n_cal + 1) + 9) div 10"))
+        )
+        .select(F.col("resid").alias("q_resid"))
+    )
+    test = (
+        o.where(F.col("half") == 1)
+        .join(F.broadcast(model), "pri")
+        .crossJoin(F.broadcast(q))  # 1-row quantile dimension
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("cents") - F.col("yhat")) <= F.col("q_resid"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("covered"),
+            F.first("q_resid").alias("q_resid"),
+        )
+    )
+    return test.crossJoin(F.broadcast(nc)).select(
+        "n_cal",
+        "n_test",
+        F.round(F.col("q_resid"), 4).alias("q_resid_cents"),
+        "covered",
+        F.round(F.col("covered") * F.lit(1.0) / F.col("n_test"), 6).alias("coverage"),
+    )

@@ -406,3 +406,31 @@ def test_bloom_bits_join_is_broadcast(spark, sf_dir):
     side; the customer scan is the only data-scale input."""
     js = join_strategies(REGISTRY["sketch_bloom_prefilter"].build(spark, sf_dir))
     assert js["broadcast_hash"] >= 2  # bits + membership label joins
+
+
+def test_rfm_rankings_are_bucket_partitioned(spark, sf_dir):
+    """RFM's three global rankings and the conformal residual ranking
+    must use the two-phase bucketed row_number — no bare global-order
+    window over the customer/residual frames."""
+    from etl_file_sync_spark.plans import physical_plan
+
+    for name in ("agg_rfm_segments", "eval_conformal_interval", "stat_winsorized_mean"):
+        plan = physical_plan(REGISTRY[name].build(spark, sf_dir))
+        win_lines = [
+            l for l in plan.splitlines() if "Window" in l and "windowspecdefinition" in l
+        ]
+        for line in win_lines:
+            assert "_rs_bucket" in line, f"{name}: unpartitioned window: {line[:200]}"
+
+
+def test_rouge_python_eval_runs_after_pair_join(spark, sf_dir):
+    """The ROUGE DP's Arrow Python stage must consume the PAIR frame
+    (post-join), not the raw documents scan — the Python-side work is
+    bounded by the 40-token cap per pair."""
+    from etl_file_sync_spark.plans import physical_plan
+
+    plan = physical_plan(REGISTRY["eval_rouge_l"].build(spark, sf_dir))
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan or "PythonMapInArrow" in plan
+    join_pos = plan.find("Join")
+    py_pos = max(plan.find("MapInPandas"), plan.find("ArrowEvalPython"))
+    assert join_pos != -1 and py_pos != -1

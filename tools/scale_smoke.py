@@ -104,6 +104,14 @@ OPS = [
     "stat_permutation_test",
     "sketch_count_min",
     "text_pmi_collocations",
+    # round-5 insight face: pandas-UDF DP (documents-grain), grouped
+    # winsorized quantiles + RFM triple ranking (orders-grain on the
+    # bucketed plans), KMV distinct sketch (documents-grain)
+    "eval_rouge_l",
+    "agg_rfm_segments",
+    "stat_winsorized_mean",
+    "sketch_kmv_distinct",
+    "eval_conformal_interval",
 ]
 
 TIERS = ["sf0.001", "sf0.01", "sf0.1"]
