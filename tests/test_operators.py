@@ -711,3 +711,28 @@ def test_fuzzy_jw_blocked_pairs_scores_dist1_candidates(spark):
     for (ia, ib), v in got.items():
         names = {r[0]: r[1] for r in rows}
         assert v == pytest.approx(round(jwf(names[ia], names[ib]), 6), abs=1e-9)
+
+
+def test_jaro_winkler_np_bit_identical_to_scalar():
+    """The vectorized numpy JW (the batch path inside jaro_winkler_col)
+    must be BIT-identical to jaro_winkler_py on classics, edge cases,
+    and randomized strings — same IEEE ops in the same order, so ==,
+    not approx."""
+    import random
+
+    from etl_file_sync_spark.operators import dedup as D
+
+    rng = random.Random(99)
+    cases = [
+        ("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"), ("JELLYFISH", "SMELLYFISH"),
+        ("", ""), ("a", ""), ("", "b"), ("abc", "abc"), ("a", "a"), ("ab", "ba"),
+        ("Customer#000000001", "Customer#000000991"), ("x" * 30, "x" * 29 + "y"),
+        ("a\0b", "a\0b"), ("ab", "ab\0"),  # embedded NUL vs the NUL padding
+    ]
+    for _ in range(4000):
+        a = "".join(rng.choice("abcde#01") for _ in range(rng.randint(0, 12)))
+        b = "".join(rng.choice("abcde#01") for _ in range(rng.randint(0, 12)))
+        cases.append((a, b))
+    got = D.jaro_winkler_np([a for a, _ in cases], [b for _, b in cases])
+    for (a, b), g in zip(cases, got):
+        assert g == D.jaro_winkler_py(a, b), (a, b)
