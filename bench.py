@@ -167,6 +167,9 @@ HEADLINE = [
     "stat_winsorized_mean",
     "sketch_kmv_distinct",
     "eval_conformal_interval",
+    "eval_map_mrr",
+    "stat_propensity_stratified_att",
+    "behavior_markov_absorption",
 ]
 
 

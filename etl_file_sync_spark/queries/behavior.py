@@ -815,3 +815,113 @@ def behavior_event_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("vc_pairs").cast("bigint").alias("n_view_click_adjacencies"),
         F.max("n_events").cast("bigint").alias("max_session_len"),
     )
+
+
+_MARKOV_ITERS = 80
+
+
+@register(
+    "behavior_markov_absorption",
+    f"""
+    WITH RECURSIVE ord AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    tr AS (
+      SELECT event_type AS f, next_type AS t, CAST(count(*) AS BIGINT) AS c
+      FROM ord WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    ),
+    outs AS (SELECT f, CAST(sum(c) AS BIGINT) AS tot FROM tr GROUP BY f),
+    states AS (
+      SELECT DISTINCT f AS s FROM tr UNION SELECT DISTINCT t AS s FROM tr
+    ),
+    p AS (
+      -- augmented kernel: target-only states (an absorbing type that
+      -- never transitions out, or a sink) get a self-loop so every
+      -- state survives each group-by iteration; the CASE override
+      -- below pins the absorbing values regardless
+      SELECT tr.f, tr.t, tr.c * 1.0 / outs.tot AS p
+      FROM tr JOIN outs ON tr.f = outs.f
+      UNION ALL
+      SELECT s, s, 1.0 FROM states WHERE s NOT IN (SELECT f FROM outs)
+    ),
+    jac AS (
+      -- one reference to the working table per recursive step (DuckDB
+      -- contract): h_new(f) = sum over source-targets of p(f,t)*h(t),
+      -- absorbing states overridden after the group-by
+      -- anchor h MUST be DOUBLE: a bare 1.0 literal types the UNION
+      -- column DECIMAL(2,1) and every iteration silently rounds
+      SELECT 0 AS it, s,
+             CAST(CASE WHEN s = 'error' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS h
+      FROM states
+      UNION ALL
+      SELECT jac.it + 1 AS it, p.f AS s,
+             CAST(CASE WHEN p.f = 'error' THEN 1.0
+                       WHEN p.f = 'purchase' THEN 0.0
+                       ELSE sum(p.p * jac.h) END AS DOUBLE) AS h
+      FROM jac JOIN p ON p.t = jac.s
+      WHERE jac.it < {_MARKOV_ITERS}
+      GROUP BY jac.it, p.f
+    )
+    SELECT s AS state, round(h, 6) AS p_error_before_purchase
+    FROM jac WHERE it = {_MARKOV_ITERS} ORDER BY s
+    """,
+    "behavior",
+    "markov",
+)
+def behavior_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absorbing-Markov-chain risk: from each event type, the
+    probability of reaching 'error' before 'purchase' under the
+    empirical per-user transition kernel (consecutive-event pairs,
+    ordered by ts/event_id within user). The kernel is computed
+    DISTRIBUTED (the corpus-scale groupBy); the hitting probabilities
+    solve (I-Q)h = b on the enum-BOUNDED <=5x5 matrix — collected as a
+    k-row metadata pull and iterated 80 Jacobi steps driver-side with
+    float64, exactly mirroring the oracle's recursive-CTE iteration
+    (same update, same iteration count; 80 steps contract the spectral
+    residual far below the round(6) grain — both engines' 5-term dot
+    products may associate differently, the documented double-sum
+    envelope). The state space is the event-type enum, so driver-side
+    solve is scale-correct at ANY corpus size."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.withColumn("next_type", F.lead("event_type").over(w))
+    tr = (
+        ordered.where(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("f"), F.col("next_type").alias("t"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    outs = tr.groupBy("f").agg(F.sum("c").cast("bigint").alias("tot"))
+    p_rows = (
+        tr.join(outs, "f")
+        .select("f", "t", (F.col("c") * F.lit(1.0) / F.col("tot")).alias("p"))
+        .collect()  # enum-bounded kernel: <= 25 cells — k-row metadata pull
+    )
+    # every source AND target is a state: a target-only absorbing type
+    # must keep its pinned value visible to the iteration
+    states = sorted({r["f"] for r in p_rows} | {r["t"] for r in p_rows})
+    kernel = {(r["f"], r["t"]): r["p"] for r in p_rows}
+    h = {s: (1.0 if s == "error" else 0.0) for s in states}
+    for _ in range(_MARKOV_ITERS):
+        nxt = {}
+        for s in states:
+            if s == "error":
+                nxt[s] = 1.0
+            elif s == "purchase":
+                nxt[s] = 0.0
+            else:
+                # empty sum = 0: a sink transient stays at 0 (matches
+                # the oracle's self-loop augmentation)
+                nxt[s] = sum(
+                    kernel[(s, u)] * h[u] for u in states if (s, u) in kernel
+                )
+        h = nxt
+    return (
+        e.sparkSession.createDataFrame(
+            [(s, round(h[s], 6)) for s in states],
+            "state string, p_error_before_purchase double",
+        ).orderBy("state")
+    )

@@ -387,3 +387,77 @@ def eval_ndcg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("idcg", 6).alias("idcg_10"),
         F.round(F.col("dcg") / F.nullif(F.col("idcg"), F.lit(0)), 6).alias("ndcg_10"),
     ).orderBy("nationkey")
+
+
+@register(
+    "eval_map_mrr",
+    """
+    WITH r AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rk
+      FROM events
+    ),
+    cum AS (
+      SELECT user_id, rel, rk,
+             CAST(sum(rel) OVER (PARTITION BY user_id ORDER BY rk) AS BIGINT) AS nrel
+      FROM r
+    ),
+    per_user AS (
+      SELECT user_id,
+             CAST(max(nrel) AS BIGINT) AS n_rel,
+             sum(CASE WHEN rel = 1 THEN nrel * 1.0 / rk ELSE 0 END) AS ap_num,
+             min(CASE WHEN rel = 1 THEN rk END) AS first_rel
+      FROM cum GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           round(sum(ap_num / n_rel) / count(*), 6) AS map,
+           round(sum(1.0 / first_rel) / count(*), 6) AS mrr
+    FROM per_user WHERE n_rel > 0
+    """,
+    "eval",
+    "ranking-metrics",
+)
+def eval_map_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP and MRR over per-user event rankings: each user is a
+    'query', their events ranked by value descending (event_id breaks
+    ties deterministically), purchases are the relevant items. AP's
+    precision-at-hit terms are exact-integer ratios (nrel/rank) with
+    one division each; users with no purchases are excluded from both
+    means, matching the IR convention. The windows partition by
+    user_id — per-partition cardinality is a user's activity count
+    (the sessionize/behavior-face precedent), never the corpus."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("rel"),
+        "value",
+        "event_id",
+    )
+    w = W.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    r = e.withColumn("rk", F.row_number().over(w))
+    wc = W.partitionBy("user_id").orderBy("rk")
+    cum = r.withColumn("nrel", F.sum("rel").over(wc).cast("bigint"))
+    per_user = cum.groupBy("user_id").agg(
+        F.max("nrel").cast("bigint").alias("n_rel"),
+        F.sum(
+            F.when(F.col("rel") == 1, F.col("nrel") * F.lit(1.0) / F.col("rk")).otherwise(
+                0
+            )
+        ).alias("ap_num"),
+        F.min(F.when(F.col("rel") == 1, F.col("rk"))).alias("first_rel"),
+    )
+    return (
+        per_user.where(F.col("n_rel") > 0)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.round(
+                F.sum(F.col("ap_num") / F.col("n_rel")) / F.count(F.lit(1)), 6
+            ).alias("map"),
+            F.round(
+                F.sum(F.lit(1.0) / F.col("first_rel")) / F.count(F.lit(1)), 6
+            ).alias("mrr"),
+        )
+    )

@@ -860,3 +860,197 @@ def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_value"),
         )
     )
+
+
+@register(
+    "stat_power_analysis",
+    """
+    WITH u AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS grp,
+             CAST(max(CASE WHEN event_type = 'purchase' AND value > 200
+                           THEN 1 ELSE 0 END) AS BIGINT) AS conv
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN grp = 0 THEN conv ELSE 0 END) AS BIGINT) AS s0
+      FROM u
+    ),
+    p AS (
+      SELECT n0, s0, s0 * 1.0 / n0 AS p0,
+             least(1.0, (s0 * 1.0 / n0) * 1.1) AS p1
+      FROM g
+    )
+    SELECT n0 AS n_control_observed,
+           round(p0, 6) AS p0,
+           round(p1, 6) AS p1_target,
+           CAST(ceil((1.96 + 0.8416) * (1.96 + 0.8416)
+                     * (p0 * (1.0 - p0) + p1 * (1.0 - p1))
+                     / ((p1 - p0) * (p1 - p0))) AS BIGINT) AS n_per_arm,
+           round((1.96 + 0.8416) * sqrt(2.0 * p0 * (1.0 - p0) / n0), 6) AS mde_at_n
+    FROM p
+    """,
+    "stats",
+    "ab-test",
+    "power",
+)
+def stat_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sample-size and MDE planning from the observed control
+    conversion rate: n per arm to detect a +10% relative lift at
+    alpha=0.05 two-sided, power=0.8 (z constants 1.96 / 0.8416 as
+    identical decimal literals), and the minimum detectable absolute
+    effect at the CURRENT control n (conservative 2*p0*(1-p0) variance).
+    Exact integer counts, single divisions, correctly-rounded sqrt —
+    bit-exact across engines except ceil at an exact-integer boundary
+    (same class as the round() grain). One groupBy over the user
+    frame."""
+    u = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > 200), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("conv")
+        )
+        .select((F.col("user_id") % 2).cast("bigint").alias("grp"), "conv")
+    )
+    g = u.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("grp") == 0, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("s0"),
+    )
+    p0 = F.col("s0") * 1.0 / F.col("n0")
+    p1 = F.least(F.lit(1.0), p0 * F.lit(1.1))
+    zsum2 = (F.lit(1.96) + F.lit(0.8416)) * (F.lit(1.96) + F.lit(0.8416))
+    return g.select(
+        F.col("n0").alias("n_control_observed"),
+        F.round(p0, 6).alias("p0"),
+        F.round(p1, 6).alias("p1_target"),
+        F.ceil(
+            zsum2
+            * (p0 * (F.lit(1.0) - p0) + p1 * (F.lit(1.0) - p1))
+            / ((p1 - p0) * (p1 - p0))
+        )
+        .cast("bigint")
+        .alias("n_per_arm"),
+        F.round(
+            (F.lit(1.96) + F.lit(0.8416))
+            * F.sqrt(F.lit(2.0) * p0 * (F.lit(1.0) - p0) / F.col("n0")),
+            6,
+        ).alias("mde_at_n"),
+    )
+
+
+@register(
+    "stat_propensity_stratified_att",
+    """
+    WITH u AS (
+      SELECT user_id, CAST(user_id % 2 AS BIGINT) AS treat,
+             CAST(coalesce(sum(CASE WHEN CAST(date_part('day', CAST(ts AS TIMESTAMP)) AS INTEGER) < 16
+                       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END), 0) AS BIGINT) AS x,
+             CAST(coalesce(sum(CASE WHEN CAST(date_part('day', CAST(ts AS TIMESTAMP)) AS INTEGER) >= 16
+                       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END), 0) AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+    s AS (
+      SELECT user_id, treat, y,
+             ((row_number() OVER (ORDER BY x, user_id) - 1) * 5)
+               // (SELECT n FROM n) + 1 AS stratum
+      FROM u
+    ),
+    cells AS (
+      SELECT stratum,
+             CAST(sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+             CAST(sum(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+             CAST(sum(CASE WHEN treat = 1 THEN y ELSE 0 END) AS BIGINT) AS syt,
+             CAST(sum(CASE WHEN treat = 0 THEN y ELSE 0 END) AS BIGINT) AS syc
+      FROM s GROUP BY stratum
+    ),
+    ok AS (SELECT * FROM cells WHERE nt > 0 AND nc > 0),
+    tot AS (SELECT CAST(sum(nt) AS BIGINT) AS nt_all FROM ok)
+    SELECT CAST((SELECT count(*) FROM ok) AS BIGINT) AS n_strata_used,
+           (SELECT nt_all FROM tot) AS n_treated,
+           round(sum((nt * 1.0 / (SELECT nt_all FROM tot))
+                     * (syt * 1.0 / nt - syc * 1.0 / nc)), 4) AS att_cents
+    FROM ok
+    """,
+    "stats",
+    "causal",
+    "distributed-rank",
+)
+def stat_propensity_stratified_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified ATT (average treatment effect on the treated,
+    Rosenbaum & Rubin 1984 subclassification): users stratified into
+    quintiles of PRE-period spend (the confounder proxy) by global rank
+    — the bucketed two-phase row_number, integer-division quintiles —
+    then ATT = sum over strata of (treated share) x (treated mean -
+    control mean of POST-period spend), skipping strata missing an arm.
+    Exact integer cents and counts; the stratum terms are single
+    divisions; the 5-term weighted sum rounds at 4 (the double-sum
+    envelope). Corpus-scale work: one groupBy to the user grain and
+    one ranking pass."""
+    ev = t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    pre = F.dayofmonth("ts") < 16
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.coalesce(F.sum(F.when(pre, cents).otherwise(0)), F.lit(0))
+            .cast("bigint")
+            .alias("x"),
+            F.coalesce(F.sum(F.when(~pre, cents).otherwise(0)), F.lit(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+        .select(
+            "user_id",
+            (F.col("user_id") % 2).cast("bigint").alias("treat"),
+            "x",
+            "y",
+        )
+        .cache()  # ranking + totals reuse the user frame
+    )
+    from etl_file_sync_spark.operators.rankstats import bucketed_row_number
+
+    n = u.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    r = bucketed_row_number(u, "x", ["user_id"], out_col="rn")
+    s = r.crossJoin(F.broadcast(n)).select(
+        "treat",
+        "y",
+        (F.expr("((rn - 1) * 5) div n") + 1).cast("bigint").alias("stratum"),
+    )
+    cells = s.groupBy("stratum").agg(
+        F.sum(F.when(F.col("treat") == 1, 1).otherwise(0)).cast("bigint").alias("nt"),
+        F.sum(F.when(F.col("treat") == 0, 1).otherwise(0)).cast("bigint").alias("nc"),
+        F.sum(F.when(F.col("treat") == 1, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("syt"),
+        F.sum(F.when(F.col("treat") == 0, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("syc"),
+    )
+    ok = cells.where((F.col("nt") > 0) & (F.col("nc") > 0)).cache()
+    tot = ok.agg(F.sum("nt").cast("bigint").alias("nt_all"))
+    return (
+        ok.crossJoin(F.broadcast(tot))  # 1-row totals dimension
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_strata_used"),
+            F.first("nt_all").alias("n_treated"),
+            F.round(
+                F.sum(
+                    (F.col("nt") * F.lit(1.0) / F.col("nt_all"))
+                    * (
+                        F.col("syt") * F.lit(1.0) / F.col("nt")
+                        - F.col("syc") * F.lit(1.0) / F.col("nc")
+                    )
+                ),
+                4,
+            ).alias("att_cents"),
+        )
+    )

@@ -112,6 +112,9 @@ OPS = [
     "stat_winsorized_mean",
     "sketch_kmv_distinct",
     "eval_conformal_interval",
+    "eval_map_mrr",
+    "stat_propensity_stratified_att",
+    "behavior_markov_absorption",
 ]
 
 TIERS = ["sf0.001", "sf0.01", "sf0.1"]
