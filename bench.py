@@ -170,6 +170,9 @@ HEADLINE = [
     "eval_map_mrr",
     "stat_propensity_stratified_att",
     "behavior_markov_absorption",
+    "ts_holt_linear",
+    "stat_nelson_aalen",
+    "sketch_kmv_jaccard",
 ]
 
 

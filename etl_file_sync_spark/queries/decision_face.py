@@ -655,3 +655,95 @@ def ts_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@register(
+    "stat_nelson_aalen",
+    """
+    WITH u AS (
+      SELECT user_id,
+             (max(epoch_us(CAST(ts AS TIMESTAMP)))
+              - min(epoch_us(CAST(ts AS TIMESTAMP)))) // 1000000 AS dur_s,
+             CAST(max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS obs
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT CAST(dur_s AS BIGINT) AS dur_s,
+             CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(obs) AS BIGINT) AS d
+      FROM u GROUP BY dur_s
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM g),
+    cum AS (
+      SELECT dur_s, c, d,
+             (SELECT n FROM tot)
+               - coalesce(sum(c) OVER (ORDER BY dur_s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      FROM g
+    ),
+    s AS (
+      SELECT dur_s, d, n_risk,
+             sum(d * 1.0 / n_risk) OVER (ORDER BY dur_s) AS ch,
+             sum(d * 1.0 / (n_risk * n_risk)) OVER (ORDER BY dur_s) AS vh
+      FROM cum
+    )
+    SELECT dur_s, d AS n_events, CAST(n_risk AS BIGINT) AS n_at_risk,
+           round(ch, 6) AS cum_hazard,
+           round(vh, 6) AS var_hazard,
+           round(exp(-ch), 6) AS surv_na
+    FROM s WHERE d > 0 ORDER BY dur_s
+    """,
+    "stats",
+    "survival",
+    "distributed-rank",
+)
+def stat_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard over the same user-lifetime frame
+    as stat_kaplan_meier: H(t) = sum d/n over event times <= t, its
+    standard variance estimator sum d/n², and the Fleming-Harrington
+    survival exp(-H). At-risk counts are the exact-integer EXCLUSIVE
+    bucketed prefix sums; the hazard terms are one division each and
+    accumulate on the INCLUSIVE bucketed plan — the KM accepted-risk
+    envelope (bucketed vs sequential double association + exp/ln libm
+    ulps) under round(6)."""
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.expr(
+            "(max(unix_micros(ts)) - min(unix_micros(ts))) div 1000000"
+        ).alias("dur_s"),
+        F.max(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("obs"),
+    )
+    g = u.groupBy(F.col("dur_s").cast("bigint").alias("dur_s")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum("obs").cast("bigint").alias("d"),
+    )
+    tot = g.agg(F.sum("c").cast("bigint").alias("n"))
+    cum = bucketed_cumsums(g, "dur_s", ["c"], inclusive=False)
+    risk = cum.crossJoin(F.broadcast(tot)).select(  # 1-row totals dimension
+        "dur_s",
+        "c",
+        "d",
+        (F.col("n") - F.col("cum_c")).alias("n_risk"),
+    )
+    terms = risk.select(
+        "dur_s",
+        "d",
+        "n_risk",
+        (F.col("d") * F.lit(1.0) / F.col("n_risk")).alias("hz"),
+        (F.col("d") * F.lit(1.0) / (F.col("n_risk") * F.col("n_risk"))).alias("vz"),
+    )
+    s = bucketed_cumsums(terms, "dur_s", ["hz", "vz"], inclusive=True)
+    return (
+        s.where(F.col("d") > 0)
+        .select(
+            "dur_s",
+            F.col("d").alias("n_events"),
+            F.col("n_risk").cast("bigint").alias("n_at_risk"),
+            F.round(F.col("cum_hz"), 6).alias("cum_hazard"),
+            F.round(F.col("cum_vz"), 6).alias("var_hazard"),
+            F.round(F.exp(-F.col("cum_hz")), 6).alias("surv_na"),
+        )
+        .orderBy("dur_s")
+    )

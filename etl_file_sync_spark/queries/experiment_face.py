@@ -1054,3 +1054,92 @@ def stat_propensity_stratified_att(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("att_cents"),
         )
     )
+
+
+@register(
+    "stat_cohens_d",
+    """
+    WITH u AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS grp,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN grp = 0 THEN cents ELSE 0 END) AS BIGINT) AS s0,
+             CAST(sum(CASE WHEN grp = 1 THEN cents ELSE 0 END) AS BIGINT) AS s1,
+             CAST(sum(CASE WHEN grp = 0 THEN cents * cents ELSE 0 END) AS BIGINT) AS q0,
+             CAST(sum(CASE WHEN grp = 1 THEN cents * cents ELSE 0 END) AS BIGINT) AS q1
+      FROM u
+    ),
+    c AS (
+      SELECT n0, n1,
+             s0 * 1.0 / n0 AS m0, s1 * 1.0 / n1 AS m1,
+             (q0 - s0 * 1.0 / n0 * s0) / (n0 - 1) AS v0,
+             (q1 - s1 * 1.0 / n1 * s1) / (n1 - 1) AS v1
+      FROM g
+    )
+    SELECT n0 AS n_ctrl, n1 AS n_treat,
+           round(m0, 4) AS mean_ctrl_cents, round(m1, 4) AS mean_treat_cents,
+           round((m1 - m0) / sqrt(((n0 - 1) * v0 + (n1 - 1) * v1) / (n0 + n1 - 2)), 6) AS cohens_d,
+           round(((m1 - m0) / sqrt(((n0 - 1) * v0 + (n1 - 1) * v1) / (n0 + n1 - 2)))
+                 * (1.0 - 3.0 / (4.0 * (n0 + n1) - 9.0)), 6) AS hedges_g
+    FROM c
+    """,
+    "stats",
+    "ab-test",
+    "effect-size",
+)
+def stat_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized effect size of the even/odd-id split on user spend:
+    Cohen's d with the pooled sample SD, and the Hedges g small-sample
+    correction (1 - 3/(4N-9)). Moments are exact integer sums of cents
+    and squared cents; each variance/mean is single-division; sqrt is
+    correctly rounded — bit-exact across engines. One groupBy to the
+    user grain, one 1-row reduction."""
+    u = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .select((F.col("user_id") % 2).cast("bigint").alias("grp"), "cents")
+    )
+    g = u.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("s0"),
+        F.sum(F.when(F.col("grp") == 1, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("s1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("cents") * F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("q0"),
+        F.sum(F.when(F.col("grp") == 1, F.col("cents") * F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("q1"),
+    )
+    m0 = F.col("s0") * 1.0 / F.col("n0")
+    m1 = F.col("s1") * 1.0 / F.col("n1")
+    v0 = (F.col("q0") - F.col("s0") * 1.0 / F.col("n0") * F.col("s0")) / (F.col("n0") - 1)
+    v1 = (F.col("q1") - F.col("s1") * 1.0 / F.col("n1") * F.col("s1")) / (F.col("n1") - 1)
+    pooled = F.sqrt(
+        ((F.col("n0") - 1) * v0 + (F.col("n1") - 1) * v1) / (F.col("n0") + F.col("n1") - 2)
+    )
+    d = (m1 - m0) / pooled
+    return g.select(
+        F.col("n0").alias("n_ctrl"),
+        F.col("n1").alias("n_treat"),
+        F.round(m0, 4).alias("mean_ctrl_cents"),
+        F.round(m1, 4).alias("mean_treat_cents"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(
+            d * (F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * (F.col("n0") + F.col("n1")) - F.lit(9.0))),
+            6,
+        ).alias("hedges_g"),
+    )

@@ -868,3 +868,105 @@ def eval_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "covered",
         F.round(F.col("covered") * F.lit(1.0) / F.col("n_test"), 6).alias("coverage"),
     )
+
+
+@register(
+    "sketch_kmv_jaccard",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS tk
+      FROM documents
+    ),
+    tri AS (
+      SELECT DISTINCT doc_id % 2 AS side, g
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, len(tk) - 1),
+                     i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS g
+            FROM toks)
+    ),
+    h AS (
+      SELECT g,
+             CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS th,
+             CAST(max(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS in_a,
+             CAST(max(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS in_b
+      FROM tri GROUP BY g
+    ),
+    k AS (SELECT * FROM h ORDER BY th LIMIT {_KMV_K}),
+    est AS (
+      SELECT CAST(count(*) AS BIGINT) AS k_used,
+             CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS overlap
+      FROM k
+    ),
+    truth AS (
+      SELECT CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS i,
+             CAST(count(*) AS BIGINT) AS u
+      FROM h
+    )
+    SELECT est.k_used, est.overlap,
+           round(est.overlap * 1.0 / est.k_used, 6) AS jaccard_est,
+           round(truth.i * 1.0 / truth.u, 6) AS jaccard_true,
+           round(est.overlap * 1.0 / est.k_used - truth.i * 1.0 / truth.u, 6) AS est_err
+    FROM est, truth
+    """,
+    "sketch",
+    "kmv",
+    "jaccard",
+)
+def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-resemblance sketch (Broder 1997 / Beyer et al. 2007):
+    the Jaccard similarity of the even-doc vs odd-doc trigram sets
+    estimated from the k=256 minimum md5 hash values of the UNION —
+    the fraction of those bottom-k members present in both sides. The
+    oracle reproduces the exact bottom-k set (md5-standardized 60-bit
+    hashes), so estimate AND truth are value-checked. Plan: one
+    distinct pass to the (trigram, side-flags) frame, a global bottom-k
+    = sort-limit, two 1-row reductions — the sketch ships 256 rows at
+    100 TB and composes with sketch_kmv_distinct's cardinality
+    estimate."""
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(F.split(F.col("text"), " "), lambda x: F.length(x) > 0).alias("tk"),
+    )
+    tri = toks.select(
+        (F.col("doc_id") % 2).alias("side"),
+        F.explode(
+            F.when(F.size("tk") < 3, F.array().cast("array<string>")).otherwise(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 2),"
+                    " i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1),"
+                    " ' ', element_at(tk, i + 2)))"
+                )
+            )
+        ).alias("g"),
+    ).distinct()
+    h = tri.groupBy("g").agg(
+        F.max(F.when(F.col("side") == 0, 1).otherwise(0)).cast("bigint").alias("in_a"),
+        F.max(F.when(F.col("side") == 1, 1).otherwise(0)).cast("bigint").alias("in_b"),
+    ).select(
+        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint").alias("th"),
+        "in_a",
+        "in_b",
+    ).cache()  # bottom-k + truth reuse the hash frame
+    k = h.orderBy("th").limit(_KMV_K)
+    est = k.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_used"),
+        F.sum(F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("overlap"),
+    )
+    truth = h.agg(
+        F.sum(F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("i"),
+        F.count(F.lit(1)).cast("bigint").alias("u"),
+    )
+    je = F.col("overlap") * F.lit(1.0) / F.col("k_used")
+    jt = F.col("i") * F.lit(1.0) / F.col("u")
+    return est.crossJoin(F.broadcast(truth)).select(  # two 1-row frames
+        "k_used",
+        "overlap",
+        F.round(je, 6).alias("jaccard_est"),
+        F.round(jt, 6).alias("jaccard_true"),
+        F.round(je - jt, 6).alias("est_err"),
+    )

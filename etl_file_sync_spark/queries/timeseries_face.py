@@ -366,3 +366,132 @@ def ts_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+_HOLT_A, _HOLT_B = 0.5, 0.3
+_HOLT_H = 3  # forecast horizon (months)
+
+
+@register(
+    "ts_holt_linear",
+    f"""
+    WITH RECURSIVE m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    r AS (
+      SELECT month, y, CAST(row_number() OVER (ORDER BY month) AS BIGINT) AS rn
+      FROM m
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r),
+    -- anchor state from the first two observations; CAST to DOUBLE
+    -- (a bare decimal literal would type the whole recursion DECIMAL)
+    holt AS (
+      SELECT CAST(2 AS BIGINT) AS rn,
+             CAST({_HOLT_A} * r2.y + {1 - _HOLT_A} * (CAST(r1.y AS DOUBLE)
+                  + (r2.y - CAST(r1.y AS DOUBLE))) AS DOUBLE) AS l,
+             CAST({_HOLT_B} * (({_HOLT_A} * r2.y + {1 - _HOLT_A} * (CAST(r1.y AS DOUBLE)
+                  + (r2.y - CAST(r1.y AS DOUBLE)))) - CAST(r1.y AS DOUBLE))
+                  + {1 - _HOLT_B} * (r2.y - CAST(r1.y AS DOUBLE)) AS DOUBLE) AS b,
+             CAST(r1.y AS DOUBLE) + (r2.y - CAST(r1.y AS DOUBLE)) AS fitted
+      FROM r r1, r r2 WHERE r1.rn = 1 AND r2.rn = 2
+      UNION ALL
+      SELECT holt.rn + 1,
+             CAST({_HOLT_A} * r.y + {1 - _HOLT_A} * (holt.l + holt.b) AS DOUBLE),
+             CAST({_HOLT_B} * (({_HOLT_A} * r.y + {1 - _HOLT_A} * (holt.l + holt.b)) - holt.l)
+                  + {1 - _HOLT_B} * holt.b AS DOUBLE),
+             holt.l + holt.b
+      FROM holt JOIN r ON r.rn = holt.rn + 1
+    ),
+    hist AS (
+      SELECT r.month, r.y, holt.l, holt.b, holt.fitted, CAST(0 AS BIGINT) AS horizon
+      FROM holt JOIN r ON r.rn = holt.rn
+    ),
+    last AS (
+      SELECT h.l, h.b, r.month
+      FROM holt h JOIN n ON h.rn = n.n JOIN r ON r.rn = h.rn
+    ),
+    fc AS (
+      SELECT CAST(last.month + (i.range + 1) * INTERVAL 1 MONTH AS DATE) AS month,
+             CAST(NULL AS BIGINT) AS y,
+             last.l AS l, last.b AS b,
+             last.l + (i.range + 1) * last.b AS fitted,
+             CAST(i.range + 1 AS BIGINT) AS horizon
+      FROM last, range({_HOLT_H}) i
+    )
+    SELECT CAST(month AS TIMESTAMP) AS month, y AS y_cents,
+           round(l, 4) AS level, round(b, 4) AS trend,
+           round(fitted, 4) AS fitted, horizon
+    FROM (SELECT * FROM hist UNION ALL SELECT * FROM fc)
+    ORDER BY month
+    """,
+    "timeseries",
+    "smoothing",
+    "forecast",
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level+trend, alpha=0.5
+    beta=0.3) of monthly revenue with a 3-month linear forecast. The
+    recurrence is inherently sequential, but the monthly frame is
+    CALENDAR-BOUNDED (~80 rows at any corpus scale), so after the one
+    corpus-scale groupBy the engine collects the frame (k-row pull, the
+    same bounded-frame contract as the Markov kernel) and runs the
+    float64 recurrence driver-side; the oracle runs the IDENTICAL
+    update as a recursive CTE, so every level/trend/fitted value is the
+    same sequence of IEEE ops in both engines — bit-exact under
+    round(4). Fitted is the one-step-ahead prediction l+b; forecasts
+    carry horizon 1..3."""
+    m = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    rows = sorted(m.collect(), key=lambda r: r["month"])  # calendar-bounded pull
+    a, bcoef = _HOLT_A, _HOLT_B
+    out = []
+    if len(rows) >= 2:
+        y1, y2 = float(rows[0]["y"]), float(rows[1]["y"])
+        l_prev, b_prev = y1, y2 - y1
+        fitted = l_prev + b_prev
+        l = a * rows[1]["y"] + (1 - a) * (l_prev + b_prev)
+        b = bcoef * (l - l_prev) + (1 - bcoef) * b_prev
+        out.append((rows[1]["month"], rows[1]["y"], l, b, fitted, 0))
+        for r in rows[2:]:
+            fitted = l + b
+            l_new = a * r["y"] + (1 - a) * (l + b)
+            b = bcoef * (l_new - l) + (1 - bcoef) * b
+            l = l_new
+            out.append((r["month"], r["y"], l, b, fitted, 0))
+        import datetime
+
+        last_month = rows[-1]["month"]
+        for h in range(1, _HOLT_H + 1):
+            mth = last_month.month - 1 + h
+            nxt = datetime.date(
+                last_month.year + mth // 12, mth % 12 + 1, 1
+            )
+            out.append((nxt, None, l, b, l + h * b, h))
+    return (
+        m.sparkSession.createDataFrame(
+            [
+                (mm, y, round(l, 4), round(b, 4), round(f, 4), h)
+                for mm, y, l, b, f, h in out
+            ],
+            "month date, y_cents bigint, level double, trend double, "
+            "fitted double, horizon bigint",
+        )
+        .select(
+            F.col("month").cast("timestamp").alias("month"),
+            "y_cents",
+            "level",
+            "trend",
+            "fitted",
+            "horizon",
+        )
+        .orderBy("month")
+    )

@@ -1,0 +1,173 @@
+"""Independent-definition truth tests for the round-5 batch-5 queries:
+Holt linear smoothing (hand-computed recurrence), Nelson-Aalen
+(direct formula), Cohen's d / Hedges g (numpy), KMV Jaccard
+(hashlib brute force)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+
+import numpy as np
+import pytest
+
+from etl_file_sync_spark.queries import REGISTRY
+
+# (o_orderkey, o_totalprice, month) — 4 months, known cents
+ORDERS = [
+    (1, 100.00, "2024-01"),
+    (2, 200.00, "2024-02"),
+    (3, 150.00, "2024-03"),
+    (4, 300.00, "2024-04"),
+]
+
+# (event_id, sec, user_id, event_type, value) — lifetimes 0/10/10/20/30
+EVENTS = [
+    (1, 0, 1, "click", 50.0),
+    (2, 10, 1, "error", 150.0),
+    (3, 0, 2, "click", 120.0),
+    (4, 10, 2, "view", 80.0),
+    (5, 0, 3, "click", 200.0),
+    (6, 20, 3, "error", 30.0),
+    (7, 5, 4, "view", 100.0),
+    (8, 0, 5, "click", 101.0),
+    (9, 30, 5, "error", 99.0),
+]
+
+DOCS = [
+    (0, "a b c d e f g", "en", "src0"),
+    (1, "a b c d x y z", "en", "src0"),
+    (2, "p q r s t u v", "en", "src1"),
+    (3, "a b c p q r s", "en", "src1"),
+]
+
+
+@pytest.fixture(scope="module")
+def toy_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("toy_b5"))
+    spark.createDataFrame(
+        [(k, p, f"{m}-10") for k, p, m in ORDERS],
+        "o_orderkey bigint, o_totalprice double, o_orderdate string",
+    ).selectExpr(
+        "o_orderkey", "CAST(1 AS BIGINT) AS o_custkey", "'O' AS o_orderstatus",
+        "o_totalprice", "CAST(o_orderdate AS TIMESTAMP) AS o_orderdate",
+        "'1-URGENT' AS o_orderpriority",
+    ).coalesce(1).write.parquet(os.path.join(d, "orders.parquet"))
+
+    spark.createDataFrame(
+        [(i, f"2024-03-01 00:00:{s:02d}", u, et, v, "{}") for i, s, u, et, v in EVENTS],
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type",
+        "value", "props",
+    ).coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+
+    spark.createDataFrame(
+        DOCS, "doc_id bigint, text string, lang string, source string"
+    ).selectExpr(
+        "doc_id", "text", "lang", "source", "length(text) AS n_chars"
+    ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_holt_linear_hand_recurrence(spark, toy_dir):
+    rows = sorted(
+        REGISTRY["ts_holt_linear"].build(spark, toy_dir).collect(),
+        key=lambda r: r.month,
+    )
+    y = [round(p * 100) for _k, p, _m in ORDERS]
+    a, b = 0.5, 0.3
+    l, tr = float(y[0]), float(y[1] - y[0])
+    hand = []
+    # t=2 (second month)
+    fitted = l + tr
+    l_new = a * y[1] + (1 - a) * (l + tr)
+    tr = b * (l_new - l) + (1 - b) * tr
+    l = l_new
+    hand.append((y[1], l, tr, fitted, 0))
+    for yt in y[2:]:
+        fitted = l + tr
+        l_new = a * yt + (1 - a) * (l + tr)
+        tr = b * (l_new - l) + (1 - b) * tr
+        l = l_new
+        hand.append((yt, l, tr, fitted, 0))
+    for h in (1, 2, 3):
+        hand.append((None, l, tr, l + h * tr, h))
+    assert len(rows) == len(hand)  # months 2..4 + 3 forecasts
+    for r, (yy, ll, tt, ff, hh) in zip(rows, hand):
+        assert r.y_cents == yy
+        assert r.level == pytest.approx(ll, abs=1e-3)
+        assert r.trend == pytest.approx(tt, abs=1e-3)
+        assert r.fitted == pytest.approx(ff, abs=1e-3)
+        assert r.horizon == hh
+    # forecast months extend the calendar: 2024-05/06/07
+    assert str(rows[-1].month)[:7] == "2024-07"
+
+
+def test_nelson_aalen_direct_formula(spark, toy_dir):
+    rows = {r.dur_s: r for r in REGISTRY["stat_nelson_aalen"].build(spark, toy_dir).collect()}
+    # lifetimes: {1:10 obs, 2:10 cens, 3:20 obs, 4:0 cens, 5:30 obs}
+    lt = {1: (10, 1), 2: (10, 0), 3: (20, 1), 4: (0, 0), 5: (30, 1)}
+    times = sorted({d for d, _ in lt.values()})
+    ch = vh = 0.0
+    want = {}
+    for tm in times:
+        n = sum(1 for d, _ in lt.values() if d >= tm)
+        dd = sum(1 for d, o in lt.values() if d == tm and o)
+        if dd > 0:
+            ch += dd / n
+            vh += dd / (n * n)
+            want[tm] = (dd, n, ch, vh)
+    assert set(rows) == set(want)  # only event times emitted
+    for tm, (dd, n, c, v) in want.items():
+        r = rows[tm]
+        assert (r.n_events, r.n_at_risk) == (dd, n)
+        assert r.cum_hazard == pytest.approx(c, abs=1e-5)
+        assert r.var_hazard == pytest.approx(v, abs=1e-5)
+        assert r.surv_na == pytest.approx(math.exp(-c), abs=1e-5)
+    # Nelson-Aalen survival dominates Kaplan-Meier everywhere
+    km = {r.dur_s: r.survival for r in REGISTRY["stat_kaplan_meier"].build(spark, toy_dir).collect()}
+    for tm in want:
+        assert rows[tm].surv_na >= km[tm] - 1e-9
+
+
+def test_cohens_d_matches_numpy(spark, toy_dir):
+    got = REGISTRY["stat_cohens_d"].build(spark, toy_dir).collect()[0]
+    spend: dict[int, int] = {}
+    for _i, _s, u, _et, v in EVENTS:
+        spend[u] = spend.get(u, 0) + round(v * 100)
+    g0 = np.array([c for u, c in spend.items() if u % 2 == 0], dtype=float)
+    g1 = np.array([c for u, c in spend.items() if u % 2 == 1], dtype=float)
+    pooled = math.sqrt(
+        ((len(g0) - 1) * g0.var(ddof=1) + (len(g1) - 1) * g1.var(ddof=1))
+        / (len(g0) + len(g1) - 2)
+    )
+    d = (g1.mean() - g0.mean()) / pooled
+    n = len(g0) + len(g1)
+    assert (got.n_ctrl, got.n_treat) == (len(g0), len(g1))
+    assert got.cohens_d == pytest.approx(d, abs=1e-5)
+    assert got.hedges_g == pytest.approx(d * (1 - 3 / (4 * n - 9)), abs=1e-5)
+
+
+def test_kmv_jaccard_matches_hashlib(spark, toy_dir):
+    got = REGISTRY["sketch_kmv_jaccard"].build(spark, toy_dir).collect()[0]
+    side = {0: set(), 1: set()}
+    for i, text, _l, _s in DOCS:
+        tk = text.split()
+        side[i % 2] |= {" ".join(tk[k : k + 3]) for k in range(len(tk) - 2)}
+    union = side[0] | side[1]
+    inter = side[0] & side[1]
+    hs = sorted(
+        (int(hashlib.md5(g.encode()).hexdigest()[:15], 16), g) for g in union
+    )
+    k = min(256, len(hs))
+    bottom = {g for _h, g in hs[:k]}
+    overlap = len(bottom & inter)
+    assert got.k_used == k
+    assert got.overlap == overlap
+    assert got.jaccard_est == pytest.approx(overlap / k, abs=1e-5)
+    assert got.jaccard_true == pytest.approx(len(inter) / len(union), abs=1e-5)
+    # tiny corpus: union <= k, so the estimate must be EXACT
+    assert len(union) <= 256 and got.est_err == pytest.approx(0.0, abs=1e-5)

@@ -115,6 +115,8 @@ OPS = [
     "eval_map_mrr",
     "stat_propensity_stratified_att",
     "behavior_markov_absorption",
+    "stat_nelson_aalen",
+    "sketch_kmv_jaccard",
 ]
 
 TIERS = ["sf0.001", "sf0.01", "sf0.1"]
