@@ -289,3 +289,53 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
         F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("exact_median_price"),
     )
+
+
+@register(
+    "win_range_frame_rolling",
+    """
+    WITH o AS (
+      SELECT o_custkey,
+             CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS BIGINT) AS day,
+             o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT o_custkey, day, o_orderkey, cents,
+           CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY day
+                                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS rolling_7d_cents,
+           CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY day
+                               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS rolling_7d_orders
+    FROM o ORDER BY o_custkey, day, o_orderkey
+    """,
+    "window",
+    "range-frame",
+)
+def win_range_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame windowing (the value-based frame SURVEY §2.2's window
+    row names alongside rowsBetween): per customer, each order's
+    trailing-7-DAY spend and order count — a RANGE frame over the
+    integer epoch-day, so orders on the same day aggregate together and
+    calendar gaps shrink the window (a ROWS frame would get both
+    wrong). Partitioned by customer (per-partition cardinality = one
+    customer's order count, the behavior-face precedent); exact integer
+    cents and days throughout."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+        .cast("bigint")
+        .alias("day"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    w = W.partitionBy("o_custkey").orderBy("day").rangeBetween(-6, 0)
+    return o.select(
+        "o_custkey",
+        "day",
+        "o_orderkey",
+        "cents",
+        F.sum("cents").over(w).cast("bigint").alias("rolling_7d_cents"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("rolling_7d_orders"),
+    ).orderBy("o_custkey", "day", "o_orderkey")
