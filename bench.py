@@ -173,6 +173,9 @@ HEADLINE = [
     "ts_holt_linear",
     "stat_nelson_aalen",
     "sketch_kmv_jaccard",
+    "text_bigram_lm_kn",
+    "eval_expected_calibration_error",
+    "win_range_frame_rolling",
 ]
 
 

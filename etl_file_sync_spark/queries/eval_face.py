@@ -461,3 +461,64 @@ def eval_map_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mrr"),
         )
     )
+
+
+@register(
+    "eval_expected_calibration_error",
+    f"""
+    WITH {_SCORED_SQL},
+    b AS (
+      SELECT CAST(least(floor(score * 10), 9) AS INTEGER) AS bucket, score, label
+      FROM scored
+    ),
+    cells AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(score * 10000) AS BIGINT)) AS BIGINT) AS conf_i,
+             CAST(sum(label) AS BIGINT) AS s_lab
+      FROM b GROUP BY bucket
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells)
+    SELECT CAST((SELECT count(*) FROM cells) AS BIGINT) AS n_bins,
+           (SELECT nn FROM tot) AS n_docs,
+           round(sum((n * 1.0 / (SELECT nn FROM tot))
+                     * abs(s_lab * 1.0 / n - conf_i / (10000.0 * n))), 6) AS ece,
+           round(max(abs(s_lab * 1.0 / n - conf_i / (10000.0 * n))), 6) AS mce
+    FROM cells
+    """,
+    "eval",
+    "calibration",
+)
+def eval_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected and maximum calibration error (Naeini et al. 2015) of
+    the quality classifier over the same decile buckets as
+    dq_calibration_curve: ECE = sum over bins of (n_b/N)|acc_b -
+    conf_b|, MCE = the worst bin. Per-bin confidence sums the 4-decimal
+    scores as exact integer ten-thousandths (the calibration-curve
+    order-insensitivity fix); acc is an exact integer ratio, so each
+    bin term is identical across engines and only the 10-term final
+    sum carries the round(6) double envelope."""
+    s = _scored(spark, sf_dir)
+    b = s.withColumn(
+        "bucket", F.least(F.floor(F.col("score") * 10), F.lit(9)).cast("int")
+    )
+    cells = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round(F.col("score") * 10000).cast("bigint")).cast("bigint").alias("conf_i"),
+        F.sum("label").cast("bigint").alias("s_lab"),
+    )
+    tot = cells.agg(F.sum("n").cast("bigint").alias("nn"))
+    nb = cells.agg(F.count(F.lit(1)).cast("bigint").alias("n_bins"))
+    gap = F.abs(
+        F.col("s_lab") * F.lit(1.0) / F.col("n")
+        - F.col("conf_i") / (F.lit(10000.0) * F.col("n"))
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))  # 1-row totals dimensions
+        .crossJoin(F.broadcast(nb))
+        .agg(
+            F.first("n_bins").alias("n_bins"),
+            F.first("nn").alias("n_docs"),
+            F.round(F.sum((F.col("n") * F.lit(1.0) / F.col("nn")) * gap), 6).alias("ece"),
+            F.round(F.max(gap), 6).alias("mce"),
+        )
+    )

@@ -246,3 +246,114 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_bigram_lm_kn",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> length(x) > 0) AS tk
+      FROM documents
+    ),
+    pairs AS (
+      SELECT source,
+             unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS v,
+             unnest(list_transform(range(1, len(tk)), i -> tk[i + 1])) AS w
+      FROM toks
+    ),
+    inst AS (
+      SELECT source, v, w, CAST(count(*) AS BIGINT) AS m
+      FROM pairs GROUP BY source, v, w
+    ),
+    cvw AS (SELECT v, w, CAST(sum(m) AS BIGINT) AS c FROM inst GROUP BY v, w),
+    cv AS (
+      SELECT v, CAST(sum(c) AS BIGINT) AS cv, CAST(count(*) AS BIGINT) AS n1p
+      FROM cvw GROUP BY v
+    ),
+    cw AS (SELECT w, CAST(count(*) AS BIGINT) AS n1w FROM cvw GROUP BY w),
+    tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM cvw),
+    ev AS (
+      SELECT i.source, i.m,
+             ln((cvw.c - 0.75) / cv.cv
+                + (0.75 * cv.n1p / cv.cv) * (cw.n1w * 1.0 / (SELECT t FROM tt))) AS lp
+      FROM inst i
+      JOIN cvw ON i.v = cvw.v AND i.w = cvw.w
+      JOIN cv ON i.v = cv.v
+      JOIN cw ON i.w = cw.w
+    )
+    SELECT source,
+           CAST(sum(m) AS BIGINT) AS n_bigrams,
+           round(-sum(m * lp) / sum(m), 6) AS cross_entropy_nats,
+           round(exp(-sum(m * lp) / sum(m)), 4) AS ppl
+    FROM ev GROUP BY source ORDER BY source
+    """,
+    "text",
+    "language-model",
+    "kneser-ney",
+)
+def text_bigram_lm_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram language model (Kneser & Ney
+    1995; Chen & Goodman 1999) with fixed discount d=0.75, evaluated as
+    per-source training cross-entropy/perplexity — the smoothing every
+    n-gram-LM quality filter actually ships (the unsmoothed
+    text_unigram_ppl/text_bigram_ppl siblings break on unseen events;
+    KN's continuation probability N1+(.w)/|bigram types| fixes exactly
+    that). Observed training bigrams always have c >= 1 > d, so the
+    (c-d)+ truncation never fires here and every probability is a
+    composition of exact-integer-ratio divisions — identical doubles in
+    both engines; ln and the per-source weighted sums ride the round(6)
+    envelope. Plan: vocab-bounded model frames (bigram types), instance
+    evaluation via three keyed equi-joins — all broadcastable at any
+    corpus scale since the MODEL is vocabulary-bounded even at 100 TB."""
+    toks = t(spark, sf_dir, "documents").select(
+        "source",
+        F.filter(F.split(F.col("text"), " "), lambda x: F.length(x) > 0).alias("tk"),
+    )
+    pairs = toks.select(
+        "source",
+        F.explode(
+            F.when(F.size("tk") < 2, F.array().cast("array<struct<v:string,w:string>>")).otherwise(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1),"
+                    " i -> struct(element_at(tk, i) AS v, element_at(tk, i + 1) AS w))"
+                )
+            )
+        ).alias("p"),
+    ).select("source", "p.v", "p.w")
+    inst = pairs.groupBy("source", "v", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m")
+    )
+    cvw = inst.groupBy("v", "w").agg(F.sum("m").cast("bigint").alias("c")).cache()
+    cv = cvw.groupBy("v").agg(
+        F.sum("c").cast("bigint").alias("cv"),
+        F.count(F.lit(1)).cast("bigint").alias("n1p"),
+    )
+    cw = cvw.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("n1w"))
+    tt = cvw.agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    ev = (
+        inst.join(cvw, ["v", "w"])
+        .join(F.broadcast(cv), "v")
+        .join(F.broadcast(cw), "w")
+        .crossJoin(F.broadcast(tt))  # 1-row type-count dimension
+        .select(
+            "source",
+            "m",
+            F.log(
+                (F.col("c") - F.lit(0.75)) / F.col("cv")
+                + (F.lit(0.75) * F.col("n1p") / F.col("cv"))
+                * (F.col("n1w") * F.lit(1.0) / F.col("t"))
+            ).alias("lp"),
+        )
+    )
+    return (
+        ev.groupBy("source")
+        .agg(
+            F.sum("m").cast("bigint").alias("n_bigrams"),
+            F.round(-F.sum(F.col("m") * F.col("lp")) / F.sum("m"), 6).alias(
+                "cross_entropy_nats"
+            ),
+            F.round(F.exp(-F.sum(F.col("m") * F.col("lp")) / F.sum("m")), 4).alias("ppl"),
+        )
+        .orderBy("source")
+    )

@@ -171,3 +171,75 @@ def test_kmv_jaccard_matches_hashlib(spark, toy_dir):
     assert got.jaccard_true == pytest.approx(len(inter) / len(union), abs=1e-5)
     # tiny corpus: union <= k, so the estimate must be EXACT
     assert len(union) <= 256 and got.est_err == pytest.approx(0.0, abs=1e-5)
+
+
+def test_kneser_ney_matches_pure_python(spark, toy_dir):
+    rows = {r.source: r for r in REGISTRY["text_bigram_lm_kn"].build(spark, toy_dir).collect()}
+    from collections import Counter
+
+    inst = Counter()
+    for _i, text, _l, src in DOCS:
+        tk = text.split()
+        for v, w in zip(tk, tk[1:]):
+            inst[(src, v, w)] += 1
+    cvw = Counter()
+    for (src, v, w), m in inst.items():
+        cvw[(v, w)] += m
+    cv, n1p, n1w = Counter(), Counter(), Counter()
+    for (v, w), c in cvw.items():
+        cv[v] += c
+        n1p[v] += 1
+        n1w[w] += 1
+    T = len(cvw)
+    d = 0.75
+    for src in {s for s, _v, _w in inst}:
+        tot = lp = 0
+        for (s, v, w), m in inst.items():
+            if s != src:
+                continue
+            p = (cvw[(v, w)] - d) / cv[v] + (d * n1p[v] / cv[v]) * (n1w[w] / T)
+            lp += m * math.log(p)
+            tot += m
+        r = rows[src]
+        assert r.n_bigrams == tot, src
+        assert r.cross_entropy_nats == pytest.approx(-lp / tot, abs=1e-5), src
+        assert r.ppl == pytest.approx(math.exp(-lp / tot), abs=1e-3), src
+    # KN probabilities must sum to 1 over the full vocab per context:
+    # check one context against the closed form
+    vocab = sorted({w for _v, w in cvw} | {v for v, _w in cvw})
+    v0 = vocab[0] if cv[vocab[0]] > 0 else next(v for v in vocab if cv[v] > 0)
+    mass = sum(
+        (max(cvw.get((v0, w), 0) - d, 0)) / cv[v0]
+        + (d * n1p[v0] / cv[v0]) * (n1w[w] / T)
+        for w in {w for _v, w in cvw}
+    )
+    assert mass == pytest.approx(1.0, abs=1e-9)
+
+
+def test_ece_matches_bruteforce_from_scores(spark, sf_dir):
+    got = REGISTRY["eval_expected_calibration_error"].build(spark, sf_dir).collect()[0]
+    scored = REGISTRY["text_quality_logistic"].build(spark, sf_dir).collect()
+    import os
+
+    langs = {
+        r.doc_id: r.lang
+        for r in spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).collect()
+    }
+    bins: dict[int, list] = {}
+    for r in scored:
+        s = round(r.quality_prob, 4)
+        b = min(int(s * 10), 9)
+        bins.setdefault(b, []).append((s, 1 if langs[r.doc_id] == "en" else 0))
+    n = sum(len(v) for v in bins.values())
+    ece = mce = 0.0
+    for b, items in bins.items():
+        conf = sum(round(s * 10000) for s, _l in items) / (10000.0 * len(items))
+        acc = sum(l for _s, l in items) / len(items)
+        gap = abs(acc - conf)
+        ece += len(items) / n * gap
+        mce = max(mce, gap)
+    assert got.n_bins == len(bins)
+    assert got.n_docs == n
+    assert got.ece == pytest.approx(ece, abs=1e-5)
+    assert got.mce == pytest.approx(mce, abs=1e-5)
+    assert 0.0 <= got.ece <= got.mce <= 1.0

@@ -117,6 +117,8 @@ OPS = [
     "behavior_markov_absorption",
     "stat_nelson_aalen",
     "sketch_kmv_jaccard",
+    "text_bigram_lm_kn",
+    "win_range_frame_rolling",
 ]
 
 TIERS = ["sf0.001", "sf0.01", "sf0.1"]
