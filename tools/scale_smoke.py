@@ -126,7 +126,18 @@ ROOT = "/root/testdata"
 
 # x100 spot-check (SPARK_GRAFT_SCALE_X100=1): the dup-pair emitters on
 # 500k docs / 200k vectors with planted dup groups of 100
-X100_OPS = ["dedup_exact_groups", "dedup_minhash_pairs", "dedup_embedding_srp", "dedup_span_stats"]
+X100_OPS = [
+    "dedup_exact_groups",
+    "dedup_minhash_pairs",
+    "dedup_embedding_srp",
+    "dedup_span_stats",
+    # round-5: pandas-UDF DP (pair-linear), KMV sketch (bottom-k only),
+    # quantization (narrow map), KN LM (vocab-bounded model)
+    "eval_rouge_l",
+    "sketch_kmv_distinct",
+    "embed_int8_quant",
+    "text_bigram_lm_kn",
+]
 
 
 def synthesize_10x(spark, src_dir: str, out_dir: str, factor: int = 10) -> None:
