@@ -176,6 +176,9 @@ HEADLINE = [
     "text_bigram_lm_kn",
     "eval_expected_calibration_error",
     "win_range_frame_rolling",
+    "eval_langid_confusion",
+    "layout_zorder_buckets",
+    "stat_runs_test",
 ]
 
 

@@ -1143,3 +1143,110 @@ def stat_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hedges_g"),
     )
+
+
+@register(
+    "stat_runs_test",
+    """
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s FROM m),
+    sg AS (
+      -- above-mean indicator via the exact integer cross-multiply
+      SELECT month,
+             CASE WHEN cents * (SELECT n FROM tot) > (SELECT s FROM tot)
+                  THEN 1 ELSE 0 END AS hi
+      FROM m
+    ),
+    fl AS (
+      SELECT hi, lag(hi) OVER (ORDER BY month) AS prev FROM sg
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(hi) AS BIGINT) AS n1,
+             CAST(count(*) - sum(hi) AS BIGINT) AS n2,
+             CAST(1 + sum(CASE WHEN prev IS NOT NULL AND hi <> prev THEN 1 ELSE 0 END)
+               AS BIGINT) AS runs
+      FROM fl
+    )
+    SELECT n, n1, n2, runs,
+           round(1.0 + 2.0 * n1 * n2 / (n1 + n2), 6) AS e_runs,
+           round((runs - (1.0 + 2.0 * n1 * n2 / (n1 + n2)))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((n1 + n2) * (n1 + n2) * 1.0 * (n1 + n2 - 1))), 6) AS z
+    FROM agg
+    """,
+    "stats",
+    "randomness",
+)
+def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of monthly revenue
+    around its mean: months flagged above/below the exact mean (integer
+    cross-multiply cents*n > total — no division), runs counted over
+    the CALENDAR-BOUNDED monthly frame (~80 rows, lag window free),
+    then the closed-form E[R] and variance give z. Exact integers into
+    single-division doubles and one sqrt — bit-exact across engines.
+    A trending series produces few runs (z << 0); this pairs with
+    stat_mann_kendall's direction test."""
+    from pyspark.sql import Window as W
+
+    m = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    tot = m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tot"),
+        F.sum("cents").cast("bigint").alias("s_tot"),
+    )
+    sg = m.crossJoin(F.broadcast(tot)).select(  # 1-row totals dimension
+        "month",
+        F.when(F.col("cents") * F.col("n_tot") > F.col("s_tot"), 1)
+        .otherwise(0)
+        .alias("hi"),
+    )
+    # calendar-bounded frame (~80 rows): plain lag window is free here
+    fl = sg.withColumn("prev", F.lag("hi").over(W.orderBy("month")))
+    agg = fl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("hi").cast("bigint").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("hi")).cast("bigint").alias("n2"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("prev").isNotNull() & (F.col("hi") != F.col("prev")), 1
+                ).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("runs"),
+    )
+    e_runs = F.lit(1.0) + F.lit(2.0) * F.col("n1") * F.col("n2") / (F.col("n1") + F.col("n2"))
+    var = (
+        F.lit(2.0)
+        * F.col("n1")
+        * F.col("n2")
+        * (F.lit(2.0) * F.col("n1") * F.col("n2") - F.col("n1") - F.col("n2"))
+        / (
+            (F.col("n1") + F.col("n2"))
+            * (F.col("n1") + F.col("n2"))
+            * F.lit(1.0)
+            * (F.col("n1") + F.col("n2") - 1)
+        )
+    )
+    return agg.select(
+        "n",
+        "n1",
+        "n2",
+        "runs",
+        F.round(e_runs, 6).alias("e_runs"),
+        F.round((F.col("runs") - e_runs) / F.sqrt(var), 6).alias("z"),
+    )

@@ -979,3 +979,104 @@ def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(jt, 6).alias("jaccard_true"),
         F.round(je - jt, 6).alias("est_err"),
     )
+
+
+def _morton_sql(x: str, y: str) -> str:
+    """32-bit Morton (Z-order) interleave of two 16-bit ints, spelled as
+    a plain arithmetic sum so DuckDB and Spark compute it identically."""
+    terms = []
+    for i in range(16):
+        terms.append(f"((({x} >> {i}) & 1) * {1 << (2 * i)})")
+        terms.append(f"((({y} >> {i}) & 1) * {1 << (2 * i + 1)})")
+    return " + ".join(terms)
+
+
+@register(
+    "layout_zorder_buckets",
+    f"""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS BIGINT) AS day
+      FROM orders
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM o),
+    rx AS (
+      SELECT o_orderkey,
+             ((row_number() OVER (ORDER BY o_custkey, o_orderkey) - 1) * 65536)
+               // (SELECT n FROM n) AS x
+      FROM o
+    ),
+    ry AS (
+      SELECT o_orderkey,
+             ((row_number() OVER (ORDER BY day, o_orderkey) - 1) * 65536)
+               // (SELECT n FROM n) AS y
+      FROM o
+    ),
+    z AS (
+      SELECT o.o_orderkey, o.o_custkey, o.day,
+             CAST({_morton_sql('rx.x', 'ry.y')} AS BIGINT) AS zkey
+      FROM o JOIN rx ON o.o_orderkey = rx.o_orderkey
+             JOIN ry ON o.o_orderkey = ry.o_orderkey
+    )
+    SELECT CAST(zkey // 268435456 AS BIGINT) AS z_bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(min(o_custkey) AS BIGINT) AS min_cust,
+           CAST(max(o_custkey) AS BIGINT) AS max_cust,
+           CAST(min(day) AS BIGINT) AS min_day,
+           CAST(max(day) AS BIGINT) AS max_day
+    FROM z GROUP BY z_bucket ORDER BY z_bucket
+    """,
+    "layout",
+    "zorder",
+    "distributed-rank",
+)
+def layout_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering keys for the (customer, order-day)
+    plane — the multi-dimensional layout key a lakehouse OPTIMIZE
+    ZORDER BY computes so files stay skippable on BOTH dims. Each dim
+    normalizes to 16 bits by GLOBAL rank (the bucketed two-phase
+    row_number — no single-partition window), the interleave is a pure
+    integer expression spelled identically in both engines, and the
+    report shows per-top-4-bit-bucket row counts plus each bucket's
+    customer AND day ranges — the bounded min/max spans on BOTH
+    dimensions per bucket are exactly the file-skipping property a
+    linear sort on one key cannot deliver. Everything is exact
+    integers."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+        .cast("bigint")
+        .alias("day"),
+    ).cache()  # two rankings + the join reuse this frame
+    n = o.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    rx = (
+        bucketed_row_number(o.select("o_orderkey", "o_custkey"), "o_custkey", ["o_orderkey"], out_col="rn")
+        .crossJoin(F.broadcast(n))
+        .select("o_orderkey", F.expr("((rn - 1) * 65536) div n").alias("x"))
+    )
+    ry = (
+        bucketed_row_number(o.select("o_orderkey", "day"), "day", ["o_orderkey"], out_col="rn")
+        .crossJoin(F.broadcast(n))
+        .select(F.col("o_orderkey").alias("ok2"), F.expr("((rn - 1) * 65536) div n").alias("y"))
+    )
+    z = (
+        o.join(rx, "o_orderkey")
+        .join(ry, F.col("o_orderkey") == F.col("ok2"))
+        .select(
+            "o_custkey",
+            "day",
+            F.expr(_morton_sql("x", "y")).cast("bigint").alias("zkey"),
+        )
+    )
+    return (
+        z.groupBy(F.expr("zkey div 268435456").cast("bigint").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.min("o_custkey").cast("bigint").alias("min_cust"),
+            F.max("o_custkey").cast("bigint").alias("max_cust"),
+            F.min("day").cast("bigint").alias("min_day"),
+            F.max("day").cast("bigint").alias("max_day"),
+        )
+        .orderBy("z_bucket")
+    )

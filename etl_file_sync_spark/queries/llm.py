@@ -918,3 +918,63 @@ def multimodal_video_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
     media = M.attach_mjpeg_payload(docs)
     return M.frame_sample(media, every_n=2).orderBy("doc_id", "frame_idx")
+
+
+@register(
+    "eval_langid_confusion",
+    f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             {_lang_hits_sql('de')} AS h_de, {_lang_hits_sql('en')} AS h_en,
+             {_lang_hits_sql('es')} AS h_es, {_lang_hits_sql('fr')} AS h_fr,
+             {_lang_hits_sql('zh')} AS h_zh
+      FROM documents),
+    p AS (
+      SELECT doc_id, lang,
+             CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+                  WHEN h_zh = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'zh'
+                  WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+                  WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+                  WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+                  ELSE 'de' END AS lang_pred
+      FROM h),
+    cells AS (
+      SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+      FROM p GROUP BY lang, lang_pred
+    ),
+    tot AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS n_lang FROM cells GROUP BY lang)
+    SELECT c.lang, c.lang_pred, c.n_docs,
+           round(c.n_docs * 1.0 / t.n_lang, 6) AS frac_of_true_lang
+    FROM cells c JOIN tot t ON c.lang = t.lang
+    ORDER BY c.lang, c.lang_pred
+    """,
+    "eval",
+    "langid",
+    "confusion-matrix",
+)
+def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language-ID against the
+    labeled lang column: per (true, predicted) cell count and its share
+    of the true language's documents (the per-class recall lives on the
+    diagonal). Exact integer counts, one division; the enum-bounded
+    cell space (<= 6x6) makes everything after the one groupBy free.
+    This is the evaluation harness a langid-based corpus filter is
+    tuned with."""
+    cells = (
+        X.with_lang_pred(t(spark, sf_dir, "documents"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    tot = cells.groupBy("lang").agg(F.sum("n_docs").cast("bigint").alias("n_lang"))
+    return (
+        cells.join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "lang_pred",
+            "n_docs",
+            F.round(F.col("n_docs") * F.lit(1.0) / F.col("n_lang"), 6).alias(
+                "frac_of_true_lang"
+            ),
+        )
+        .orderBy("lang", "lang_pred")
+    )

@@ -243,3 +243,96 @@ def test_ece_matches_bruteforce_from_scores(spark, sf_dir):
     assert got.ece == pytest.approx(ece, abs=1e-5)
     assert got.mce == pytest.approx(mce, abs=1e-5)
     assert 0.0 <= got.ece <= got.mce <= 1.0
+
+
+def test_runs_test_hand_case(spark, toy_dir):
+    got = REGISTRY["stat_runs_test"].build(spark, toy_dir).collect()[0]
+    cents = [round(p * 100) for _k, p, _m in ORDERS]  # months in order
+    n = len(cents)
+    s = sum(cents)
+    hi = [1 if c * n > s else 0 for c in cents]
+    runs = 1 + sum(1 for a, b in zip(hi, hi[1:]) if a != b)
+    n1, n2 = sum(hi), n - sum(hi)
+    e = 1 + 2 * n1 * n2 / (n1 + n2)
+    var = 2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) / ((n1 + n2) ** 2 * (n1 + n2 - 1))
+    assert (got.n, got.n1, got.n2, got.runs) == (n, n1, n2, runs)
+    assert got.e_runs == pytest.approx(e, abs=1e-5)
+    assert got.z == pytest.approx((runs - e) / math.sqrt(var), abs=1e-5)
+
+
+def test_zorder_matches_bruteforce_morton(spark, toy_dir):
+    rows = {r.z_bucket: r for r in REGISTRY["layout_zorder_buckets"].build(spark, toy_dir).collect()}
+    import datetime
+
+    o = [(k, 1, datetime.date.fromisoformat(f"{m}-10").toordinal() - datetime.date(1970, 1, 1).toordinal())
+         for k, _p, m in ORDERS]
+    n = len(o)
+    by_cust = sorted(o, key=lambda r: (r[1], r[0]))
+    by_day = sorted(o, key=lambda r: (r[2], r[0]))
+    x = {k: ((rn * 65536) // n) for rn, (k, _c, _d) in enumerate(by_cust)}
+    y = {k: ((rn * 65536) // n) for rn, (k, _c, _d) in enumerate(by_day)}
+
+    def morton(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    want: dict[int, list] = {}
+    for k, c, d in o:
+        want.setdefault(morton(x[k], y[k]) // (1 << 28), []).append((c, d))
+    assert set(rows) == set(want)
+    for zb, members in want.items():
+        r = rows[zb]
+        assert r.n_orders == len(members)
+        assert (r.min_cust, r.max_cust) == (min(c for c, _ in members), max(c for c, _ in members))
+        assert (r.min_day, r.max_day) == (min(d for _, d in members), max(d for _, d in members))
+
+
+def test_zorder_buckets_bound_both_dims_at_sf(spark, sf_dir):
+    """The Z-order property on real data: per bucket, BOTH dimension
+    spans are a fraction of the global span (a linear sort on custkey
+    alone would leave day spans at ~100%)."""
+    rows = REGISTRY["layout_zorder_buckets"].build(spark, sf_dir).collect()
+    g_cust = max(r.max_cust for r in rows) - min(r.min_cust for r in rows)
+    g_day = max(r.max_day for r in rows) - min(r.min_day for r in rows)
+    weighted_cust = sum(r.n_orders * (r.max_cust - r.min_cust) for r in rows) / sum(
+        r.n_orders for r in rows
+    )
+    weighted_day = sum(r.n_orders * (r.max_day - r.min_day) for r in rows) / sum(
+        r.n_orders for r in rows
+    )
+    assert weighted_cust <= 0.6 * g_cust
+    assert weighted_day <= 0.6 * g_day
+
+
+def test_langid_confusion_matches_bruteforce(spark, sf_dir):
+    import os
+
+    from etl_file_sync_spark.operators import text as X
+
+    rows = REGISTRY["eval_langid_confusion"].build(spark, sf_dir).collect()
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).collect()
+    from collections import Counter
+
+    cells = Counter()
+    for r in docs:
+        words = set(r.text.split())
+        hits = {lang: len(words & set(ws)) for lang, ws in X.LANG_PROFILES.items()}
+        best = max(hits.values())
+        if best == 0:
+            pred = "und"
+        else:
+            # tie broken toward the max language code (zh > fr > es > en > de)
+            pred = max((l for l, h in hits.items() if h == best))
+        cells[(r.lang, pred)] += 1
+    got = {(r.lang, r.lang_pred): r.n_docs for r in rows}
+    assert got == dict(cells)
+    tot = Counter()
+    for (lang, _p), c in cells.items():
+        tot[lang] += c
+    for r in rows:
+        assert r.frac_of_true_lang == pytest.approx(
+            cells[(r.lang, r.lang_pred)] / tot[r.lang], abs=1e-5
+        )

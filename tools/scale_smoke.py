@@ -119,6 +119,8 @@ OPS = [
     "sketch_kmv_jaccard",
     "text_bigram_lm_kn",
     "win_range_frame_rolling",
+    "layout_zorder_buckets",
+    "eval_langid_confusion",
 ]
 
 TIERS = ["sf0.001", "sf0.01", "sf0.1"]
