@@ -179,6 +179,9 @@ HEADLINE = [
     "eval_langid_confusion",
     "layout_zorder_buckets",
     "stat_runs_test",
+    "stat_holm_stepdown",
+    "eval_brier_decomposition",
+    "dq_freshness_sla",
 ]
 
 

@@ -243,3 +243,49 @@ def dq_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col")
     )
+
+
+@register(
+    "dq_freshness_sla",
+    """
+    WITH g AS (
+      SELECT event_type,
+             CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS last_us,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY event_type
+    ),
+    tot AS (SELECT CAST(max(last_us) AS BIGINT) AS corpus_us FROM g)
+    SELECT event_type, n_events,
+           CAST(((SELECT corpus_us FROM tot) - last_us) // 1000000 AS BIGINT) AS lag_s,
+           (((SELECT corpus_us FROM tot) - last_us) // 1000000 > 3600) AS sla_breach
+    FROM g ORDER BY event_type
+    """,
+    "dq",
+    "freshness",
+)
+def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream freshness gate: each event type's lag behind the
+    corpus high-water mark in whole seconds, flagged against a 1-hour
+    SLA — the staleness check an ingest monitor runs before declaring a
+    partition complete. Exact integer microseconds end-to-end; one
+    groupBy, enum-bounded output."""
+    g = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.max(F.unix_micros("ts")).cast("bigint").alias("last_us"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+    )
+    tot = g.agg(F.max("last_us").cast("bigint").alias("corpus_us"))
+    lag = F.expr("(corpus_us - last_us) div 1000000")
+    return (
+        g.crossJoin(F.broadcast(tot))  # 1-row high-water dimension
+        .select(
+            "event_type",
+            "n_events",
+            lag.cast("bigint").alias("lag_s"),
+            (lag > 3600).alias("sla_breach"),
+        )
+        .orderBy("event_type")
+    )

@@ -522,3 +522,96 @@ def eval_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFra
             F.round(F.max(gap), 6).alias("mce"),
         )
     )
+
+
+@register(
+    "eval_brier_decomposition",
+    f"""
+    WITH {_SCORED_SQL},
+    b AS (
+      SELECT CAST(least(floor(score * 10), 9) AS INTEGER) AS bucket,
+             CAST(round(score * 10000) AS BIGINT) AS f_i, label
+      FROM scored
+    ),
+    cells AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(f_i) AS BIGINT) AS sf, CAST(sum(label) AS BIGINT) AS so,
+             CAST(sum((f_i - label * 10000) * (f_i - label * 10000)) AS BIGINT) AS se2
+      FROM b GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(so) AS BIGINT) AS oo,
+             CAST(sum(se2) AS BIGINT) AS see
+      FROM cells
+    )
+    SELECT (SELECT nn FROM tot) AS n_docs,
+           round((SELECT see FROM tot) / (1e8 * (SELECT nn FROM tot)), 6) AS brier,
+           round(sum((n * 1.0 / (SELECT nn FROM tot))
+                     * (sf / (10000.0 * n) - so * 1.0 / n)
+                     * (sf / (10000.0 * n) - so * 1.0 / n)), 6) AS reliability,
+           round(sum((n * 1.0 / (SELECT nn FROM tot))
+                     * (so * 1.0 / n - (SELECT oo FROM tot) * 1.0 / (SELECT nn FROM tot))
+                     * (so * 1.0 / n - (SELECT oo FROM tot) * 1.0 / (SELECT nn FROM tot))), 6)
+             AS resolution,
+           round(((SELECT oo FROM tot) * 1.0 / (SELECT nn FROM tot))
+                 * (1.0 - (SELECT oo FROM tot) * 1.0 / (SELECT nn FROM tot)), 6) AS uncertainty
+    FROM cells
+    """,
+    "eval",
+    "calibration",
+    "brier",
+)
+def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy (1973) decomposition of the quality classifier's Brier
+    score over decile bins: reliability (miscalibration, what isotonic
+    fixes) minus resolution (useful sharpness) plus uncertainty (the
+    irreducible base-rate variance), alongside the directly-computed
+    Brier score. Squared errors sum as exact integer ten-thousandth
+    squares (one 1e8-scaled division at the end); bin terms are exact
+    ratios; only the <=10-term outer sums ride the round(6) envelope.
+    REL - RES + UNC equals Brier exactly only when scores are constant
+    within bins — the gap IS the within-bin variance, asserted small
+    and nonnegative in tests."""
+    s = _scored(spark, sf_dir)
+    b = s.select(
+        F.least(F.floor(F.col("score") * 10), F.lit(9)).cast("int").alias("bucket"),
+        F.round(F.col("score") * 10000).cast("bigint").alias("f_i"),
+        "label",
+    )
+    cells = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("f_i").cast("bigint").alias("sf"),
+        F.sum("label").cast("bigint").alias("so"),
+        F.sum(
+            (F.col("f_i") - F.col("label") * 10000)
+            * (F.col("f_i") - F.col("label") * 10000)
+        )
+        .cast("bigint")
+        .alias("se2"),
+    )
+    tot = cells.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("so").cast("bigint").alias("oo"),
+        F.sum("se2").cast("bigint").alias("see"),
+    )
+    conf = F.col("sf") / (F.lit(10000.0) * F.col("n"))
+    acc = F.col("so") * F.lit(1.0) / F.col("n")
+    base = F.col("oo") * F.lit(1.0) / F.col("nn")
+    return (
+        cells.crossJoin(F.broadcast(tot))  # 1-row totals dimension
+        .agg(
+            F.first("nn").alias("n_docs"),
+            F.round(
+                F.first("see") / (F.lit(1e8) * F.first("nn")), 6
+            ).alias("brier"),
+            F.round(
+                F.sum((F.col("n") * F.lit(1.0) / F.col("nn")) * (conf - acc) * (conf - acc)),
+                6,
+            ).alias("reliability"),
+            F.round(
+                F.sum((F.col("n") * F.lit(1.0) / F.col("nn")) * (acc - base) * (acc - base)),
+                6,
+            ).alias("resolution"),
+            F.round(F.first(base * (F.lit(1.0) - base)), 6).alias("uncertainty"),
+        )
+    )

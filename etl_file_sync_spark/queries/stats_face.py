@@ -989,3 +989,119 @@ def stat_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("percentile(m, 0.975)"), 4).alias("ci_hi_cents"),
         )
     )
+
+
+@register(
+    "stat_holm_stepdown",
+    """
+    WITH cents AS (
+      SELECT event_type, hour(CAST(ts AS TIMESTAMP)) AS hr,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    g AS (
+      SELECT event_type, hr, count(*) AS n_g, sum(c) AS s_g
+      FROM cents GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT count(*) AS n, sum(c) AS s, sum(c * c) AS ss FROM cents
+    ),
+    z AS (
+      SELECT event_type, hr, n_g,
+             round((s_g * 1.0 / n_g - s * 1.0 / n) * sqrt(n_g)
+                   / sqrt((ss - CAST(s AS DOUBLE) * s / n) / (n - 1)), 4) AS z_stat
+      FROM g, tot
+    ),
+    p AS (
+      SELECT event_type, hr, z_stat,
+             round(1 - (1 - (((((1.061405429 * tt - 1.453152027) * tt + 1.421413741) * tt
+                    - 0.284496736) * tt + 0.254829592) * tt) * exp(-xx * xx)), 6) AS p_value
+      FROM (SELECT *, abs(z_stat) / sqrt(2) AS xx,
+                   1 / (1 + 0.3275911 * abs(z_stat) / sqrt(2)) AS tt FROM z)
+    ),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (ORDER BY p_value, event_type, hr) AS BIGINT) AS rk,
+             CAST(count(*) OVER () AS BIGINT) AS m
+      FROM p
+    )
+    SELECT event_type, CAST(hr AS BIGINT) AS hr, z_stat, p_value,
+           round(least(max(p_value * (m - rk + 1)) OVER (
+             ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0), 6) AS p_holm,
+           (round(least(max(p_value * (m - rk + 1)) OVER (
+             ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0), 6) <= 0.05) AS reject
+    FROM ranked ORDER BY event_type, hr
+    """,
+    "stats",
+    "multiple-testing",
+    "fwer",
+)
+def stat_holm_stepdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holm step-DOWN FWER correction over the same 120 event_type x
+    hour z-tests as stat_bh_fdr (which controls the weaker FDR): the
+    adjusted p at rank i is the running MAX of (m-j+1)*p_(j) for j<=i,
+    clipped at 1 — monotone by construction, so a rejection at rank i
+    implies rejections at all smaller ranks (asserted in tests). The
+    p-value machinery (exact integer moments, rounded z into the
+    Abramowitz-Stegun erf polynomial) is identical to the BH query; the
+    step-down window runs over the aggregate-sized 120-cell frame."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    cents = e.select(
+        "event_type",
+        F.hour("ts").alias("hr"),
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    g = cents.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("n_g"), F.sum("c").alias("s_g")
+    )
+    tot = cents.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    z = g.crossJoin(F.broadcast(tot)).select(  # 1-row totals dimension
+        "event_type",
+        "hr",
+        F.round(
+            (F.col("s_g") * 1.0 / F.col("n_g") - F.col("s") * 1.0 / F.col("n"))
+            * F.sqrt(F.col("n_g"))
+            / F.sqrt(
+                (F.col("ss") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+                / (F.col("n") - 1)
+            ),
+            4,
+        ).alias("z_stat"),
+    )
+    xx = F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))
+    tt = 1 / (1 + 0.3275911 * xx)
+    poly = (
+        (((1.061405429 * tt - 1.453152027) * tt + 1.421413741) * tt - 0.284496736) * tt
+        + 0.254829592
+    ) * tt
+    p = z.select(
+        "event_type",
+        "hr",
+        "z_stat",
+        F.round(1 - (1 - poly * F.exp(-xx * xx)), 6).alias("p_value"),
+    )
+    wr = W.orderBy("p_value", "event_type", "hr")
+    ranked = p.select(
+        "*",
+        F.row_number().over(wr).cast("bigint").alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy()).cast("bigint").alias("m"),
+    )
+    # step-down: running max over ascending rank (aggregate-sized frame)
+    wh = W.orderBy("rk").rowsBetween(W.unboundedPreceding, 0)
+    holm = F.round(
+        F.least(F.max(F.col("p_value") * (F.col("m") - F.col("rk") + 1)).over(wh), F.lit(1.0)),
+        6,
+    )
+    return ranked.select(
+        "event_type",
+        F.col("hr").cast("bigint").alias("hr"),
+        "z_stat",
+        "p_value",
+        holm.alias("p_holm"),
+        (holm <= 0.05).alias("reject"),
+    ).orderBy("event_type", "hr")

@@ -336,3 +336,72 @@ def test_langid_confusion_matches_bruteforce(spark, sf_dir):
         assert r.frac_of_true_lang == pytest.approx(
             cells[(r.lang, r.lang_pred)] / tot[r.lang], abs=1e-5
         )
+
+
+def test_holm_stepdown_matches_textbook(spark, sf_dir):
+    rows = REGISTRY["stat_holm_stepdown"].build(spark, sf_dir).collect()
+    # independent: textbook Holm on the same per-cell p-values (shared
+    # construction with stat_bh_fdr, whose p-values have their own
+    # truth tests) — adjusted p_(i) = max_{j<=i} (m-j+1) p_(j), clip 1
+    ps = sorted((r.p_value, r.event_type, r.hr, r.p_holm) for r in rows)
+    m = len(ps)
+    run = 0.0
+    for i, (p, _et, _hr, got_holm) in enumerate(ps, start=1):
+        run = max(run, (m - i + 1) * p)
+        assert got_holm == pytest.approx(min(1.0, run), abs=1e-5), (i, p)
+    # monotonicity: rejections form a prefix of the p-ranked list
+    rejects = [r for _p, _e, _h, r in [(p, e, h, g) for p, e, h, g in ps]]
+    flags = [g <= 0.05 for _p, _e, _h, g in ps]
+    assert flags == sorted(flags, reverse=True)
+    # Holm (FWER) never rejects more than BH (FDR) at the same alpha
+    bh = {(r.event_type, r.hr): r.reject for r in REGISTRY["stat_bh_fdr"].build(spark, sf_dir).collect()}
+    holm = {(r.event_type, r.hr): r.reject for r in rows}
+    assert all(bh[k] or not holm[k] for k in holm)
+
+
+def test_brier_decomposition_matches_bruteforce(spark, sf_dir):
+    got = REGISTRY["eval_brier_decomposition"].build(spark, sf_dir).collect()[0]
+    import os
+
+    scored = REGISTRY["text_quality_logistic"].build(spark, sf_dir).collect()
+    langs = {
+        r.doc_id: r.lang
+        for r in spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).collect()
+    }
+    items = [
+        (round(r.quality_prob, 4), 1 if langs[r.doc_id] == "en" else 0) for r in scored
+    ]
+    n = len(items)
+    brier = sum((f - o) ** 2 for f, o in items) / n
+    bins: dict[int, list] = {}
+    for f, o in items:
+        bins.setdefault(min(int(f * 10), 9), []).append((f, o))
+    obar = sum(o for _f, o in items) / n
+    rel = sum(
+        len(v) / n * (sum(f for f, _o in v) / len(v) - sum(o for _f, o in v) / len(v)) ** 2
+        for v in bins.values()
+    )
+    res = sum(
+        len(v) / n * (sum(o for _f, o in v) / len(v) - obar) ** 2 for v in bins.values()
+    )
+    unc = obar * (1 - obar)
+    assert got.n_docs == n
+    assert got.brier == pytest.approx(brier, abs=1e-5)
+    assert got.reliability == pytest.approx(rel, abs=1e-5)
+    assert got.resolution == pytest.approx(res, abs=1e-5)
+    assert got.uncertainty == pytest.approx(unc, abs=1e-5)
+    # Murphy identity up to within-bin score variance (nonnegative gap)
+    gap = brier - (rel - res + unc)
+    assert -1e-9 <= gap <= 0.05
+
+
+def test_freshness_sla_matches_bruteforce(spark, toy_dir):
+    rows = {r.event_type: r for r in REGISTRY["dq_freshness_sla"].build(spark, toy_dir).collect()}
+    last: dict[str, int] = {}
+    for _i, sec, _u, et, _v in EVENTS:
+        last[et] = max(last.get(et, 0), sec)
+    hi = max(last.values())
+    for et, s in last.items():
+        r = rows[et]
+        assert r.lag_s == hi - s, et
+        assert bool(r.sla_breach) == ((hi - s) > 3600), et
