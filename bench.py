@@ -182,6 +182,8 @@ HEADLINE = [
     "stat_holm_stepdown",
     "eval_brier_decomposition",
     "dq_freshness_sla",
+    "stat_brown_forsythe",
+    "sim_topk_int8",
 ]
 
 

@@ -1250,3 +1250,108 @@ def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(e_runs, 6).alias("e_runs"),
         F.round((F.col("runs") - e_runs) / F.sqrt(var), 6).alias("z"),
     )
+
+
+@register(
+    "stat_brown_forsythe",
+    """
+    WITH o AS (
+      SELECT o_orderpriority AS pri,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    g AS (
+      SELECT pri, cents, CAST(count(*) AS BIGINT) AS w FROM o GROUP BY pri, cents
+    ),
+    cum AS (
+      SELECT pri, cents, w,
+             CAST(sum(w) OVER (PARTITION BY pri ORDER BY cents) AS BIGINT) AS cw
+      FROM g
+    ),
+    ng AS (SELECT pri, CAST(sum(w) AS BIGINT) AS n FROM g GROUP BY pri),
+    med AS (
+      SELECT c.pri, min(c.cents) AS med
+      FROM cum c JOIN ng ON c.pri = ng.pri
+      WHERE c.cw >= ((ng.n - 1) * 50) // 100 + 1
+      GROUP BY c.pri
+    ),
+    z AS (
+      SELECT o.pri, abs(o.cents - med.med) AS z
+      FROM o JOIN med ON o.pri = med.pri
+    ),
+    cells AS (
+      SELECT pri, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(z) AS BIGINT) AS s, CAST(sum(z * z) AS BIGINT) AS ss
+      FROM z GROUP BY pri
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(s) AS BIGINT) AS st,
+             CAST(count(*) AS BIGINT) AS k
+      FROM cells
+    )
+    SELECT (SELECT k FROM tot) AS k_groups, (SELECT nn FROM tot) AS n_total,
+           round(((SELECT nn FROM tot) - (SELECT k FROM tot)) * 1.0
+                 / ((SELECT k FROM tot) - 1)
+                 * sum(n * (s * 1.0 / n - (SELECT st FROM tot) * 1.0 / (SELECT nn FROM tot))
+                         * (s * 1.0 / n - (SELECT st FROM tot) * 1.0 / (SELECT nn FROM tot)))
+                 / sum(ss - s * 1.0 / n * s), 6) AS f_stat
+    FROM cells
+    """,
+    "stats",
+    "variance-test",
+    "distributed-rank",
+)
+def stat_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test (Levene with MEDIAN centers — robust to
+    non-normality) for variance homogeneity of order totals across
+    priorities: per-group exact type-1 medians from the GROUPED
+    bucketed cumulative plan, absolute deviations z = |cents - med|
+    (exact integers!), then the one-way ANOVA F on z from integer
+    moments (between-group SS via exact-ratio means, within-group SS
+    via sum z² - (sum z)²/n). Single divisions throughout; the 5-term
+    outer sums ride the round(6) envelope."""
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    ).cache()  # median machinery + deviation pass reuse this
+    from etl_file_sync_spark.operators.rankstats import grouped_bucketed_cumsum
+
+    g = o.groupBy("pri", "cents").agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    cum = grouped_bucketed_cumsum(g, ["pri"], "cents", "w", out_col="cw")
+    ng = g.groupBy("pri").agg(F.sum("w").cast("bigint").alias("n"))
+    med = (
+        cum.join(F.broadcast(ng), "pri")
+        .where(F.col("cw") >= F.expr("((n - 1) * 50) div 100") + 1)
+        .groupBy("pri")
+        .agg(F.min("cents").alias("med"))
+    )
+    z = o.join(F.broadcast(med), "pri").select(
+        "pri", F.abs(F.col("cents") - F.col("med")).alias("z")
+    )
+    cells = z.groupBy("pri").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("z").cast("bigint").alias("s"),
+        F.sum(F.col("z") * F.col("z")).cast("bigint").alias("ss"),
+    )
+    tot = cells.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("s").cast("bigint").alias("st"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    zbar_g = F.col("s") * F.lit(1.0) / F.col("n")
+    zbar = F.col("st") * F.lit(1.0) / F.col("nn")
+    return (
+        cells.crossJoin(F.broadcast(tot))  # 1-row totals dimension
+        .agg(
+            F.first("k").alias("k_groups"),
+            F.first("nn").alias("n_total"),
+            F.round(
+                (F.first("nn") - F.first("k"))
+                * F.lit(1.0)
+                / (F.first("k") - 1)
+                * F.sum(F.col("n") * (zbar_g - zbar) * (zbar_g - zbar))
+                / F.sum(F.col("ss") - F.col("s") * F.lit(1.0) / F.col("n") * F.col("s")),
+                6,
+            ).alias("f_stat"),
+        )
+    )

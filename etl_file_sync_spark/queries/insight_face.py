@@ -1080,3 +1080,128 @@ def layout_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("z_bucket")
     )
+
+
+_INT8_NQ = 5  # ANN demo: queries are vec_id < 5
+
+
+@register(
+    "sim_topk_int8",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    m AS (
+      SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e
+    ),
+    q AS (
+      SELECT vec_id, amax,
+             CASE WHEN amax = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(v, x -> greatest(CAST(-127 AS BIGINT),
+                         least(CAST(127 AS BIGINT),
+                               CAST(floor(x / (amax / 127.0) + 0.5) AS BIGINT))))
+             END AS qv
+      FROM m
+    ),
+    dq AS (
+      SELECT vec_id,
+             list_transform(range(1, len(qv) + 1), i -> qv[i] * (amax / 127.0)) AS dv
+      FROM q
+    ),
+    nm AS (
+      SELECT vec_id, dv,
+             sqrt(list_reduce([0.0] || list_transform(dv, x -> x * x),
+                              (a, b) -> a + b)) AS nrm
+      FROM dq
+    ),
+    pairs AS (
+      SELECT qr.vec_id AS qid, c.vec_id AS neighbor_id,
+             list_reduce([0.0] || list_transform(range(1, len(c.dv) + 1),
+                           i -> c.dv[i] * qr.dv[i]), (a, b) -> a + b)
+               / (c.nrm * qr.nrm) AS cosine
+      FROM nm c, nm qr
+      WHERE qr.vec_id < {_INT8_NQ} AND c.vec_id <> qr.vec_id
+        AND c.nrm > 0 AND qr.nrm > 0
+    ),
+    r AS (
+      SELECT qid, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM pairs
+    )
+    SELECT qid, CAST(rank AS BIGINT) AS rank, neighbor_id, round(cosine, 6) AS cosine
+    FROM r WHERE rank <= 3 ORDER BY qid, rank
+    """,
+    "similarity",
+    "quantization",
+    "ann",
+)
+def sim_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 cosine neighbors computed on the INT8-QUANTIZED vectors
+    (embed_int8_quant's symmetric code, dequantized q*scale) — the
+    compressed-serving path an ANN index actually scans, here with a
+    FULL value oracle because the quantization is deterministic in both
+    engines. Dot products fold sequentially in index order (bit-exact
+    cross-engine); each per-query top-3 is its own
+    TakeOrderedAndProject plan over the candidate frame (the bounded
+    union-of-limit-k shape — no single-partition window over all
+    candidates), unioned across the {_INT8_NQ} demo queries. Pairs with
+    sim_topk_pq's rows-only ADC path: this one trades 4x compression
+    (vs PQ's 32x) for exact oracle-checkability."""
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = t(spark, sf_dir, "embeddings").select("vec_id", v.alias("v"))
+    amax = F.array_max(F.transform(F.col("v"), F.abs))
+    m = e.select("vec_id", "v", amax.alias("amax"))
+    scale = F.col("amax") / F.lit(127.0)
+    qv = F.when(
+        F.col("amax") == 0, F.transform(F.col("v"), lambda x: F.lit(0).cast("bigint"))
+    ).otherwise(
+        F.transform(
+            F.col("v"),
+            lambda x: F.greatest(
+                F.lit(-127).cast("bigint"),
+                F.least(F.lit(127).cast("bigint"), F.floor(x / scale + F.lit(0.5))),
+            ),
+        )
+    )
+    dv = F.transform(qv, lambda qq: qq * scale)
+    nm = (
+        m.select("vec_id", dv.alias("dv"))
+        .withColumn(
+            "nrm",
+            F.sqrt(F.aggregate(F.transform(F.col("dv"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x)),
+        )
+        .where(F.col("nrm") > 0)
+        .cache()  # candidate side reused by all queries
+    )
+    queries = {r["vec_id"]: r for r in nm.where(F.col("vec_id") < _INT8_NQ).collect()}
+    parts = []
+    for qid in sorted(queries):
+        qr = queries[qid]
+        qdv = F.array(*[F.lit(float(x)) for x in qr["dv"]])
+        cos = F.aggregate(
+            F.zip_with(F.col("dv"), qdv, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+        ) / (F.col("nrm") * F.lit(float(qr["nrm"])))
+        topk = (
+            nm.where(F.col("vec_id") != qid)
+            .select(
+                F.lit(qid).cast("bigint").alias("qid"),
+                F.col("vec_id").alias("neighbor_id"),
+                cos.alias("cosine"),
+            )
+            .orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+            .limit(3)
+        )
+        parts.append(topk)
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionAll(p_)
+    from pyspark.sql import Window as W
+
+    # rank within each 3-row result — bounded frame
+    return out.select(
+        "qid",
+        F.row_number()
+        .over(W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("neighbor_id")))
+        .cast("bigint")
+        .alias("rank"),
+        "neighbor_id",
+        F.round("cosine", 6).alias("cosine"),
+    ).orderBy("qid", "rank")

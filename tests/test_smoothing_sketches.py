@@ -405,3 +405,74 @@ def test_freshness_sla_matches_bruteforce(spark, toy_dir):
         r = rows[et]
         assert r.lag_s == hi - s, et
         assert bool(r.sla_breach) == ((hi - s) > 3600), et
+
+
+def test_brown_forsythe_matches_numpy(spark, sf_dir):
+    got = REGISTRY["stat_brown_forsythe"].build(spark, sf_dir).collect()[0]
+    import os
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).collect()
+    by_pri: dict[str, list] = {}
+    for r in orders:
+        by_pri.setdefault(r.o_orderpriority, []).append(round(r.o_totalprice * 100))
+    zs = []
+    for pri, vals in by_pri.items():
+        vals = sorted(vals)
+        med = vals[((len(vals) - 1) * 50) // 100]  # exact type-1 median
+        zs.append(np.abs(np.array(vals, dtype=float) - med))
+    k = len(zs)
+    nn = sum(len(z) for z in zs)
+    zbar = sum(z.sum() for z in zs) / nn
+    between = sum(len(z) * (z.mean() - zbar) ** 2 for z in zs)
+    within = sum(((z - z.mean()) ** 2).sum() for z in zs)
+    f = (nn - k) / (k - 1) * between / within
+    assert (got.k_groups, got.n_total) == (k, nn)
+    assert got.f_stat == pytest.approx(f, rel=1e-4)
+
+
+def test_sim_topk_int8_matches_numpy_and_recalls_exact(spark, sf_dir):
+    rows = REGISTRY["sim_topk_int8"].build(spark, sf_dir).collect()
+    import os
+
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).collect()
+    }
+
+    def dequant(v):
+        amax = np.max(np.abs(v))
+        if amax == 0:
+            return np.zeros_like(v)
+        s = amax / 127.0
+        return np.clip(np.floor(v / s + 0.5), -127, 127) * s
+
+    dq = {k: dequant(v) for k, v in emb.items()}
+    got: dict[int, list] = {}
+    for r in rows:
+        got.setdefault(r.qid, []).append((r.rank, r.neighbor_id, r.cosine))
+    assert set(got) == set(range(5))
+    for qid in range(5):
+        qv = dq[qid]
+        scores = sorted(
+            (
+                (-float(np.dot(dq[c], qv) / (np.linalg.norm(dq[c]) * np.linalg.norm(qv))), c)
+                for c in dq
+                if c != qid and np.linalg.norm(dq[c]) > 0
+            ),
+        )[:3]
+        want = [(i + 1, c, round(-s, 6)) for i, (s, c) in enumerate(scores)]
+        have = sorted(got[qid])
+        assert [w[1] for w in want] == [h[1] for h in have], qid
+        for w, h in zip(want, have):
+            assert h[2] == pytest.approx(w[2], abs=1e-5)
+        # quantized top-3 overlaps the EXACT (float) top-3 well: the
+        # int8 grid moves cosines by ~1e-3 at most on unit-scale vectors
+        exact = sorted(
+            (
+                (-float(np.dot(emb[c], emb[qid]) / (np.linalg.norm(emb[c]) * np.linalg.norm(emb[qid]))), c)
+                for c in emb
+                if c != qid
+            ),
+        )[:3]
+        overlap = {c for _s, c in exact} & {h[1] for h in have}
+        assert len(overlap) >= 2, qid

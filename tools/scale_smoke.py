@@ -121,6 +121,8 @@ OPS = [
     "win_range_frame_rolling",
     "layout_zorder_buckets",
     "eval_langid_confusion",
+    "stat_brown_forsythe",
+    "sim_topk_int8",
 ]
 
 TIERS = ["sf0.001", "sf0.01", "sf0.1"]
