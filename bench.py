@@ -184,6 +184,7 @@ HEADLINE = [
     "dq_freshness_sla",
     "stat_brown_forsythe",
     "sim_topk_int8",
+    "stat_fisher_exact",
 ]
 
 

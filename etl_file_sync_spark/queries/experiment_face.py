@@ -1355,3 +1355,129 @@ def stat_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("f_stat"),
         )
     )
+
+
+@register(
+    "stat_fisher_exact",
+    """
+    WITH u AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS grp,
+             CAST(max(CASE WHEN event_type = 'purchase' AND value > 200
+                           THEN 1 ELSE 0 END) AS BIGINT) AS conv
+      FROM events GROUP BY user_id
+    ),
+    cells AS (
+      SELECT CAST(sum(CASE WHEN grp = 1 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN grp = 1 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(sum(CASE WHEN grp = 0 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN grp = 0 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM u
+    ),
+    lf AS (
+      -- lnfact(i) as an ORDERED prefix sum of ln(j): the identical
+      -- fold the engine runs driver-side, so every pmf term matches
+      SELECT i,
+             coalesce(sum(CASE WHEN i = 0 THEN 0.0 ELSE ln(i) END)
+               OVER (ORDER BY i), 0.0) AS lnf
+      FROM (SELECT unnest(range(0, (SELECT a + b + c + d + 1 FROM cells))) AS i)
+    ),
+    km AS (
+      SELECT cells.*, a + c AS m, a + b AS ab, c + d AS cd, a + b + c + d AS n,
+             greatest(0, (a + c) - (c + d)) AS lo,
+             least(a + b, a + c) AS hi
+      FROM cells
+    ),
+    kk AS (SELECT km.*, unnest(range(km.lo, km.hi + 1)) AS k FROM km),
+    terms AS (
+      SELECT kk.*,
+             (SELECT lnf FROM lf WHERE i = kk.ab)
+               - (SELECT lnf FROM lf WHERE i = kk.k)
+               - (SELECT lnf FROM lf WHERE i = kk.ab - kk.k)
+             + (SELECT lnf FROM lf WHERE i = kk.cd)
+               - (SELECT lnf FROM lf WHERE i = kk.m - kk.k)
+               - (SELECT lnf FROM lf WHERE i = kk.cd - kk.m + kk.k)
+             - ((SELECT lnf FROM lf WHERE i = kk.n)
+               - (SELECT lnf FROM lf WHERE i = kk.m)
+               - (SELECT lnf FROM lf WHERE i = kk.n - kk.m)) AS lnpmf
+      FROM kk
+    ),
+    base AS (SELECT lnpmf AS lnbase FROM terms WHERE k = a)
+    SELECT a, b, c, d,
+           round(CASE WHEN b * c = 0 THEN NULL
+                      ELSE (a * d) * 1.0 / (b * c) END, 6) AS odds_ratio,
+           round(sum(CASE WHEN exp(lnpmf) <= exp((SELECT lnbase FROM base)) * (1 + 1e-7)
+                          THEN exp(lnpmf) ELSE 0 END), 6) AS p_value
+    FROM terms GROUP BY a, b, c, d
+    """,
+    "stats",
+    "ab-test",
+    "exact-test",
+)
+def stat_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's exact test (two-sided, R's sum-of-smaller-pmfs
+    convention with the standard 1+1e-7 tolerance) on the variant x
+    high-value-conversion 2x2 table. The corpus-scale work is the
+    distributed per-user reduction to four cells; the hypergeometric
+    sum runs over the BOUNDED support [max(0, m-cd), min(ab, m)] with
+    ln-factorials built as an ORDERED cumulative fold of ln(j) — the
+    engine folds driver-side in exactly the order the oracle's window
+    sum uses, so every pmf is the same IEEE sequence (same-libm exp/ln;
+    the 1e-7 tie tolerance dwarfs any residual ulp). Driver-side cost
+    is O(n_users) ln's — the small-sample test's own applicability
+    bound; at millions of users use stat_two_proportion_ztest, whose
+    normal approximation is exact in that regime."""
+    import math
+
+    u = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > 200), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("conv")
+        )
+        .select((F.col("user_id") % 2).cast("bigint").alias("grp"), "conv")
+    )
+    cells = u.agg(
+        F.sum(F.when((F.col("grp") == 1) & (F.col("conv") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when((F.col("grp") == 1) & (F.col("conv") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when((F.col("grp") == 0) & (F.col("conv") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+        F.sum(F.when((F.col("grp") == 0) & (F.col("conv") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+    )
+    row = cells.collect()[0]  # 2x2 metadata pull (Markov-kernel pattern)
+    a, b, c, d = row["a"], row["b"], row["c"], row["d"]
+    n, m, ab, cd = a + b + c + d, a + c, a + b, c + d
+    # ordered prefix fold of ln(j) — identical sequence to the oracle
+    lnf = [0.0] * (n + 1)
+    acc = 0.0
+    for j in range(1, n + 1):
+        acc += math.log(j)
+        lnf[j] = acc
+    lo, hi = max(0, m - cd), min(ab, m)
+
+    def lnpmf(k: int) -> float:
+        return (
+            lnf[ab] - lnf[k] - lnf[ab - k]
+            + lnf[cd] - lnf[m - k] - lnf[cd - m + k]
+            - (lnf[n] - lnf[m] - lnf[n - m])
+        )
+
+    base = math.exp(lnpmf(a)) * (1 + 1e-7)
+    p = sum(math.exp(lnpmf(k)) for k in range(lo, hi + 1) if math.exp(lnpmf(k)) <= base)
+    odds = round((a * d) * 1.0 / (b * c), 6) if b * c != 0 else None
+    return cells.sparkSession.createDataFrame(
+        [(a, b, c, d, odds, round(p, 6))],
+        "a bigint, b bigint, c bigint, d bigint, odds_ratio double, p_value double",
+    )

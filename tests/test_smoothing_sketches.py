@@ -476,3 +476,31 @@ def test_sim_topk_int8_matches_numpy_and_recalls_exact(spark, sf_dir):
         )[:3]
         overlap = {c for _s, c in exact} & {h[1] for h in have}
         assert len(overlap) >= 2, qid
+
+
+def test_fisher_exact_matches_lgamma(spark, sf_dir):
+    """Independent definition: the hypergeometric pmf via math.lgamma
+    (a DIFFERENT ln-factorial than the engines' ordered ln-folds), and
+    the classic table [[1,9],[11,3]] against its textbook p=0.0027594."""
+    got = REGISTRY["stat_fisher_exact"].build(spark, sf_dir).collect()[0]
+    a, b, c, d = got.a, got.b, got.c, got.d
+
+    def fisher(a, b, c, d):
+        n, m, ab, cd = a + b + c + d, a + c, a + b, c + d
+
+        def lnC(N, K):
+            return math.lgamma(N + 1) - math.lgamma(K + 1) - math.lgamma(N - K + 1)
+
+        lo, hi = max(0, m - cd), min(ab, m)
+        base = math.exp(lnC(ab, a) + lnC(cd, m - a) - lnC(n, m)) * (1 + 1e-7)
+        return sum(
+            math.exp(lnC(ab, k) + lnC(cd, m - k) - lnC(n, m))
+            for k in range(lo, hi + 1)
+            if math.exp(lnC(ab, k) + lnC(cd, m - k) - lnC(n, m)) <= base
+        )
+
+    assert got.p_value == pytest.approx(fisher(a, b, c, d), abs=1e-5)
+    assert 0.0 <= got.p_value <= 1.0 + 1e-9
+    if b * c != 0:
+        assert got.odds_ratio == pytest.approx((a * d) / (b * c), abs=1e-5)
+    assert fisher(1, 9, 11, 3) == pytest.approx(0.0027594, abs=1e-6)
