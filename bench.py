@@ -185,6 +185,10 @@ HEADLINE = [
     "stat_brown_forsythe",
     "sim_topk_int8",
     "stat_fisher_exact",
+    # round-5 inference face
+    "stat_wasserstein_1d",
+    "stat_eb_shrinkage",
+    "stat_msprt_sequential",
 ]
 
 
