@@ -12,6 +12,7 @@ Spark build and the DuckDB oracle.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves string type hints against module globals
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -267,4 +268,165 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cands.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= 4)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "text_readability_profile",
+    """
+    WITH m AS (
+      SELECT source,
+             len(string_split(text, ' ')) AS w,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syl,
+             greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS sents
+      FROM documents
+    ),
+    fl AS (
+      SELECT source,
+             206.835 - 1.015 * (w * 1.0 / sents) - 84.6 * (syl * 1.0 / w)
+               AS flesch,
+             w, syl
+      FROM m
+    ),
+    per_src AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             round(avg(flesch), 4) AS avg_flesch,
+             CAST(sum(w) AS BIGINT) AS total_words,
+             round(sum(syl) * 1.0 / sum(w), 6) AS syllables_per_word
+      FROM fl GROUP BY source
+    ),
+    vocab AS (
+      SELECT source,
+             CAST(count(DISTINCT tok) AS BIGINT) AS distinct_words
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY source
+    )
+    SELECT p.source, p.n_docs, p.avg_flesch, p.syllables_per_word,
+           p.total_words, v.distinct_words,
+           round(v.distinct_words * 1.0 / p.total_words, 6) AS corpus_ttr
+    FROM per_src p JOIN vocab v ON p.source = v.source
+    ORDER BY p.source
+    """,
+    "text",
+    "quality",
+    "readability",
+)
+def text_readability_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source readability + lexical-diversity profile: mean Flesch
+    reading ease (206.835 - 1.015 words/sentence - 84.6 syllables/word,
+    syllables approximated as vowel-group runs — the standard
+    dictionary-free heuristic) and corpus-level type-token ratio
+    (distinct words across the whole source / total words — the grain
+    per-doc text_token_stats cannot see). All counting is JVM regexp
+    on integer counts; the only shuffles are the per-source aggregate
+    and the combiner-friendly distinct over (source, token), both of
+    which shrink with vocabulary, not corpus size."""
+    docs = t(spark, sf_dir, "documents")
+    m = docs.select(
+        "source",
+        F.size(F.split("text", " ")).alias("w"),
+        F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")).alias("syl"),
+        F.greatest(
+            F.lit(1), F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)"))
+        ).alias("sents"),
+    )
+    fl = m.select(
+        "source",
+        (
+            F.lit(206.835)
+            - 1.015 * (F.col("w") * 1.0 / F.col("sents"))
+            - 84.6 * (F.col("syl") * 1.0 / F.col("w"))
+        ).alias("flesch"),
+        "w",
+        "syl",
+    )
+    per_src = fl.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.avg("flesch"), 4).alias("avg_flesch"),
+        F.sum("w").cast("bigint").alias("total_words"),
+        F.round(F.sum("syl") * 1.0 / F.sum("w"), 6).alias("syllables_per_word"),
+    )
+    vocab = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source")
+        .agg(F.countDistinct("tok").cast("bigint").alias("distinct_words"))
+    )
+    return (
+        per_src.join(vocab, "source")
+        .select(
+            "source",
+            "n_docs",
+            "avg_flesch",
+            "syllables_per_word",
+            "total_words",
+            "distinct_words",
+            F.round(
+                F.col("distinct_words") * 1.0 / F.col("total_words"), 6
+            ).alias("corpus_ttr"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "text_char_entropy",
+    """
+    WITH cc AS (
+      SELECT doc_id, source, c, CAST(count(*) AS BIGINT) AS k
+      FROM (SELECT doc_id, source, unnest(string_split(text, '')) AS c
+            FROM documents)
+      GROUP BY doc_id, source, c
+    ),
+    n AS (
+      SELECT doc_id, source, sum(k) AS n, sum(k * log2(k)) AS slk
+      FROM cc GROUP BY doc_id, source
+    ),
+    h AS (SELECT source, log2(n) - slk / n AS ent FROM n)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(ent), 6) AS avg_entropy,
+           round(min(ent), 6) AS min_entropy,
+           round(max(ent), 6) AS max_entropy
+    FROM h GROUP BY source ORDER BY source
+    """,
+    "text",
+    "quality",
+    "pandas-udf",
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source profile of per-document character-distribution
+    Shannon entropy, H = log2(n) - sum(k*log2 k)/n over exact character
+    counts — the cheap gibberish/garbage detector (random byte soup
+    scores near log2(alphabet); natural text sits well below). The
+    Spark side computes H inside an Arrow-batched pandas UDF — a pure
+    per-row scalar, so at 100 TB there is NO char-grain shuffle, only
+    the per-source aggregate; the oracle restates it as the naive
+    unnest-to-characters groupBy. Both sides fold the same <=
+    alphabet-size float terms, far inside the round(6) guard."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def char_entropy(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        def h(s: str) -> float:
+            if not s:
+                return 0.0
+            counts = pd.Series(list(s)).value_counts().to_numpy(dtype="float64")
+            n = counts.sum()
+            return float(np.log2(n) - (counts * np.log2(counts)).sum() / n)
+
+        return texts.map(h)
+
+    docs = t(spark, sf_dir, "documents")
+    h = docs.select("source", char_entropy("text").alias("ent"))
+    return (
+        h.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("ent"), 6).alias("avg_entropy"),
+            F.round(F.min("ent"), 6).alias("min_entropy"),
+            F.round(F.max("ent"), 6).alias("max_entropy"),
+        )
+        .orderBy("source")
     )

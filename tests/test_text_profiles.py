@@ -1,0 +1,62 @@
+"""Independent-definition truth tests for text_readability_profile and
+text_char_entropy: recompute Flesch / TTR / character entropy with
+plain Python (re + collections.Counter) over the same sf0.001 parquet
+— catches a heuristic mistranslated identically into both engines."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import pandas as pd
+import pytest
+
+from etl_file_sync_spark.queries import REGISTRY
+
+
+def _docs(sf_dir: str) -> pd.DataFrame:
+    return pd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_readability_matches_python_recount(spark, sf_dir):
+    rows = {r["source"]: r for r in REGISTRY["text_readability_profile"].build(spark, sf_dir).collect()}
+    d = _docs(sf_dir)
+    for src, g in d.groupby("source"):
+        fleschs, total_w, total_syl = [], 0, 0
+        vocab = set()
+        for text in g.text:
+            words = text.split(" ")
+            w = len(words)
+            syl = len(re.findall(r"[aeiouy]+", text.lower()))
+            sents = max(1, len(re.findall(r"[.!?]+", text)))
+            fleschs.append(206.835 - 1.015 * (w / sents) - 84.6 * (syl / w))
+            total_w += w
+            total_syl += syl
+            vocab.update(words)
+        got = rows[src]
+        assert got["n_docs"] == len(g)
+        assert got["avg_flesch"] == pytest.approx(sum(fleschs) / len(fleschs), abs=1e-3)
+        assert got["total_words"] == total_w
+        assert got["syllables_per_word"] == pytest.approx(total_syl / total_w, abs=1e-5)
+        assert got["distinct_words"] == len(vocab)
+        assert got["corpus_ttr"] == pytest.approx(len(vocab) / total_w, abs=1e-5)
+
+
+def test_char_entropy_matches_counter_definition(spark, sf_dir):
+    rows = {r["source"]: r for r in REGISTRY["text_char_entropy"].build(spark, sf_dir).collect()}
+    d = _docs(sf_dir)
+
+    def h(s: str) -> float:
+        n = len(s)
+        return math.log2(n) - sum(k * math.log2(k) for k in Counter(s).values()) / n
+
+    for src, g in d.groupby("source"):
+        ents = [h(text) for text in g.text]
+        got = rows[src]
+        assert got["n_docs"] == len(g)
+        assert got["avg_entropy"] == pytest.approx(sum(ents) / len(ents), abs=1e-5)
+        assert got["min_entropy"] == pytest.approx(min(ents), abs=1e-5)
+        assert got["max_entropy"] == pytest.approx(max(ents), abs=1e-5)
+        # natural-ish text must sit strictly below the uniform bound
+        assert got["max_entropy"] < math.log2(64)
