@@ -3,10 +3,11 @@
 `entry(spark)` runs the flagship query on sf0.001; `queries()` exposes the
 full registry (one entry per implemented operator, SURVEY.md §2);
 `oracle_sql()` supplies the DuckDB-equivalent SQL for every
-SQL-expressible query (the 10 rows-only entries are approximate or
+SQL-expressible query (the 11 rows-only entries are approximate or
 iterative by design — HLL/frequent-items/approx-top-k sketches,
-IVF/PQ/IVF+PQ ANN, the two BPE tokenizer queries, and the IRLS
-classifier trainer — each with a value-exact oracled sibling and
+IVF/PQ/IVF+PQ ANN, the two BPE tokenizer queries, the IRLS
+classifier trainer, and the PCA label profile — each with a
+value-exact oracled sibling and
 accuracy/recall/bit-exactness/numpy-truth bounds in tests/; the
 rows-only count here is lockstep-enforced by
 tests/test_docs_lockstep.py).

@@ -148,3 +148,118 @@ def cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("centroid_id")
     )
+
+
+def _cov_oracle_sql(d: int) -> str:
+    """Programmatic oracle: two-pass centered covariance of the first
+    ``d`` embedding dims, one wide row of upper-triangle entries."""
+    xs = ",\n             ".join(
+        f"CAST(embedding[{i}] AS DOUBLE) AS x{i}" for i in range(1, d + 1)
+    )
+    ms = ", ".join(f"avg(x{i}) AS m{i}" for i in range(1, d + 1))
+    cells = ",\n           ".join(
+        f"round(sum((x{i} - m{i}) * (x{j} - m{j})) / (max(n) - 1), 6) AS c{i}_{j}"
+        for i in range(1, d + 1)
+        for j in range(i, d + 1)
+    )
+    return f"""
+    WITH x AS (
+      SELECT {xs}
+      FROM embeddings
+    ),
+    m AS (SELECT {ms}, CAST(count(*) AS BIGINT) AS n FROM x)
+    SELECT {cells}
+    FROM x, m
+    """
+
+
+_COV_DIMS = 8
+
+
+@register(
+    "embed_covariance_entries",
+    _cov_oracle_sql(_COV_DIMS),
+    "embedding",
+    "stats",
+    "pca",
+)
+def embed_covariance_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle sample-covariance entries of the first 8 embedding
+    dims, spelled as the repo's two-pass centered aggregate (means
+    first — a 1-row broadcast — then centered cross-moments), so the
+    algebra is cancellation-free and both engines agree to ulps. This
+    is the value-exact oracled sibling that pins the covariance math
+    behind the rows-only embed_pca_label_profile: the full-dim PCA
+    consumes exactly this statistic, computed by the one-pass
+    Gram-partials plan in operators/pca.py."""
+    d = _COV_DIMS
+    emb = t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        *[
+            F.element_at(F.col("embedding"), i).cast("double").alias(f"x{i}")
+            for i in range(1, d + 1)
+        ]
+    )
+    m = x.agg(
+        *[F.avg(f"x{i}").alias(f"m{i}") for i in range(1, d + 1)],
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    cent = x.crossJoin(F.broadcast(m))  # 1-row means dimension
+    return cent.agg(
+        *[
+            F.round(
+                F.sum(
+                    (F.col(f"x{i}") - F.col(f"m{i}"))
+                    * (F.col(f"x{j}") - F.col(f"m{j}"))
+                )
+                / (F.first("n") - 1),
+                6,
+            ).alias(f"c{i}_{j}")
+            for i in range(1, d + 1)
+            for j in range(i, d + 1)
+        ]
+    )
+
+
+@register(
+    "embed_pca_label_profile",
+    None,  # rows-only: eigendecomposition is not SQL-expressible; the
+    # covariance it consumes is value-oracled by embed_covariance_entries
+    # and the fit/projection is pinned against direct numpy PCA in
+    # tests/test_pca.py
+    "embedding",
+    "pca",
+    "iterative",
+)
+def embed_pca_label_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label profile in the corpus's top principal components: fit
+    a 4-component PCA with the one-pass distributed moment plan
+    (operators/pca.py — per-partition (n, sum, Gram) partials, driver
+    O(d^3) eigh at d=64, sign-fixed components), then a second map-only
+    projection pass and a per-label aggregate of the first three PC
+    coordinates, with the explained-variance ratios carried alongside.
+    The corpus never shuffles and is never collected in either pass."""
+    from etl_file_sync_spark.operators.pca import pca_fit, pca_project
+
+    emb = t(spark, sf_dir, "embeddings")
+    mean, comps, evals, total_var = pca_fit(emb, k=4)
+    proj = pca_project(emb.select("label", "embedding"), mean, comps)
+    out = (
+        proj.select(
+            "label",
+            *[
+                F.element_at(F.col("pcs"), i + 1).alias(f"pc{i + 1}")
+                for i in range(3)
+            ],
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            *[F.round(F.avg(f"pc{i + 1}"), 4).alias(f"mean_pc{i + 1}") for i in range(3)],
+        )
+    )
+    for i in range(4):
+        out = out.withColumn(
+            f"evr_{i + 1}", F.round(F.lit(float(evals[i] / total_var)), 6)
+        )
+    return out.orderBy("label")
