@@ -430,3 +430,82 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_heaps_law_fit",
+    """
+    WITH per_src AS (
+      SELECT source,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    vocab AS (
+      SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS v_types
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY source
+    ),
+    pts AS (
+      SELECT ln(p.n_tokens) AS x, ln(v.v_types) AS y
+      FROM per_src p JOIN vocab v ON p.source = v.source
+    ),
+    m AS (SELECT avg(x) AS mx, avg(y) AS my, CAST(count(*) AS BIGINT) AS np FROM pts),
+    fit AS (
+      SELECT np, mx, my,
+             sum((x - mx) * (y - my)) AS sxy,
+             sum((x - mx) * (x - mx)) AS sxx,
+             sum((y - my) * (y - my)) AS syy
+      FROM pts, m GROUP BY np, mx, my
+    )
+    SELECT np AS n_points,
+           round(sxy / sxx, 6) AS beta,
+           round(exp(my - sxy / sxx * mx), 4) AS k,
+           round(sxy * sxy / (sxx * syy), 6) AS r2
+    FROM fit
+    """,
+    "text",
+    "quality",
+    "vocab",
+)
+def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V(N) = k * N^beta of vocabulary growth across
+    sources: each source contributes one (total tokens, distinct types)
+    point; beta/k come from the closed-form log-log OLS (two-pass
+    centered moments — means first, centered cross-moments second, the
+    repo's cancellation-free convention) with the fit's r^2 alongside.
+    The corpus-scale work is the combiner-friendly distinct over
+    (source, token); the regression itself runs on the
+    source-count-bounded point frame (20 rows here)."""
+    docs = t(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens")
+    )
+    vocab = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source")
+        .agg(F.countDistinct("tok").cast("bigint").alias("v_types"))
+    )
+    pts = per_src.join(vocab, "source").select(
+        F.log("n_tokens").alias("x"), F.log("v_types").alias("y")
+    )
+    m = pts.agg(
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.count(F.lit(1)).cast("bigint").alias("np"),
+    )
+    fit = (
+        pts.crossJoin(F.broadcast(m))  # 1-row means dimension
+        .groupBy("np", "mx", "my")
+        .agg(
+            F.sum((F.col("x") - F.col("mx")) * (F.col("y") - F.col("my"))).alias("sxy"),
+            F.sum((F.col("x") - F.col("mx")) * (F.col("x") - F.col("mx"))).alias("sxx"),
+            F.sum((F.col("y") - F.col("my")) * (F.col("y") - F.col("my"))).alias("syy"),
+        )
+    )
+    return fit.select(
+        F.col("np").alias("n_points"),
+        F.round(F.col("sxy") / F.col("sxx"), 6).alias("beta"),
+        F.round(F.exp(F.col("my") - F.col("sxy") / F.col("sxx") * F.col("mx")), 4).alias("k"),
+        F.round(F.col("sxy") * F.col("sxy") / (F.col("sxx") * F.col("syy")), 6).alias("r2"),
+    )

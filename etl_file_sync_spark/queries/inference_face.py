@@ -3,7 +3,7 @@ kappa inter-rater agreement, empirical-Bayes beta-binomial shrinkage,
 and an mSPRT always-valid sequential monitor.
 
 Shapes at 100 TB: the Wasserstein integral runs on the distinct-value
-frame through the bucketed two-phase cumsum/cummax machinery
+frame through one bucketed two-phase cumsum pass
 (operators/rankstats.py) — no global single-partition window ever sees
 row-grain data; kappa and the shrinkage prior reduce to tiny confusion /
 moment aggregates broadcast back; the mSPRT monitor operates on the
@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from etl_file_sync_spark.operators.rankstats import bucketed_cummax, bucketed_cumsums
+from etl_file_sync_spark.operators.rankstats import bucketed_cumsums
 from etl_file_sync_spark.queries.registry import register, t
 
 
@@ -44,19 +44,17 @@ from etl_file_sync_spark.queries.registry import register, t
       FROM g
     ),
     c AS (
-      SELECT v,
+      SELECT v, ca, cb,
              coalesce(sum(ca) OVER (ORDER BY v
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_ca,
              coalesce(sum(cb) OVER (ORDER BY v
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_cb,
-             lag(v) OVER (ORDER BY v) AS prev_v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_cb
       FROM g
     ),
     w AS (
-      SELECT sum(CASE WHEN prev_v IS NULL THEN 0
-                      ELSE (v - prev_v)
-                           * abs(cum_ca * 1.0 / na - cum_cb * 1.0 / nb)
-                 END) AS w1raw,
+      SELECT sum(v * (abs(cum_ca * 1.0 / na - cum_cb * 1.0 / nb)
+                      - abs((cum_ca + ca) * 1.0 / na
+                            - (cum_cb + cb) * 1.0 / nb))) AS w1raw,
              na, nb, vmin, vmax
       FROM c, tot GROUP BY na, nb, vmin, vmax
     )
@@ -71,15 +69,15 @@ from etl_file_sync_spark.queries.registry import register, t
 )
 def stat_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-D Wasserstein (earth-mover) distance between the even/odd
-    custkey o_totalprice distributions: W1 = integral of |F_A - F_B| dv,
-    evaluated exactly as sum over consecutive distinct values of
-    (v_i - v_{i-1}) * |F_A(v_{i-1}) - F_B(v_{i-1})| — the exclusive
-    prefix counts ARE the step-function values on the open interval.
-    Both the prefix counts and the predecessor value come from the
-    bucketed two-phase machinery (cumsums for F, cummax-exclusive of v
-    over itself for lag), so no single-partition window touches the
-    150k-distinct-price frame; the oracle restates it with naive global
-    windows."""
+    custkey o_totalprice distributions: W1 = integral of |F_A - F_B| dv.
+    Summation by parts turns the step-function integral into
+    sum over distinct values of v * (D_excl(v) - D_incl(v)) where
+    D = |F_A - F_B| and the inclusive prefix is just the exclusive
+    prefix plus the value's own counts — so ONE bucketed two-phase
+    cumsum pass (operators/rankstats.py) supplies everything and no
+    predecessor-value (lag) pass is needed at all; no single-partition
+    window ever touches the 150k-distinct-price frame. The oracle
+    restates the same algebra with a naive global window."""
     s = t(spark, sf_dir, "orders").select(
         F.when(F.col("o_custkey") % 2 == 0, "A").otherwise("B").alias("variant"),
         F.col("o_totalprice").alias("v"),
@@ -95,19 +93,17 @@ def stat_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("v").alias("vmax"),
     )
     c = bucketed_cumsums(g, "v", ["ca", "cb"], inclusive=False)
-    c = bucketed_cummax(c, "v", "v", out_col="prev_v", inclusive=False)
+    d_excl = F.abs(
+        F.col("cum_ca") * 1.0 / F.col("na") - F.col("cum_cb") * 1.0 / F.col("nb")
+    )
+    d_incl = F.abs(
+        (F.col("cum_ca") + F.col("ca")) * 1.0 / F.col("na")
+        - (F.col("cum_cb") + F.col("cb")) * 1.0 / F.col("nb")
+    )
     w = (
         c.crossJoin(F.broadcast(tot))  # 1-row totals dimension
         .select(
-            F.when(F.col("prev_v").isNull(), F.lit(0.0))
-            .otherwise(
-                (F.col("v") - F.col("prev_v"))
-                * F.abs(
-                    F.col("cum_ca") * 1.0 / F.col("na")
-                    - F.col("cum_cb") * 1.0 / F.col("nb")
-                )
-            )
-            .alias("contrib"),
+            (F.col("v") * (d_excl - d_incl)).alias("contrib"),
             "na",
             "nb",
             "vmin",
@@ -423,3 +419,82 @@ def stat_msprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.lit(1.0), 1.0 / F.max("lambda_n").over(w)), 6
         ).alias("p_always_valid"),
     ).orderBy("day")
+
+
+@register(
+    "stat_ipw_ate",
+    """
+    WITH e AS (
+      SELECT event_type AS stratum,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treated,
+             value AS y
+      FROM events
+    ),
+    p AS (
+      SELECT stratum,
+             sum(treated) * 1.0 / count(*) AS phat
+      FROM e GROUP BY stratum
+    ),
+    w AS (
+      SELECT e.treated, e.y, p.phat,
+             e.treated * e.y / p.phat AS wy1,
+             (1 - e.treated) * e.y / (1 - p.phat) AS wy0,
+             e.treated / p.phat AS w1,
+             (1 - e.treated) / (1 - p.phat) AS w0
+      FROM e JOIN p ON e.stratum = p.stratum
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(sum(wy1) / count(*) - sum(wy0) / count(*), 6) AS ate_ipw,
+           round(sum(wy1) / sum(w1) - sum(wy0) / sum(w0), 6) AS ate_hajek,
+           round(sum(CASE WHEN treated = 1 THEN y END) * 1.0
+                   / sum(CASE WHEN treated = 1 THEN 1 END)
+                 - sum(CASE WHEN treated = 0 THEN y END) * 1.0
+                   / sum(CASE WHEN treated = 0 THEN 1 END), 6) AS naive_diff
+    FROM w
+    """,
+    "stats",
+    "ab-test",
+    "causal",
+)
+def stat_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect of the
+    even/odd-user 'treatment' on event value, with the propensity
+    estimated exactly per stratum (event_type) as the treated share —
+    the subclassification propensity, so the whole estimator is
+    closed-form and oracle-able (no fitted model). Emits the
+    Horvitz-Thompson ATE, the Hajek (self-normalized) ATE, and the
+    naive difference-in-means for contrast. Plan: one tiny per-stratum
+    aggregate broadcast back onto the events scan, then a single global
+    aggregate — two shuffles of aggregate-sized frames only."""
+    e = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("stratum"),
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("treated"),
+        F.col("value").alias("y"),
+    )
+    p = e.groupBy("stratum").agg(
+        (F.sum("treated") * 1.0 / F.count(F.lit(1))).alias("phat")
+    )
+    w = e.join(F.broadcast(p), "stratum").select(
+        "treated",
+        "y",
+        (F.col("treated") * F.col("y") / F.col("phat")).alias("wy1"),
+        ((1 - F.col("treated")) * F.col("y") / (1 - F.col("phat"))).alias("wy0"),
+        (F.col("treated") / F.col("phat")).alias("w1"),
+        ((1 - F.col("treated")) / (1 - F.col("phat"))).alias("w0"),
+    )
+    return w.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            F.sum("wy1") / F.count(F.lit(1)) - F.sum("wy0") / F.count(F.lit(1)), 6
+        ).alias("ate_ipw"),
+        F.round(
+            F.sum("wy1") / F.sum("w1") - F.sum("wy0") / F.sum("w0"), 6
+        ).alias("ate_hajek"),
+        F.round(
+            F.sum(F.when(F.col("treated") == 1, F.col("y"))) * 1.0
+            / F.sum(F.when(F.col("treated") == 1, 1))
+            - F.sum(F.when(F.col("treated") == 0, F.col("y"))) * 1.0
+            / F.sum(F.when(F.col("treated") == 0, 1)),
+            6,
+        ).alias("naive_diff"),
+    )

@@ -138,3 +138,22 @@ def test_msprt_matches_numpy_and_p_is_always_valid_shape(spark, sf_dir):
         # always-valid p-values can only tighten as evidence accrues
         assert row["p_always_valid"] <= prev_p + 1e-9
         prev_p = row["p_always_valid"]
+
+
+def test_ipw_ate_matches_pandas_definition(spark, sf_dir):
+    got = REGISTRY["stat_ipw_ate"].build(spark, sf_dir).collect()[0]
+    e = _pq(sf_dir, "events")
+    t_flag = (e.user_id % 2 == 0).astype(int)
+    phat = t_flag.groupby(e.event_type).transform("mean")
+    wy1 = t_flag * e.value / phat
+    wy0 = (1 - t_flag) * e.value / (1 - phat)
+    w1 = t_flag / phat
+    w0 = (1 - t_flag) / (1 - phat)
+    n = len(e)
+    assert got["n"] == n
+    assert got["ate_ipw"] == pytest.approx(wy1.sum() / n - wy0.sum() / n, abs=1e-5)
+    assert got["ate_hajek"] == pytest.approx(
+        wy1.sum() / w1.sum() - wy0.sum() / w0.sum(), abs=1e-5
+    )
+    naive = e.value[t_flag == 1].mean() - e.value[t_flag == 0].mean()
+    assert got["naive_diff"] == pytest.approx(naive, abs=1e-5)

@@ -60,3 +60,25 @@ def test_char_entropy_matches_counter_definition(spark, sf_dir):
         assert got["max_entropy"] == pytest.approx(max(ents), abs=1e-5)
         # natural-ish text must sit strictly below the uniform bound
         assert got["max_entropy"] < math.log2(64)
+
+
+def test_heaps_law_fit_matches_python_ols(spark, sf_dir):
+    got = REGISTRY["text_heaps_law_fit"].build(spark, sf_dir).collect()[0]
+    d = _docs(sf_dir)
+    xs, ys = [], []
+    for _src, g in d.groupby("source"):
+        n_tokens = sum(len(t.split(" ")) for t in g.text)
+        v_types = len({w for t in g.text for w in t.split(" ")})
+        xs.append(math.log(n_tokens))
+        ys.append(math.log(v_types))
+    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+    sxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    sxx = sum((x - mx) ** 2 for x in xs)
+    syy = sum((y - my) ** 2 for y in ys)
+    beta = sxy / sxx
+    assert got["n_points"] == len(xs)
+    assert got["beta"] == pytest.approx(beta, abs=1e-5)
+    assert got["k"] == pytest.approx(math.exp(my - beta * mx), abs=1e-3)
+    assert got["r2"] == pytest.approx(sxy * sxy / (sxx * syy), abs=1e-5)
+    # sublinear vocabulary growth is the whole point of Heaps' law
+    assert 0 < got["beta"] < 1 or got["r2"] < 0.5

@@ -123,6 +123,17 @@ OPS = [
     "eval_langid_confusion",
     "stat_brown_forsythe",
     "sim_topk_int8",
+    # round-5 inference/curation/PCA additions: Wasserstein on the
+    # distinct-price bucketed plan (orders-grain), EB shrinkage
+    # (lineitem-grain join+agg), mSPRT (events-grain then calendar-
+    # bounded), readability/entropy (documents-grain narrow maps),
+    # PCA (embeddings-grain one-pass moments + map-only projection)
+    "stat_wasserstein_1d",
+    "stat_eb_shrinkage",
+    "stat_msprt_sequential",
+    "text_readability_profile",
+    "text_char_entropy",
+    "embed_pca_label_profile",
 ]
 
 TIERS = ["sf0.001", "sf0.01", "sf0.1"]
