@@ -9,6 +9,7 @@ from etl_file_sync_spark.queries import (  # noqa: F401
     decision_face,
     dq,
     experiment_face,
+    experiment_face2,
     inference_face,
     insight_face,
     eval_face,

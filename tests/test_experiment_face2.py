@@ -1,0 +1,216 @@
+"""Independent-definition truth tests for experiment face 2
+(Bayesian A/B, Welch ANOVA, grouped jackknife, Ljung-Box, HHI,
+Cochran's Q, exact McNemar): the DuckDB oracle proves cross-engine
+agreement; these recompute each statistic from an INDEPENDENT numpy /
+pandas definition over the same sf0.001 parquet, so a formula
+mistranslated identically into both engines still fails here."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from etl_file_sync_spark.queries import REGISTRY
+
+
+def _pq(sf_dir: str, name: str) -> pd.DataFrame:
+    return pd.read_parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _conv_cells(sf_dir: str):
+    e = _pq(sf_dir, "events")
+    conv = (
+        ((e.event_type == "purchase") & (e.value > 200))
+        .groupby(e.user_id)
+        .max()
+        .astype(int)
+    )
+    grp = pd.Series(conv.index % 2, index=conv.index)
+    n_a, c_a = int((grp == 0).sum()), int(conv[grp == 0].sum())
+    n_b, c_b = int((grp == 1).sum()), int(conv[grp == 1].sum())
+    return n_a, c_a, n_b, c_b
+
+
+def test_bayes_ab_matches_grid_integration(spark, sf_dir):
+    got = REGISTRY["stat_bayes_ab_beta"].build(spark, sf_dir).collect()[0]
+    n_a, c_a, n_b, c_b = _conv_cells(sf_dir)
+    assert (got["n_a"], got["c_a"], got["n_b"], got["c_b"]) == (n_a, c_a, n_b, c_b)
+    aa, ba = c_a + 1, n_a - c_a + 1
+    ab, bb = c_b + 1, n_b - c_b + 1
+    assert got["post_mean_a"] == pytest.approx(aa / (aa + ba), abs=1e-6)
+    assert got["post_mean_b"] == pytest.approx(ab / (ab + bb), abs=1e-6)
+    # independent check: trapezoid grid integration of
+    # Pr(p_B > p_A) = integral f_B(x) * F_A(x) dx — no shared code with
+    # the closed-form Beta-sum the query (and oracle) evaluate
+    x = np.linspace(0.0, 1.0, 200001)
+    lnfb = (
+        math.lgamma(ab + bb)
+        - math.lgamma(ab)
+        - math.lgamma(bb)
+        + (ab - 1) * np.log(np.clip(x, 1e-300, None))
+        + (bb - 1) * np.log(np.clip(1 - x, 1e-300, None))
+    )
+    fb = np.exp(lnfb)
+    # F_A via cumulative trapezoid of the Beta(aa, ba) density
+    lnfa = (
+        math.lgamma(aa + ba)
+        - math.lgamma(aa)
+        - math.lgamma(ba)
+        + (aa - 1) * np.log(np.clip(x, 1e-300, None))
+        + (ba - 1) * np.log(np.clip(1 - x, 1e-300, None))
+    )
+    fa = np.exp(lnfa)
+    cdf_a = np.concatenate([[0.0], np.cumsum((fa[1:] + fa[:-1]) / 2 * np.diff(x))])
+    p = float(np.trapz(fb * cdf_a, x))
+    assert got["p_b_beats_a"] == pytest.approx(p, abs=1e-4)
+
+
+def test_welch_anova_matches_numpy(spark, sf_dir):
+    got = REGISTRY["stat_welch_anova"].build(spark, sf_dir).collect()[0]
+    li = _pq(sf_dir, "lineitem")
+    cents = (li.l_extendedprice * 100).round().astype("int64")
+    groups = [g.to_numpy(dtype=float) for _, g in cents.groupby(li.l_returnflag)]
+    k = len(groups)
+    n = np.array([len(g) for g in groups], dtype=float)
+    m = np.array([g.mean() for g in groups])
+    v = np.array([g.var(ddof=1) for g in groups])
+    w = n / v
+    ybar = (w * m).sum() / w.sum()
+    a_num = (w * (m - ybar) ** 2).sum() / (k - 1)
+    h = (((1 - w / w.sum()) ** 2) / (n - 1)).sum()
+    f_star = a_num / (1 + 2 * (k - 2) / (k * k - 1) * h)
+    df2 = (k * k - 1) / (3 * h)
+    assert got["k_groups"] == k
+    assert got["df1"] == k - 1
+    assert got["f_stat"] == pytest.approx(f_star, rel=1e-6)
+    assert got["df2"] == pytest.approx(df2, rel=1e-6)
+
+
+def test_jackknife_ratio_matches_python_loop(spark, sf_dir):
+    got = REGISTRY["stat_jackknife_ratio"].build(spark, sf_dir).collect()[0]
+    o = _pq(sf_dir, "orders")
+    c = _pq(sf_dir, "customer")
+    n = _pq(sf_dir, "nation")
+    df = o.merge(c, left_on="o_custkey", right_on="c_custkey").merge(
+        n, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    cents = (df.o_totalprice * 100).round().astype("int64")
+    g = pd.DataFrame({"x": cents, "grp": df.n_name}).groupby("grp").agg(
+        x=("x", "sum"), y=("x", "size")
+    )
+    tx, ty, gk = int(g.x.sum()), int(g.y.sum()), len(g)
+    theta = tx / ty
+    reps = [(tx - x) / (ty - y) for x, y in zip(g.x, g.y)]
+    tbar = sum(reps) / gk
+    jvar = (gk - 1) / gk * sum((r - tbar) ** 2 for r in reps)
+    assert got["n_groups"] == gk
+    assert got["theta_cents"] == pytest.approx(theta, rel=1e-9)
+    assert got["jk_var"] == pytest.approx(jvar, rel=1e-5)
+    assert got["jk_se"] == pytest.approx(math.sqrt(jvar), rel=1e-5)
+    assert got["jk_bias"] == pytest.approx((gk - 1) * (tbar - theta), abs=1e-4)
+
+
+def test_ljung_box_matches_numpy(spark, sf_dir):
+    got = REGISTRY["ts_ljung_box"].build(spark, sf_dir).collect()[0]
+    o = _pq(sf_dir, "orders")
+    cents = (o.o_totalprice * 100).round().astype("int64")
+    daily = (
+        pd.DataFrame({"day": pd.to_datetime(o.o_orderdate).dt.date, "c": cents})
+        .groupby("day")
+        .c.sum()
+        .sort_index()
+        .to_numpy(dtype=float)
+    )
+    n = len(daily)
+    mu = daily.mean()
+    d = daily - mu
+    denom = (d * d).sum()
+    srk = 0.0
+    for k in range(1, 7):
+        rk = (d[k:] * d[:-k]).sum() / denom
+        srk += rk * rk / (n - k)
+    q = n * (n + 2) * srk
+    p = math.exp(-q / 2) * (1 + q / 2 + (q / 2) ** 2 / 2)
+    assert got["n_days"] == n
+    assert got["n_lags"] == 6
+    assert got["q_stat"] == pytest.approx(q, rel=1e-6)
+    assert got["p_value"] == pytest.approx(p, abs=1e-6)
+
+
+def test_hhi_matches_pandas(spark, sf_dir):
+    rows = {
+        r["region"]: r
+        for r in REGISTRY["stat_hhi_concentration"].build(spark, sf_dir).collect()
+    }
+    li = _pq(sf_dir, "lineitem")
+    s = _pq(sf_dir, "supplier")
+    n = _pq(sf_dir, "nation")
+    r = _pq(sf_dir, "region")
+    df = (
+        li.merge(s, left_on="l_suppkey", right_on="s_suppkey")
+        .merge(n, left_on="s_nationkey", right_on="n_nationkey")
+        .merge(r, left_on="n_regionkey", right_on="r_regionkey")
+    )
+    cents = (df.l_extendedprice * (1 - df.l_discount) * 100).round().astype("int64")
+    rev = pd.DataFrame({"region": df.r_name, "supp": df.s_suppkey, "c": cents}).groupby(
+        ["region", "supp"]
+    ).c.sum()
+    assert set(rows) == set(rev.index.get_level_values(0).unique())
+    for region, grp in rev.groupby(level=0):
+        shares = grp / grp.sum()
+        hhi = float((shares**2).sum())
+        assert rows[region]["n_suppliers"] == len(grp)
+        assert rows[region]["hhi"] == pytest.approx(hhi, abs=1e-6)
+        assert rows[region]["effective_n"] == pytest.approx(1 / hhi, abs=1e-3)
+        # shares sum to 1, so HHI is bounded by [1/n, 1]
+        assert 1 / len(grp) - 1e-9 <= rows[region]["hhi"] <= 1 + 1e-9
+
+
+def test_cochran_q_matches_textbook(spark, sf_dir):
+    got = REGISTRY["stat_cochran_q"].build(spark, sf_dir).collect()[0]
+    e = _pq(sf_dir, "events")
+    flags = pd.DataFrame(
+        {
+            f"t{i}": ((e.event_type == "purchase") & (e.value > thr))
+            .groupby(e.user_id)
+            .max()
+            .astype(int)
+            for i, thr in ((1, 100), (2, 200), (3, 300))
+        }
+    )
+    k = 3
+    cj = flags.sum(axis=0).to_numpy(dtype=float)
+    ri = flags.sum(axis=1).to_numpy(dtype=float)
+    q = (
+        k
+        * (k - 1)
+        * ((cj - ri.sum() / k) ** 2).sum()
+        / (k * ri.sum() - (ri**2).sum())
+    )
+    assert got["n_users"] == len(flags)
+    assert (got["conv100"], got["conv200"], got["conv300"]) == tuple(
+        int(x) for x in cj
+    )
+    assert got["q_stat"] == pytest.approx(q, rel=1e-6)
+    assert got["p_value"] == pytest.approx(math.exp(-q / 2), abs=1e-6)
+
+
+def test_mcnemar_exact_matches_comb(spark, sf_dir):
+    got = REGISTRY["stat_mcnemar_exact"].build(spark, sf_dir).collect()[0]
+    e = _pq(sf_dir, "events")
+    hv = ((e.event_type == "purchase") & (e.value > 100)).groupby(e.user_id).max()
+    freq = (e.event_type == "purchase").groupby(e.user_id).sum() > 15
+    b = int((hv & ~freq).sum())
+    c = int((~hv & freq).sum())
+    assert (got["discordant_b"], got["discordant_c"]) == (b, c)
+    m = b + c
+    if b == c:
+        p = 1.0
+    else:
+        p = min(1.0, 2 * sum(math.comb(m, k) for k in range(min(b, c) + 1)) / 2**m)
+    assert got["p_value"] == pytest.approx(p, abs=1e-6)
+    # the test must actually be non-degenerate on this data
+    assert b > 0 and c > 0
