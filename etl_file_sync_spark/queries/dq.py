@@ -289,3 +289,85 @@ def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "dq_functional_dependency",
+    """
+    WITH fd1 AS (
+      SELECT 'orders: o_orderkey -> o_orderstatus' AS fd,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+             CAST(max(nd) AS BIGINT) AS max_dependents
+      FROM (SELECT o_orderkey, count(DISTINCT o_orderstatus) AS nd
+            FROM orders GROUP BY o_orderkey)
+    ),
+    fd2 AS (
+      SELECT 'orders: o_custkey -> o_orderpriority' AS fd,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+             CAST(max(nd) AS BIGINT) AS max_dependents
+      FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS nd
+            FROM orders GROUP BY o_custkey)
+    ),
+    fd3 AS (
+      SELECT 'part: p_brand -> p_type' AS fd,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+             CAST(max(nd) AS BIGINT) AS max_dependents
+      FROM (SELECT p_brand, count(DISTINCT p_type) AS nd
+            FROM part GROUP BY p_brand)
+    ),
+    u AS (SELECT * FROM fd1 UNION ALL SELECT * FROM fd2 UNION ALL SELECT * FROM fd3)
+    SELECT fd, n_keys, n_violating, max_dependents,
+           round(n_violating * 1.0 / n_keys, 6) AS violation_rate
+    FROM u ORDER BY fd
+    """,
+    "dq",
+    "functional-dependency",
+    "profiling",
+)
+def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency validation — the schema-inference /
+    normalization check a data-quality scanner runs: for each candidate
+    FD X -> Y, count determinant values whose dependent is NOT unique.
+    Candidates cover a holding FD (order key -> status, the PK case), a
+    heavily violated one (customer -> order priority), and a
+    low-cardinality violated one (brand -> type). Each FD costs one
+    combiner-friendly (X, count distinct Y) aggregation; violation
+    accounting runs on the key-cardinality-bounded aggregate frame."""
+
+    def fd(df: DataFrame, label: str, det: str, dep: str) -> DataFrame:
+        nd = df.groupBy(det).agg(F.countDistinct(dep).alias("nd"))
+        return nd.agg(
+            F.lit(label).alias("fd"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating"),
+            F.max("nd").cast("bigint").alias("max_dependents"),
+        )
+
+    orders = t(spark, sf_dir, "orders")
+    part = t(spark, sf_dir, "part")
+    u = (
+        fd(orders, "orders: o_orderkey -> o_orderstatus", "o_orderkey", "o_orderstatus")
+        .unionByName(
+            fd(
+                orders,
+                "orders: o_custkey -> o_orderpriority",
+                "o_custkey",
+                "o_orderpriority",
+            )
+        )
+        .unionByName(fd(part, "part: p_brand -> p_type", "p_brand", "p_type"))
+    )
+    return u.select(
+        "fd",
+        "n_keys",
+        "n_violating",
+        "max_dependents",
+        F.round(F.col("n_violating") * 1.0 / F.col("n_keys"), 6).alias(
+            "violation_rate"
+        ),
+    ).orderBy("fd")

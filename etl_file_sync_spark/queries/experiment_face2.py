@@ -760,3 +760,301 @@ def stat_mcnemar_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(b, c, round(p, 6))],
         "discordant_b bigint, discordant_c bigint, p_value double",
     )
+
+
+@register(
+    "stat_negbin_fit",
+    """
+    WITH u AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS k
+      FROM events GROUP BY user_id
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(k) AS BIGINT) AS s,
+             CAST(sum(k * k) AS BIGINT) AS ss
+      FROM u
+    ),
+    mv AS (
+      SELECT n, s * 1.0 / n AS m,
+             (ss - s * 1.0 / n * s) / (n - 1) AS v
+      FROM mom
+    )
+    SELECT n AS n_users,
+           round(m, 6) AS mean_events,
+           round(v, 6) AS var_events,
+           round(v / m, 6) AS dispersion,
+           round(CASE WHEN v > m THEN m * m / (v - m) END, 6) AS nb_r,
+           round(CASE WHEN v > m THEN m / v END, 6) AS nb_p
+    FROM mv
+    """,
+    "stats",
+    "distribution-fit",
+    "overdispersion",
+)
+def stat_negbin_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial method-of-moments fit of per-user event counts
+    — the standard overdispersion model for activity data: r = m^2 /
+    (v - m), p = m / v, with the dispersion index v/m alongside (NULL
+    fit parameters when the data is at-or-under-dispersed and NB
+    degenerates to Poisson). Moments are EXACT integers (counts and
+    squared counts as BIGINT) reduced in one distributed pass, so both
+    engines start the double algebra from identical values; the fit is
+    a fixed-size expression on one row."""
+    u = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    )
+    mom = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("s"),
+        F.sum(F.col("k") * F.col("k")).cast("bigint").alias("ss"),
+    )
+    m = F.col("s") * 1.0 / F.col("n")
+    v = (F.col("ss") - m * F.col("s")) / (F.col("n") - 1)
+    mv = mom.select(F.col("n"), m.alias("m"), v.alias("v"))
+    return mv.select(
+        F.col("n").alias("n_users"),
+        F.round(F.col("m"), 6).alias("mean_events"),
+        F.round(F.col("v"), 6).alias("var_events"),
+        F.round(F.col("v") / F.col("m"), 6).alias("dispersion"),
+        F.round(
+            F.when(
+                F.col("v") > F.col("m"),
+                F.col("m") * F.col("m") / (F.col("v") - F.col("m")),
+            ),
+            6,
+        ).alias("nb_r"),
+        F.round(F.when(F.col("v") > F.col("m"), F.col("m") / F.col("v")), 6).alias(
+            "nb_p"
+        ),
+    )
+
+
+@register(
+    "stat_capture_recapture",
+    """
+    WITH e AS (
+      SELECT user_id,
+             datediff('day', DATE '1970-01-01',
+                      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d
+      FROM events WHERE event_type = 'purchase' AND value > 150
+    ),
+    u AS (
+      SELECT user_id,
+             CAST(max(CASE WHEN d % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(max(CASE WHEN d % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      FROM e GROUP BY user_id
+    ),
+    cells AS (
+      SELECT CAST(sum(f1) AS BIGINT) AS n1,
+             CAST(sum(f2) AS BIGINT) AS n2,
+             CAST(sum(f1 * f2) AS BIGINT) AS m,
+             CAST(count(*) AS BIGINT) AS observed
+      FROM u
+    )
+    SELECT n1, n2, m AS overlap, observed,
+           round(CASE WHEN m > 0 THEN n1 * n2 * 1.0 / m END, 4) AS lincoln_petersen,
+           round((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0, 4) AS chapman
+    FROM cells
+    """,
+    "stats",
+    "population",
+    "estimation",
+)
+def stat_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample capture-recapture estimate of the total high-value
+    purchaser population: 'capture occasions' are even vs odd epoch
+    days of purchase>150 events, giving exact per-user presence flags
+    in one distributed reduction; the Lincoln-Petersen estimate
+    n1*n2/m (NULL when the samples don't overlap) and the
+    bias-corrected Chapman estimate (n1+1)(n2+1)/(m+1) - 1 are
+    fixed-size expressions on the four BIGINT cells. The estimators'
+    population-closure assumption is documented by construction (same
+    underlying user set on both occasions)."""
+    e = (
+        t(spark, sf_dir, "events")
+        .where((F.col("event_type") == "purchase") & (F.col("value") > 150))
+        .select(
+            "user_id",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("d"),
+        )
+    )
+    u = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("d") % 2 == 0, 1).otherwise(0)).cast("bigint").alias("f1"),
+        F.max(F.when(F.col("d") % 2 == 1, 1).otherwise(0)).cast("bigint").alias("f2"),
+    )
+    cells = u.agg(
+        F.sum("f1").cast("bigint").alias("n1"),
+        F.sum("f2").cast("bigint").alias("n2"),
+        F.sum(F.col("f1") * F.col("f2")).cast("bigint").alias("m"),
+        F.count(F.lit(1)).cast("bigint").alias("observed"),
+    )
+    return cells.select(
+        "n1",
+        "n2",
+        F.col("m").alias("overlap"),
+        "observed",
+        F.round(
+            F.when(F.col("m") > 0, F.col("n1") * F.col("n2") * 1.0 / F.col("m")), 4
+        ).alias("lincoln_petersen"),
+        F.round(
+            (F.col("n1") + 1.0) * (F.col("n2") + 1.0) / (F.col("m") + 1.0) - 1.0, 4
+        ).alias("chapman"),
+    )
+
+
+_CRAMER_PAIR_SQL = """
+      SELECT '{label}' AS pair, {row_expr} AS r, {col_expr} AS c,
+             CAST(count(*) AS BIGINT) AS o
+      FROM {tbl} GROUP BY {row_expr}, {col_expr}
+"""
+
+
+@register(
+    "stat_cramers_v_matrix",
+    """
+    WITH cells AS (
+      SELECT 'variant_x_event_type' AS pair,
+             CAST(user_id % 2 AS VARCHAR) AS r, event_type AS c,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY user_id % 2, event_type
+      UNION ALL
+      SELECT 'status_x_priority' AS pair,
+             o_orderstatus AS r, o_orderpriority AS c,
+             CAST(count(*) AS BIGINT) AS o
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ),
+    margins AS (
+      SELECT pair, r, c, o,
+             sum(o) OVER (PARTITION BY pair, r) AS rm,
+             sum(o) OVER (PARTITION BY pair, c) AS cm,
+             sum(o) OVER (PARTITION BY pair) AS n
+      FROM cells
+    ),
+    chi AS (
+      SELECT pair, CAST(max(n) AS BIGINT) AS n,
+             CAST(count(DISTINCT r) AS BIGINT) AS nr,
+             CAST(count(DISTINCT c) AS BIGINT) AS nc,
+             sum((o - rm * 1.0 * cm / n) * (o - rm * 1.0 * cm / n)
+                 / (rm * 1.0 * cm / n)) AS chi2
+      FROM margins GROUP BY pair
+    )
+    SELECT pair, n,
+           CAST((nr - 1) * (nc - 1) AS BIGINT) AS df,
+           round(chi2, 6) AS chi2,
+           round(sqrt(chi2 / (n * least(nr - 1, nc - 1))), 6) AS cramers_v
+    FROM chi ORDER BY pair
+    """,
+    "stats",
+    "association",
+    "categorical",
+)
+def stat_cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer's V association strength for two categorical pairs
+    (even/odd-user variant x event_type; order status x priority) —
+    the normalized [0,1] companion to stat_chi_square_independence
+    that makes association COMPARABLE across tables with different
+    dimensions. Each pair is one combiner-friendly contingency
+    aggregation; margins come from windows over the tiny aggregated
+    cell frame (never the raw scan), and V = sqrt(chi2 / (n *
+    min(r-1, c-1))) folds over at most |r|*|c| cells per pair."""
+    from pyspark.sql import Window as W
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            (F.col("user_id") % 2).cast("string").alias("r"),
+            F.col("event_type").alias("c"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+        .select(F.lit("variant_x_event_type").alias("pair"), "r", "c", "o")
+    )
+    od = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderstatus").alias("r"), F.col("o_orderpriority").alias("c")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+        .select(F.lit("status_x_priority").alias("pair"), "r", "c", "o")
+    )
+    cells = ev.unionByName(od)
+    margins = (
+        cells.withColumn("rm", F.sum("o").over(W.partitionBy("pair", "r")))
+        .withColumn("cm", F.sum("o").over(W.partitionBy("pair", "c")))
+        .withColumn("n", F.sum("o").over(W.partitionBy("pair")))
+    )
+    e = F.col("rm") * 1.0 * F.col("cm") / F.col("n")
+    chi = margins.groupBy("pair").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.countDistinct("r").cast("bigint").alias("nr"),
+        F.countDistinct("c").cast("bigint").alias("nc"),
+        F.sum((F.col("o") - e) * (F.col("o") - e) / e).alias("chi2"),
+    )
+    return chi.select(
+        "pair",
+        "n",
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("bigint").alias("df"),
+        F.round(F.col("chi2"), 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2") / (F.col("n") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    ).orderBy("pair")
+
+
+@register(
+    "graph_powerlaw_fit",
+    """
+    WITH d AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS k
+      FROM orders GROUP BY o_custkey
+    ),
+    fit AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(min(k) AS BIGINT) AS kmin,
+             CAST(max(k) AS BIGINT) AS kmax,
+             CAST(sum(k) AS BIGINT) AS s,
+             sum(ln(k * 2.0)) AS lnsum
+      FROM d
+    )
+    SELECT n AS n_nodes, kmin, kmax,
+           round(s * 1.0 / n, 6) AS mean_degree,
+           round(1.0 + n / lnsum, 6) AS alpha_mle
+    FROM fit
+    """,
+    "graph",
+    "distribution-fit",
+)
+def graph_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law exponent MLE for the customer order-count degree
+    distribution via the Clauset-Shalizi-Newman continuous
+    approximation at kmin=1: alpha = 1 + n / sum ln(k_i/(kmin - 1/2))
+    = 1 + n / sum ln(2k). One distributed degree reduction, then a
+    single one-pass aggregate (the ln fold is this op's documented
+    summation-order ulp exposure — ~1e-13 relative on the statistic,
+    far inside round(6)). Degree moments are exact BIGINTs."""
+    d = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    )
+    fit = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("k").cast("bigint").alias("kmin"),
+        F.max("k").cast("bigint").alias("kmax"),
+        F.sum("k").cast("bigint").alias("s"),
+        F.sum(F.log(F.col("k") * 2.0)).alias("lnsum"),
+    )
+    return fit.select(
+        F.col("n").alias("n_nodes"),
+        "kmin",
+        "kmax",
+        F.round(F.col("s") * 1.0 / F.col("n"), 6).alias("mean_degree"),
+        F.round(1.0 + F.col("n") / F.col("lnsum"), 6).alias("alpha_mle"),
+    )

@@ -495,3 +495,110 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@register(
+    "ts_stl_decompose_dow",
+    f"""
+    WITH {_DAILY_REV},
+    r AS (SELECT day, cents, row_number() OVER (ORDER BY day) AS rn,
+                 CAST(count(*) OVER () AS BIGINT) AS n
+          FROM daily),
+    ma AS (
+      SELECT day, cents, rn, n,
+             -- d7 = 7*y - (centered 7-day window sum): EXACT BIGINT
+             -- detrend scaled by 7, defined only on full windows
+             CAST(7 * cents AS BIGINT)
+               - CAST(sum(cents) OVER (ORDER BY rn
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS d7
+      FROM r
+    ),
+    -- DuckDB dayofweek is 0=Sun..6; +1 aligns with Spark's 1=Sun..7
+    core AS (SELECT dayofweek(day) + 1 AS dow, d7
+             FROM ma WHERE rn >= 4 AND rn <= n - 3),
+    s_raw AS (
+      SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(d7) AS BIGINT) AS sd7
+      FROM core GROUP BY dow
+    ),
+    ctr AS (SELECT avg(sd7 * 1.0 / n_days) AS grand FROM s_raw),
+    s AS (
+      SELECT dow, n_days,
+             (sd7 * 1.0 / n_days - grand) / 7 AS seasonal_cents
+      FROM s_raw, ctr
+    ),
+    res AS (
+      SELECT c.dow,
+             sum((c.d7 / 7.0 - s.seasonal_cents) * (c.d7 / 7.0 - s.seasonal_cents))
+               AS ssr
+      FROM core c JOIN s ON c.dow = s.dow GROUP BY c.dow
+    )
+    SELECT s.dow, s.n_days,
+           round(s.seasonal_cents, 4) AS seasonal_cents,
+           round(sqrt(res.ssr / s.n_days), 4) AS resid_rms_cents
+    FROM s JOIN res ON s.dow = res.dow ORDER BY s.dow
+    """,
+    "timeseries",
+    "decomposition",
+    "seasonal",
+)
+def ts_stl_decompose_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of daily order revenue
+    (the STL shape without loess): trend = centered 7-day moving
+    average on full windows only, day-of-week seasonal index = mean of
+    the detrended series per dow re-centered to sum to zero, residual
+    RMS per dow as the irregular-component readout. The detrended
+    series is carried as d7 = 7*y - window_sum7, an EXACT BIGINT, so
+    per-dow means are one division each and both engines center from
+    identical integers (complements ts_seasonal_dow's multiplicative
+    ratio-to-mean index). All windows run on the calendar-bounded
+    daily frame — a few thousand rows at any corpus scale."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    r = daily.withColumn("rn", F.row_number().over(W.orderBy("day"))).withColumn(
+        "n", F.count(F.lit(1)).over(W.partitionBy())
+    )
+    ma = r.withColumn(
+        "d7",
+        (7 * F.col("cents")).cast("bigint")
+        - F.sum("cents").over(W.orderBy("rn").rowsBetween(-3, 3)).cast("bigint"),
+    )
+    core = ma.where((F.col("rn") >= 4) & (F.col("rn") <= F.col("n") - 3)).select(
+        F.dayofweek("day").alias("dow"), "d7"
+    )
+    s_raw = core.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("d7").cast("bigint").alias("sd7"),
+    )
+    ctr = s_raw.agg(
+        F.avg(F.col("sd7") * 1.0 / F.col("n_days")).alias("grand")
+    )
+    s = s_raw.crossJoin(F.broadcast(ctr)).select(  # 1-row grand-mean dimension
+        "dow",
+        "n_days",
+        ((F.col("sd7") * 1.0 / F.col("n_days") - F.col("grand")) / 7).alias(
+            "seasonal_cents"
+        ),
+    )
+    resid = F.col("d7") / 7.0 - F.col("seasonal_cents")
+    res = (
+        core.join(F.broadcast(s), "dow")
+        .groupBy("dow")
+        .agg(F.sum(resid * resid).alias("ssr"), F.first("n_days").alias("n_days"),
+             F.first("seasonal_cents").alias("seasonal_cents"))
+    )
+    return res.select(
+        "dow",
+        "n_days",
+        F.round(F.col("seasonal_cents"), 4).alias("seasonal_cents"),
+        F.round(F.sqrt(F.col("ssr") / F.col("n_days")), 4).alias("resid_rms_cents"),
+    ).orderBy("dow")

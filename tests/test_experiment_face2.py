@@ -214,3 +214,129 @@ def test_mcnemar_exact_matches_comb(spark, sf_dir):
     assert got["p_value"] == pytest.approx(p, abs=1e-6)
     # the test must actually be non-degenerate on this data
     assert b > 0 and c > 0
+
+
+def test_negbin_fit_matches_numpy_mom(spark, sf_dir):
+    got = REGISTRY["stat_negbin_fit"].build(spark, sf_dir).collect()[0]
+    e = _pq(sf_dir, "events")
+    k = e.groupby("user_id").size().to_numpy(dtype=float)
+    m, v = k.mean(), k.var(ddof=1)
+    assert got["n_users"] == len(k)
+    assert got["mean_events"] == pytest.approx(m, rel=1e-6)
+    assert got["var_events"] == pytest.approx(v, rel=1e-6)
+    assert got["dispersion"] == pytest.approx(v / m, rel=1e-6)
+    if v > m:
+        assert got["nb_r"] == pytest.approx(m * m / (v - m), rel=1e-5)
+        assert got["nb_p"] == pytest.approx(m / v, rel=1e-6)
+    else:
+        assert got["nb_r"] is None and got["nb_p"] is None
+
+
+def test_capture_recapture_matches_pandas(spark, sf_dir):
+    got = REGISTRY["stat_capture_recapture"].build(spark, sf_dir).collect()[0]
+    e = _pq(sf_dir, "events")
+    hv = e[(e.event_type == "purchase") & (e.value > 150)].copy()
+    d = pd.to_datetime(hv.ts).dt.normalize()
+    epoch_day = (d - pd.Timestamp("1970-01-01")).dt.days
+    s1 = set(hv.user_id[epoch_day % 2 == 0])
+    s2 = set(hv.user_id[epoch_day % 2 == 1])
+    n1, n2, m = len(s1), len(s2), len(s1 & s2)
+    assert (got["n1"], got["n2"], got["overlap"]) == (n1, n2, m)
+    assert got["observed"] == len(s1 | s2)
+    if m > 0:
+        assert got["lincoln_petersen"] == pytest.approx(n1 * n2 / m, abs=1e-3)
+    chapman = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    assert got["chapman"] == pytest.approx(chapman, abs=1e-3)
+    # estimates can never be below the directly observed population size
+    assert got["chapman"] >= m - 1e-9
+
+
+def test_cramers_v_matches_numpy(spark, sf_dir):
+    rows = {
+        r["pair"]: r
+        for r in REGISTRY["stat_cramers_v_matrix"].build(spark, sf_dir).collect()
+    }
+    e = _pq(sf_dir, "events")
+    o = _pq(sf_dir, "orders")
+    for pair, (rser, cser) in {
+        "variant_x_event_type": ((e.user_id % 2).astype(str), e.event_type),
+        "status_x_priority": (o.o_orderstatus, o.o_orderpriority),
+    }.items():
+        ct = pd.crosstab(rser, cser).to_numpy(dtype=float)
+        n = ct.sum()
+        exp = ct.sum(1, keepdims=True) @ ct.sum(0, keepdims=True) / n
+        chi2 = ((ct - exp) ** 2 / exp).sum()
+        v = math.sqrt(chi2 / (n * min(ct.shape[0] - 1, ct.shape[1] - 1)))
+        assert rows[pair]["n"] == int(n)
+        assert rows[pair]["df"] == (ct.shape[0] - 1) * (ct.shape[1] - 1)
+        assert rows[pair]["chi2"] == pytest.approx(chi2, rel=1e-6)
+        assert rows[pair]["cramers_v"] == pytest.approx(v, abs=1e-6)
+        assert 0 <= rows[pair]["cramers_v"] <= 1
+
+
+def test_powerlaw_fit_matches_numpy(spark, sf_dir):
+    got = REGISTRY["graph_powerlaw_fit"].build(spark, sf_dir).collect()[0]
+    o = _pq(sf_dir, "orders")
+    k = o.groupby("o_custkey").size().to_numpy(dtype=float)
+    alpha = 1 + len(k) / np.log(2 * k).sum()
+    assert got["n_nodes"] == len(k)
+    assert (got["kmin"], got["kmax"]) == (int(k.min()), int(k.max()))
+    assert got["mean_degree"] == pytest.approx(k.mean(), rel=1e-9)
+    assert got["alpha_mle"] == pytest.approx(alpha, rel=1e-6)
+
+
+def test_stl_decompose_matches_pandas(spark, sf_dir):
+    rows = {
+        r["dow"]: r
+        for r in REGISTRY["ts_stl_decompose_dow"].build(spark, sf_dir).collect()
+    }
+    o = _pq(sf_dir, "orders")
+    cents = (o.o_totalprice * 100).round().astype("int64")
+    daily = (
+        pd.DataFrame({"day": pd.to_datetime(o.o_orderdate), "c": cents})
+        .groupby("day")
+        .c.sum()
+        .sort_index()
+    )
+    y = daily.to_numpy(dtype=float)
+    trend = pd.Series(y).rolling(7, center=True).mean().to_numpy()
+    detr = y - trend
+    # Spark dayofweek: 1=Sunday..7=Saturday
+    dow = daily.index.dayofweek.to_numpy()  # pandas: 0=Mon..6=Sun
+    dow_spark = (dow + 1) % 7 + 1
+    core = ~np.isnan(trend)
+    sr = pd.Series(detr[core]).groupby(dow_spark[core]).mean()
+    seasonal = sr - sr.mean()
+    for dw, r in rows.items():
+        assert r["seasonal_cents"] == pytest.approx(seasonal[dw], abs=1e-2)
+        mask = core & (dow_spark == dw)
+        resid = detr[mask] - seasonal[dw]
+        assert r["n_days"] == int(mask.sum())
+        assert r["resid_rms_cents"] == pytest.approx(
+            math.sqrt((resid**2).mean()), abs=1e-2
+        )
+    # the re-centered seasonal indexes must (approximately) cancel
+    assert abs(sum(r["seasonal_cents"] for r in rows.values())) < 1e-2 * 7
+
+
+def test_functional_dependency_matches_pandas(spark, sf_dir):
+    rows = {
+        r["fd"]: r
+        for r in REGISTRY["dq_functional_dependency"].build(spark, sf_dir).collect()
+    }
+    o = _pq(sf_dir, "orders")
+    p = _pq(sf_dir, "part")
+    cases = {
+        "orders: o_orderkey -> o_orderstatus": (o, "o_orderkey", "o_orderstatus"),
+        "orders: o_custkey -> o_orderpriority": (o, "o_custkey", "o_orderpriority"),
+        "part: p_brand -> p_type": (p, "p_brand", "p_type"),
+    }
+    for label, (df, det, dep) in cases.items():
+        nd = df.groupby(det)[dep].nunique()
+        r = rows[label]
+        assert r["n_keys"] == len(nd)
+        assert r["n_violating"] == int((nd > 1).sum())
+        assert r["max_dependents"] == int(nd.max())
+        assert r["violation_rate"] == pytest.approx((nd > 1).mean(), abs=1e-6)
+    # the PK-shaped FD must hold exactly
+    assert rows["orders: o_orderkey -> o_orderstatus"]["n_violating"] == 0
