@@ -615,3 +615,73 @@ def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.first(base * (F.lit(1.0) - base)), 6).alias("uncertainty"),
         )
     )
+
+
+@register(
+    "eval_pass_at_k",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN value > 200 THEN 1 ELSE 0 END) AS BIGINT) AS c
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    p AS (
+      SELECT user_id, n, c,
+             c * 1.0 / n AS p1,
+             CASE WHEN n - c < 3 THEN 1.0
+                  ELSE 1.0 - ((n - c) * 1.0 / n)
+                             * ((n - c - 1) * 1.0 / (n - 1))
+                             * ((n - c - 2) * 1.0 / (n - 2))
+             END AS p3
+      FROM u WHERE n >= 3
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_problems,
+           round(avg(p1), 6) AS pass_at_1,
+           round(avg(p3), 6) AS pass_at_3,
+           CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS any_success
+    FROM p
+    """,
+    "eval",
+    "llm-eval",
+    "pass-at-k",
+)
+def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pass@k (Chen et al., Codex) over a per-user 'problem' frame:
+    each user's purchase events are n attempts, value>200 is a success,
+    and the unbiased estimator pass@k = 1 - C(n-c, k)/C(n, k) expands
+    to the k-term product prod_{i<k} (n-c-i)/(n-i) — evaluated
+    per-problem IN the distributed plan (no driver loop, no lgamma
+    needed for small k), then averaged. Problems with fewer than k
+    failures score exactly 1. One per-user reduction plus one global
+    aggregate; cost is independent of k's combinatorics at the
+    registered k in {1, 3}."""
+    u = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("value") > 200, 1).otherwise(0))
+            .cast("bigint")
+            .alias("c"),
+        )
+        .where(F.col("n") >= 3)
+    )
+    n, c = F.col("n"), F.col("c")
+    p1 = c * 1.0 / n
+    p3 = F.when(n - c < 3, F.lit(1.0)).otherwise(
+        1.0
+        - ((n - c) * 1.0 / n)
+        * ((n - c - 1) * 1.0 / (n - 1))
+        * ((n - c - 2) * 1.0 / (n - 2))
+    )
+    p = u.select("user_id", "n", "c", p1.alias("p1"), p3.alias("p3"))
+    return p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_problems"),
+        F.round(F.avg("p1"), 6).alias("pass_at_1"),
+        F.round(F.avg("p3"), 6).alias("pass_at_3"),
+        F.sum(F.when(F.col("c") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("any_success"),
+    )

@@ -1058,3 +1058,199 @@ def graph_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s") * 1.0 / F.col("n"), 6).alias("mean_degree"),
         F.round(1.0 + F.col("n") / F.col("lnsum"), 6).alias("alpha_mle"),
     )
+
+
+@register(
+    "stat_gumbel_max_fit",
+    """
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS dy,
+             CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mx
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(mx) AS BIGINT) AS s,
+             CAST(sum(CAST(mx AS HUGEINT) * mx) AS DOUBLE) AS ss,
+             CAST(max(mx) AS BIGINT) AS biggest
+      FROM d
+    ),
+    fit AS (
+      SELECT n, biggest,
+             s * 1.0 / n AS m,
+             sqrt((ss - s * 1.0 / n * s) / (n - 1)) * sqrt(6.0) / pi() AS beta
+      FROM mom
+    )
+    SELECT n AS n_blocks, biggest AS observed_max_cents,
+           round(m - 0.5772156649015329 * beta, 4) AS gumbel_mu_cents,
+           round(beta, 4) AS gumbel_beta_cents,
+           round((m - 0.5772156649015329 * beta)
+                 - beta * ln(-ln(0.99)), 4) AS return_level_99_cents,
+           round(1.0 - exp(-exp(-(biggest - (m - 0.5772156649015329 * beta))
+                                / beta)), 6) AS p_exceed_observed_max
+    FROM fit
+    """,
+    "stats",
+    "extreme-value",
+    "distribution-fit",
+)
+def stat_gumbel_max_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel (EVT type-I) method-of-moments fit of daily block maxima
+    of order price: beta = sd * sqrt(6)/pi, mu = mean - gamma*beta
+    (Euler-Mascheroni as an explicit literal in both engines), with the
+    99% return level mu - beta*ln(-ln(0.99)) and the fitted exceedance
+    probability of the observed all-time max. Block maxima and their
+    squared sums reduce to EXACT integers (BIGINT / DECIMAL(37,0) —
+    daily max cents squared overflow BIGINT at sf0.1's price range)
+    before the double algebra; the fit is a fixed-size expression on
+    one row."""
+    d = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("dy"))
+        .agg(
+            F.max(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("mx")
+        )
+    )
+    dec = F.col("mx").cast("decimal(18,0)")
+    mom = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("mx").cast("bigint").alias("s"),
+        F.sum(dec * dec).cast("double").alias("ss"),
+        F.max("mx").cast("bigint").alias("biggest"),
+    )
+    m = F.col("s") * 1.0 / F.col("n")
+    sd = F.sqrt((F.col("ss") - m * F.col("s")) / (F.col("n") - 1))
+    fit = mom.select(
+        "n",
+        "biggest",
+        m.alias("m"),
+        (sd * math.sqrt(6.0) / math.pi).alias("beta"),
+    )
+    gamma = 0.5772156649015329
+    mu = F.col("m") - gamma * F.col("beta")
+    return fit.select(
+        F.col("n").alias("n_blocks"),
+        F.col("biggest").alias("observed_max_cents"),
+        F.round(mu, 4).alias("gumbel_mu_cents"),
+        F.round(F.col("beta"), 4).alias("gumbel_beta_cents"),
+        F.round(mu - F.col("beta") * math.log(-math.log(0.99)), 4).alias(
+            "return_level_99_cents"
+        ),
+        F.round(
+            1.0 - F.exp(-F.exp(-(F.col("biggest") - mu) / F.col("beta"))), 6
+        ).alias("p_exceed_observed_max"),
+    )
+
+
+@register(
+    "stat_theil_index",
+    """
+    WITH x AS (
+      SELECT c.c_custkey, r.r_name AS region,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY c.c_custkey, r.r_name
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS xt
+            FROM x),
+    t_total AS (
+      SELECT sum(cents * 1.0 / xt * ln(cents * 1.0 * n / xt)) AS theil_total
+      FROM x, tot
+    ),
+    grp AS (
+      SELECT region, CAST(count(*) AS BIGINT) AS ng,
+             CAST(sum(cents) AS BIGINT) AS xg
+      FROM x GROUP BY region
+    ),
+    t_between AS (
+      SELECT sum(xg * 1.0 / xt * ln((xg * 1.0 / xt) * (n * 1.0 / ng)))
+               AS theil_between
+      FROM grp, tot
+    )
+    SELECT (SELECT n FROM tot) AS n_customers,
+           round(t.theil_total, 6) AS theil_total,
+           round(b.theil_between, 6) AS theil_between,
+           round(t.theil_total - b.theil_between, 6) AS theil_within
+    FROM t_total t, t_between b
+    """,
+    "stats",
+    "inequality",
+    "decomposition",
+)
+def stat_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of customer total spend with its exact
+    within/between-region decomposition (the additively decomposable
+    inequality measure Gini lacks — stat_gini_customer_spend's
+    companion): T = sum (x_i/X) ln(n x_i / X), between = sum over
+    regions (X_g/X) ln((X_g/X)/(n_g/n)), within = T - between (the
+    decomposition identity, so the emitted triple is consistent by
+    construction). Spend reduces to exact BIGINT cents per customer;
+    the entropy folds run over the customer-grain frame (documented
+    summation-order ulp class under round(6)) and the 5-row region
+    frame, with the 1-row totals broadcast back."""
+    x = (
+        t(spark, sf_dir, "orders")
+        .join(
+            t(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("c_custkey", F.col("r_name").alias("region"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    tot = x.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("xt"),
+    )
+    xt = x.crossJoin(F.broadcast(tot))  # 1-row totals dimension
+    t_total = xt.agg(
+        F.sum(
+            F.col("cents")
+            * 1.0
+            / F.col("xt")
+            * F.log(F.col("cents") * 1.0 * F.col("n") / F.col("xt"))
+        ).alias("theil_total")
+    )
+    grp = x.groupBy("region").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum("cents").cast("bigint").alias("xg"),
+    )
+    t_between = grp.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.col("xg")
+            * 1.0
+            / F.col("xt")
+            * F.log(
+                (F.col("xg") * 1.0 / F.col("xt")) * (F.col("n") * 1.0 / F.col("ng"))
+            )
+        ).alias("theil_between")
+    )
+    n_row = tot.select(F.col("n").alias("n_customers"))
+    return (
+        n_row.crossJoin(F.broadcast(t_total))  # 1-row aggregates
+        .crossJoin(F.broadcast(t_between))
+        .select(
+            "n_customers",
+            F.round(F.col("theil_total"), 6).alias("theil_total"),
+            F.round(F.col("theil_between"), 6).alias("theil_between"),
+            F.round(F.col("theil_total") - F.col("theil_between"), 6).alias(
+                "theil_within"
+            ),
+        )
+    )

@@ -602,3 +602,98 @@ def ts_stl_decompose_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("seasonal_cents"), 4).alias("seasonal_cents"),
         F.round(F.sqrt(F.col("ssr") / F.col("n_days")), 4).alias("resid_rms_cents"),
     ).orderBy("dow")
+
+
+@register(
+    "ts_page_hinkley",
+    f"""
+    WITH {_DAILY_REV},
+    r AS (
+      SELECT day, cents,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn,
+             CAST(sum(cents) OVER (ORDER BY day) AS BIGINT) AS s_t
+      FROM daily
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(sum(CAST(cents AS HUGEINT) * cents) AS DOUBLE) AS ss
+      FROM daily
+    ),
+    mv AS (
+      SELECT n, s * 1.0 / n AS mu,
+             sqrt((ss - s * 1.0 / n * s) / (n - 1)) AS sd
+      FROM mom
+    ),
+    ph AS (
+      -- m_t = S_t - t*mu from EXACT integer prefix sums, so both
+      -- engines see identical doubles; PH_t = m_t - min prefix m_s
+      SELECT r.day, mv.n, mv.sd,
+             (r.s_t - r.rn * mv.mu)
+               - min(r.s_t - r.rn * mv.mu) OVER (ORDER BY r.day) AS ph_t
+      FROM r, mv
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_days,
+           round(max(ph_t), 4) AS max_ph_cents,
+           CAST(sum(CASE WHEN ph_t > 5 * sd THEN 1 ELSE 0 END) AS BIGINT)
+             AS alarm_days,
+           CAST(min(CASE WHEN ph_t > 5 * sd THEN day END) AS TIMESTAMP)
+             AS first_alarm_day
+    FROM ph
+    """,
+    "timeseries",
+    "drift",
+    "changepoint",
+)
+def ts_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift detector over daily order revenue (the
+    mean-shift companion to ts_cusum_changepoint): deviations are taken
+    against the GLOBAL mean (delta = 0; the closed-form, oracle-able
+    spelling of the usually-online statistic), the cumulative deviation
+    is carried as m_t = S_t - t*mu where S_t is the EXACT BIGINT prefix
+    sum — one multiply and subtract per row, so both engines compute
+    identical doubles — and PH_t = m_t - min_prefix(m_s) with a
+    5-sigma-of-daily-revenue alarm threshold. All windows run on the
+    calendar-bounded daily frame."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = W.orderBy("day")
+    r = daily.withColumn("rn", F.row_number().over(w).cast("bigint")).withColumn(
+        "s_t", F.sum("cents").over(w).cast("bigint")
+    )
+    dec = F.col("cents").cast("decimal(18,0)")
+    mom = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(dec * dec).cast("double").alias("ss"),
+    )
+    mu = F.col("s") * 1.0 / F.col("n")
+    mv = mom.select(
+        "n",
+        mu.alias("mu"),
+        F.sqrt((F.col("ss") - mu * F.col("s")) / (F.col("n") - 1)).alias("sd"),
+    )
+    m_t = F.col("s_t") - F.col("rn") * F.col("mu")
+    ph = (
+        r.crossJoin(F.broadcast(mv))  # 1-row moments dimension
+        .withColumn("ph_t", m_t - F.min(m_t).over(w))
+    )
+    return ph.agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        F.round(F.max("ph_t"), 4).alias("max_ph_cents"),
+        F.sum(F.when(F.col("ph_t") > 5 * F.col("sd"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("alarm_days"),
+        F.min(F.when(F.col("ph_t") > 5 * F.col("sd"), F.col("day")))
+        .cast("timestamp")
+        .alias("first_alarm_day"),
+    )

@@ -340,3 +340,117 @@ def test_functional_dependency_matches_pandas(spark, sf_dir):
         assert r["violation_rate"] == pytest.approx((nd > 1).mean(), abs=1e-6)
     # the PK-shaped FD must hold exactly
     assert rows["orders: o_orderkey -> o_orderstatus"]["n_violating"] == 0
+
+
+def test_pass_at_k_matches_comb_definition(spark, sf_dir):
+    got = REGISTRY["eval_pass_at_k"].build(spark, sf_dir).collect()[0]
+    e = _pq(sf_dir, "events")
+    pur = e[e.event_type == "purchase"]
+    g = pur.groupby("user_id").agg(
+        n=("value", "size"), c=("value", lambda v: int((v > 200).sum()))
+    )
+    g = g[g.n >= 3]
+
+    def pak(n, c, k):
+        if n - c < k:
+            return 1.0
+        return 1.0 - math.comb(n - c, k) / math.comb(n, k)
+
+    p1 = [pak(n, c, 1) for n, c in zip(g.n, g.c)]
+    p3 = [pak(n, c, 3) for n, c in zip(g.n, g.c)]
+    assert got["n_problems"] == len(g)
+    assert got["pass_at_1"] == pytest.approx(sum(p1) / len(p1), abs=1e-6)
+    assert got["pass_at_3"] == pytest.approx(sum(p3) / len(p3), abs=1e-6)
+    assert got["any_success"] == int((g.c > 0).sum())
+    # pass@3 dominates pass@1 pointwise, so also in the mean
+    assert got["pass_at_3"] >= got["pass_at_1"] - 1e-9
+
+
+def _daily_rev(sf_dir):
+    o = _pq(sf_dir, "orders")
+    cents = (o.o_totalprice * 100).round().astype("int64")
+    return (
+        pd.DataFrame({"day": pd.to_datetime(o.o_orderdate), "c": cents})
+        .groupby("day")
+        .c.sum()
+        .sort_index()
+    )
+
+
+def test_page_hinkley_matches_numpy(spark, sf_dir):
+    got = REGISTRY["ts_page_hinkley"].build(spark, sf_dir).collect()[0]
+    daily = _daily_rev(sf_dir)
+    y = daily.to_numpy(dtype=float)
+    n = len(y)
+    mu = y.mean()
+    sd = y.std(ddof=1)
+    m = np.cumsum(y - mu)
+    ph = m - np.minimum.accumulate(m)
+    assert got["n_days"] == n
+    assert got["max_ph_cents"] == pytest.approx(ph.max(), rel=1e-9)
+    alarms = ph > 5 * sd
+    assert got["alarm_days"] == int(alarms.sum())
+    if alarms.any():
+        first = daily.index[int(np.argmax(alarms))]
+        assert pd.Timestamp(got["first_alarm_day"]) == first
+    else:
+        assert got["first_alarm_day"] is None
+    # PH is nonnegative by construction
+    assert got["max_ph_cents"] >= -1e-9
+
+
+def test_gumbel_fit_matches_numpy(spark, sf_dir):
+    got = REGISTRY["stat_gumbel_max_fit"].build(spark, sf_dir).collect()[0]
+    o = _pq(sf_dir, "orders")
+    cents = (o.o_totalprice * 100).round().astype("int64")
+    mx = (
+        pd.DataFrame({"day": pd.to_datetime(o.o_orderdate).dt.date, "c": cents})
+        .groupby("day")
+        .c.max()
+        .to_numpy(dtype=float)
+    )
+    gamma = 0.5772156649015329
+    beta = mx.std(ddof=1) * math.sqrt(6) / math.pi
+    mu = mx.mean() - gamma * beta
+    rl99 = mu - beta * math.log(-math.log(0.99))
+    p_exc = 1 - math.exp(-math.exp(-(mx.max() - mu) / beta))
+    assert got["n_blocks"] == len(mx)
+    assert got["observed_max_cents"] == int(mx.max())
+    assert got["gumbel_mu_cents"] == pytest.approx(mu, rel=1e-9)
+    assert got["gumbel_beta_cents"] == pytest.approx(beta, rel=1e-9)
+    assert got["return_level_99_cents"] == pytest.approx(rl99, rel=1e-9)
+    assert got["p_exceed_observed_max"] == pytest.approx(p_exc, abs=1e-6)
+    # the 99% return level must exceed the location parameter
+    assert got["return_level_99_cents"] > got["gumbel_mu_cents"]
+
+
+def test_theil_index_matches_numpy(spark, sf_dir):
+    got = REGISTRY["stat_theil_index"].build(spark, sf_dir).collect()[0]
+    o = _pq(sf_dir, "orders")
+    c = _pq(sf_dir, "customer")
+    nn = _pq(sf_dir, "nation")
+    rr = _pq(sf_dir, "region")
+    df = (
+        o.merge(c, left_on="o_custkey", right_on="c_custkey")
+        .merge(nn, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(rr, left_on="n_regionkey", right_on="r_regionkey")
+    )
+    cents = (df.o_totalprice * 100).round().astype("int64")
+    x = pd.DataFrame({"cust": df.c_custkey, "region": df.r_name, "c": cents}).groupby(
+        ["cust", "region"]
+    ).c.sum()
+    xi = x.to_numpy(dtype=float)
+    n, X = len(xi), xi.sum()
+    theil = float((xi / X * np.log(xi * n / X)).sum())
+    g = x.groupby(level="region").agg(["sum", "size"])
+    between = float(
+        (
+            g["sum"] / X * np.log((g["sum"] / X) * (n / g["size"]))
+        ).sum()
+    )
+    assert got["n_customers"] == n
+    assert got["theil_total"] == pytest.approx(theil, abs=1e-6)
+    assert got["theil_between"] == pytest.approx(between, abs=1e-6)
+    assert got["theil_within"] == pytest.approx(theil - between, abs=1e-6)
+    # Theil is nonnegative; between cannot exceed total
+    assert -1e-9 <= got["theil_between"] <= got["theil_total"] + 1e-9

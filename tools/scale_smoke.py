@@ -134,6 +134,18 @@ OPS = [
     "text_readability_profile",
     "text_char_entropy",
     "embed_pca_label_profile",
+    # round-5 hardening batches: events/orders/lineitem-grain exact
+    # reductions (bayes/welch/jackknife/negbin/capture/cochran/mcnemar
+    # fold to cells; HHI/Cramer/FD fold to bounded aggregate frames;
+    # Ljung-Box/STL run on the calendar-bounded daily frame)
+    "stat_bayes_ab_beta",
+    "stat_welch_anova",
+    "stat_jackknife_ratio",
+    "ts_ljung_box",
+    "stat_hhi_concentration",
+    "stat_cramers_v_matrix",
+    "dq_functional_dependency",
+    "ts_stl_decompose_dow",
 ]
 
 TIERS = ["sf0.001", "sf0.01", "sf0.1"]
