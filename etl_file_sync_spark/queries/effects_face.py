@@ -1,0 +1,674 @@
+"""Effect sizes, distribution-shape tests, and stratified/post-hoc
+inference — the companions the existing rank/contingency faces imply:
+
+- Cliff's delta (the effect size Mann-Whitney U only hints at),
+- two-sample Cramer-von Mises (the integrated-square sibling of KS),
+- 1-D energy distance (the characteristic-function two-sample test,
+  computed exactly by the same summation-by-parts cumsum trick as
+  stat_wasserstein_1d),
+- Mantel-Haenszel pooled odds ratio + CMH test (the stratified sibling
+  of stat_chi_square_independence / stat_fisher_exact),
+- Friedman test (the within-block sibling of stat_kruskal_wallis),
+- Dunn post-hoc pairwise z (what you run AFTER Kruskal-Wallis rejects).
+
+All rank machinery rides operators/rankstats.py's bucketed two-phase
+plan — no single-partition window ever sees row-grain data; the only
+per-row windows are partitioned by block keys with bounded groups.
+Tail probabilities use operators/pvalues.py's closed-form spellings so
+the DuckDB oracles can restate the identical arithmetic.
+
+The reference (`/root/reference/`) has no analytics surface (SURVEY.md
+§2.2); this face is engine-only.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from etl_file_sync_spark.operators.pvalues import (
+    chi2_sf_df1,
+    chi2_sf_df4,
+    normal_two_sided_p,
+)
+from etl_file_sync_spark.operators.rankstats import avg_ranks, bucketed_cumsums
+from etl_file_sync_spark.queries.registry import register, t
+
+# DuckDB restatement of operators/pvalues.py erf_as on a column named
+# xx (|z|/sqrt(2) or sqrt(x/2)); yields the two-sided p / chi2_1 tail.
+_SQL_ERFC = (
+    "((((1.061405429 * tt - 1.453152027) * tt + 1.421413741) * tt"
+    " - 0.284496736) * tt + 0.254829592) * tt * exp(-xx * xx)"
+)
+
+
+@register(
+    "stat_cliffs_delta",
+    """
+    WITH s AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 'P' ELSE 'V' END AS variant,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    g AS (SELECT variant, v, count(*) AS c FROM s GROUP BY variant, v),
+    vals AS (SELECT v, CAST(sum(c) AS BIGINT) AS cnt FROM g GROUP BY v),
+    cum AS (
+      SELECT v, coalesce(sum(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (cnt + 1) / 2.0 AS avg_rank
+      FROM vals
+    ),
+    agg AS (
+      SELECT g.variant, CAST(sum(g.c) AS BIGINT) AS n,
+             sum(g.c * cum.avg_rank) AS rank_sum
+      FROM g JOIN cum ON g.v = cum.v GROUP BY g.variant
+    ),
+    pvt AS (
+      SELECT max(CASE WHEN variant = 'P' THEN n END) AS na,
+             max(CASE WHEN variant = 'V' THEN n END) AS nb,
+             max(CASE WHEN variant = 'P' THEN rank_sum END) AS ra
+      FROM agg
+    ),
+    d AS (
+      SELECT na, nb,
+             ra - na * (na + 1) / 2.0 AS u_stat,
+             round(2.0 * (ra - na * (na + 1) / 2.0) / (na * nb) - 1.0, 6)
+               AS cliffs_delta
+      FROM pvt
+    )
+    SELECT CAST(na AS BIGINT) AS n_purchase, CAST(nb AS BIGINT) AS n_view,
+           round(u_stat, 2) AS u_stat, cliffs_delta,
+           CASE WHEN abs(cliffs_delta) < 0.147 THEN 'negligible'
+                WHEN abs(cliffs_delta) < 0.33 THEN 'small'
+                WHEN abs(cliffs_delta) < 0.474 THEN 'medium'
+                ELSE 'large' END AS magnitude
+    FROM d
+    """,
+    "stats",
+    "effect-size",
+    "distributed-rank",
+)
+def stat_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta (with ties) between purchase and view event values:
+    delta = (#(x>y) - #(x<y)) / (n_P * n_V), recovered exactly from the
+    midrank Mann-Whitney U because U = #(x>y) + #(x=y)/2, hence
+    delta = 2U/(n_P n_V) - 1. Values reduce to exact integer cents; U
+    is a half-integer, so the division is the same exact rational in
+    both engines. Ranks ride the bucketed two-phase plan; the Romano
+    magnitude bucket is decided on the 6-decimal-rounded delta so both
+    engines branch identically."""
+    s = t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "view")
+    ).select(
+        F.when(F.col("event_type") == "purchase", "P").otherwise("V").alias("variant"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    g = s.groupBy("variant", "v").agg(F.count(F.lit(1)).alias("c"))
+    vals = g.groupBy("v").agg(F.sum("c").cast("bigint").alias("cnt"))
+    ranked = avg_ranks(vals, "v", "cnt")
+    agg = (
+        g.join(ranked.select("v", "avg_rank"), "v")
+        .groupBy("variant")
+        .agg(
+            F.sum("c").cast("bigint").alias("n"),
+            F.sum(F.col("c") * F.col("avg_rank")).alias("rank_sum"),
+        )
+    )
+    pvt = agg.agg(
+        F.max(F.when(F.col("variant") == "P", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("variant") == "V", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("variant") == "P", F.col("rank_sum"))).alias("ra"),
+    )
+    u = F.col("ra") - F.col("na") * (F.col("na") + 1) / F.lit(2.0)
+    d = pvt.select(
+        "na",
+        "nb",
+        u.alias("u_stat"),
+        F.round(2.0 * u / (F.col("na") * F.col("nb")) - 1.0, 6).alias("cliffs_delta"),
+    )
+    mag = F.abs(F.col("cliffs_delta"))
+    return d.select(
+        F.col("na").cast("bigint").alias("n_purchase"),
+        F.col("nb").cast("bigint").alias("n_view"),
+        F.round("u_stat", 2).alias("u_stat"),
+        "cliffs_delta",
+        F.when(mag < 0.147, "negligible")
+        .when(mag < 0.33, "small")
+        .when(mag < 0.474, "medium")
+        .otherwise("large")
+        .alias("magnitude"),
+    )
+
+
+@register(
+    "stat_cvm_two_sample",
+    """
+    WITH s AS (
+      SELECT l_returnflag AS variant, l_extendedprice AS v
+      FROM lineitem WHERE l_returnflag IN ('R', 'N')
+    ),
+    g AS (
+      SELECT v,
+             CAST(sum(CASE WHEN variant = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN variant = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM s GROUP BY v
+    ),
+    tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+            FROM g),
+    cum AS (
+      SELECT v, ca, cb,
+             sum(ca) OVER (ORDER BY v) AS cum_a,
+             sum(cb) OVER (ORDER BY v) AS cum_b
+      FROM g
+    ),
+    contrib AS (
+      SELECT sum((ca + cb) * (cum_a * 1.0 / na - cum_b * 1.0 / nb)
+                           * (cum_a * 1.0 / na - cum_b * 1.0 / nb)) AS s2,
+             max(na) AS na, max(nb) AS nb
+      FROM cum, tot
+    )
+    SELECT CAST(na AS BIGINT) AS n_r, CAST(nb AS BIGINT) AS n_n,
+           round(na * 1.0 * nb / ((na + nb) * (na + nb)) * s2, 6) AS t_stat
+    FROM contrib
+    """,
+    "stats",
+    "rank-test",
+    "distributed-rank",
+)
+def stat_cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramer-von Mises criterion between the R and N
+    return-flag l_extendedprice distributions, in its ties-adjusted
+    ECDF form T = n m/(n+m)^2 * sum over distinct values of
+    w_k (F_n(v_k) - G_m(v_k))^2 with w_k the combined multiplicity —
+    the integrated-square companion to stat_ks_two_sample's sup-norm.
+    One inclusive bucketed cumsum pass (operators/rankstats.py)
+    supplies both ECDFs; the final fold is a double sum in the
+    documented summation-order ulp class under round(6)."""
+    s = t(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isin("R", "N")
+    ).select(F.col("l_returnflag").alias("variant"), F.col("l_extendedprice").alias("v"))
+    g = s.groupBy("v").agg(
+        F.sum(F.when(F.col("variant") == "R", 1).otherwise(0)).cast("bigint").alias("ca"),
+        F.sum(F.when(F.col("variant") == "N", 1).otherwise(0)).cast("bigint").alias("cb"),
+    )
+    tot = g.agg(
+        F.sum("ca").cast("bigint").alias("na"), F.sum("cb").cast("bigint").alias("nb")
+    )
+    c = bucketed_cumsums(g, "v", ["ca", "cb"], inclusive=True)
+    gap = F.col("cum_ca") * 1.0 / F.col("na") - F.col("cum_cb") * 1.0 / F.col("nb")
+    contrib = (
+        c.crossJoin(F.broadcast(tot))  # 1-row totals dimension
+        .agg(
+            F.sum((F.col("ca") + F.col("cb")) * gap * gap).alias("s2"),
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
+        )
+    )
+    return contrib.select(
+        F.col("na").cast("bigint").alias("n_r"),
+        F.col("nb").cast("bigint").alias("n_n"),
+        F.round(
+            F.col("na")
+            * 1.0
+            * F.col("nb")
+            / ((F.col("na") + F.col("nb")) * (F.col("na") + F.col("nb")))
+            * F.col("s2"),
+            6,
+        ).alias("t_stat"),
+    )
+
+
+@register(
+    "stat_energy_distance",
+    """
+    WITH s AS (
+      SELECT CASE WHEN o_custkey % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+             o_totalprice AS v
+      FROM orders
+    ),
+    g AS (
+      SELECT v,
+             CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM s GROUP BY v
+    ),
+    tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+            FROM g),
+    cum AS (
+      SELECT v, ca, cb,
+             coalesce(sum(ca) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS xca,
+             coalesce(sum(cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS xcb
+      FROM g
+    ),
+    terms AS (
+      SELECT sum(v * ((xca * 1.0 / na - xcb * 1.0 / nb)
+                        * (xca * 1.0 / na - xcb * 1.0 / nb)
+                      - ((xca + ca) * 1.0 / na - (xcb + cb) * 1.0 / nb)
+                        * ((xca + ca) * 1.0 / na - (xcb + cb) * 1.0 / nb)))
+               AS sq_int,
+             sum(v * ((xca * 1.0 / na * (1 - xcb * 1.0 / nb)
+                       + xcb * 1.0 / nb * (1 - xca * 1.0 / na))
+                      - ((xca + ca) * 1.0 / na * (1 - (xcb + cb) * 1.0 / nb)
+                         + (xcb + cb) * 1.0 / nb * (1 - (xca + ca) * 1.0 / na))))
+               AS exy,
+             max(na) AS na, max(nb) AS nb
+      FROM cum, tot
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(2.0 * sq_int, 4) AS energy_distance,
+           round(na * 1.0 * nb / (na + nb) * 2.0 * sq_int, 2) AS e_stat,
+           round(exy, 2) AS mean_cross_absdiff
+    FROM terms
+    """,
+    "stats",
+    "rank-test",
+    "distributed-rank",
+)
+def stat_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D energy distance between the even/odd-custkey o_totalprice
+    distributions: E = 2 E|X-Y| - E|X-X'| - E|Y-Y'| which in one
+    dimension collapses to 2 * integral (F-G)^2 dv — so the SAME
+    summation-by-parts trick as stat_wasserstein_1d computes it in ONE
+    exclusive bucketed cumsum pass: sum over distinct v of
+    v * (h_excl - h_incl) integrates any ECDF step function h whose
+    value vanishes below the min and above the max, which (F-G)^2 and
+    the cross-term integrand F(1-G)+G(1-F) = d/dv-density of E|X-Y|
+    both do. Also emits the Szekely-Rizzo test statistic
+    nm/(n+m) * E and E|X-Y| itself. Doubles fold in the documented
+    summation-order ulp class under the emitted roundings."""
+    s = t(spark, sf_dir, "orders").select(
+        F.when(F.col("o_custkey") % 2 == 0, "A").otherwise("B").alias("variant"),
+        F.col("o_totalprice").alias("v"),
+    )
+    g = s.groupBy("v").agg(
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0)).cast("bigint").alias("ca"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0)).cast("bigint").alias("cb"),
+    )
+    tot = g.agg(
+        F.sum("ca").cast("bigint").alias("na"), F.sum("cb").cast("bigint").alias("nb")
+    )
+    c = bucketed_cumsums(g, "v", ["ca", "cb"], inclusive=False)
+    fa_x = F.col("cum_ca") * 1.0 / F.col("na")
+    fb_x = F.col("cum_cb") * 1.0 / F.col("nb")
+    fa_i = (F.col("cum_ca") + F.col("ca")) * 1.0 / F.col("na")
+    fb_i = (F.col("cum_cb") + F.col("cb")) * 1.0 / F.col("nb")
+    sq_x = (fa_x - fb_x) * (fa_x - fb_x)
+    sq_i = (fa_i - fb_i) * (fa_i - fb_i)
+    cross_x = fa_x * (1 - fb_x) + fb_x * (1 - fa_x)
+    cross_i = fa_i * (1 - fb_i) + fb_i * (1 - fa_i)
+    terms = (
+        c.crossJoin(F.broadcast(tot))  # 1-row totals dimension
+        .agg(
+            F.sum(F.col("v") * (sq_x - sq_i)).alias("sq_int"),
+            F.sum(F.col("v") * (cross_x - cross_i)).alias("exy"),
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
+        )
+    )
+    return terms.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round(2.0 * F.col("sq_int"), 4).alias("energy_distance"),
+        F.round(
+            F.col("na") * 1.0 * F.col("nb") / (F.col("na") + F.col("nb"))
+            * 2.0
+            * F.col("sq_int"),
+            2,
+        ).alias("e_stat"),
+        F.round(F.col("exy"), 2).alias("mean_cross_absdiff"),
+    )
+
+
+@register(
+    "stat_mantel_haenszel",
+    f"""
+    WITH x AS (
+      SELECT r.r_name AS stratum,
+             CASE WHEN o.o_custkey % 2 = 0 THEN 1 ELSE 0 END AS exposed,
+             CASE WHEN o.o_totalprice > 250000 THEN 1 ELSE 0 END AS success
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    ),
+    cells AS (
+      SELECT stratum,
+             CAST(sum(exposed * success) AS BIGINT) AS a,
+             CAST(sum(exposed * (1 - success)) AS BIGINT) AS b,
+             CAST(sum((1 - exposed) * success) AS BIGINT) AS c,
+             CAST(sum((1 - exposed) * (1 - success)) AS BIGINT) AS d
+      FROM x GROUP BY stratum
+    ),
+    fold AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_strata,
+             sum(a * 1.0 * d / (a + b + c + d)) AS sad,
+             sum(b * 1.0 * c / (a + b + c + d)) AS sbc,
+             CAST(sum(a) AS BIGINT) AS sa,
+             sum((a + b) * 1.0 * (a + c) / (a + b + c + d)) AS se,
+             sum((a + b) * 1.0 * (c + d) * (a + c) * (b + d)
+                 / ((a + b + c + d) * 1.0 * (a + b + c + d)
+                    * (a + b + c + d - 1))) AS sv
+      FROM cells
+    ),
+    stat AS (
+      SELECT n_strata, round(sad / sbc, 6) AS or_mh,
+             round(ln(sad / sbc), 6) AS log_or_mh,
+             round((sa - se) * (sa - se) / sv, 4) AS cmh_stat
+      FROM fold
+    ),
+    pz AS (SELECT *, sqrt(cmh_stat / 2) AS xx FROM stat),
+    pp AS (SELECT *, 1 / (1 + 0.3275911 * xx) AS tt FROM pz)
+    SELECT n_strata, or_mh, log_or_mh, cmh_stat,
+           round({_SQL_ERFC}, 6) AS p_value
+    FROM pp
+    """,
+    "stats",
+    "ab-test",
+    "stratified",
+)
+def stat_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio and Cochran-Mantel-Haenszel
+    chi-square across region strata: exposure = even custkey, outcome =
+    order above 250k. Per-stratum 2x2 cells are exact integer folds;
+    OR_MH = sum(a d/n) / sum(b c/n), CMH = (sum a - sum E)^2 / sum V
+    with the standard hypergeometric E and V; the df=1 chi-square tail
+    is the closed-form erf spelling (operators/pvalues.py), evaluated
+    on the 4-decimal-rounded statistic so both engines see the same
+    input. The stratified sibling of stat_chi_square_independence."""
+    o = t(spark, sf_dir, "orders")
+    x = (
+        o.join(t(spark, sf_dir, "customer"), o.o_custkey == F.col("c_custkey"))
+        .join(
+            F.broadcast(t(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            F.col("r_name").alias("stratum"),
+            F.when(F.col("o_custkey") % 2 == 0, 1).otherwise(0).alias("exposed"),
+            F.when(F.col("o_totalprice") > 250000, 1).otherwise(0).alias("success"),
+        )
+    )
+    e, s_ = F.col("exposed"), F.col("success")
+    cells = x.groupBy("stratum").agg(
+        F.sum(e * s_).cast("bigint").alias("a"),
+        F.sum(e * (1 - s_)).cast("bigint").alias("b"),
+        F.sum((1 - e) * s_).cast("bigint").alias("c"),
+        F.sum((1 - e) * (1 - s_)).cast("bigint").alias("d"),
+    )
+    a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    n = a + b + c + d
+    fold = cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum(a * 1.0 * d / n).alias("sad"),
+        F.sum(b * 1.0 * c / n).alias("sbc"),
+        F.sum(a).cast("bigint").alias("sa"),
+        F.sum((a + b) * 1.0 * (a + c) / n).alias("se"),
+        F.sum(
+            (a + b) * 1.0 * (c + d) * (a + c) * (b + d) / (n * 1.0 * n * (n - 1))
+        ).alias("sv"),
+    )
+    stat = fold.select(
+        "n_strata",
+        F.round(F.col("sad") / F.col("sbc"), 6).alias("or_mh"),
+        F.round(F.log(F.col("sad") / F.col("sbc")), 6).alias("log_or_mh"),
+        F.round(
+            (F.col("sa") - F.col("se")) * (F.col("sa") - F.col("se")) / F.col("sv"), 4
+        ).alias("cmh_stat"),
+    )
+    return stat.select(
+        "n_strata",
+        "or_mh",
+        "log_or_mh",
+        "cmh_stat",
+        F.round(chi2_sf_df1(F.col("cmh_stat")), 6).alias("p_value"),
+    )
+
+
+@register(
+    "stat_friedman_test",
+    """
+    WITH cell AS (
+      SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS blk,
+             o_orderpriority AS trt,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM',
+                                '4-NOT SPECIFIED','5-LOW')
+      GROUP BY 1, 2
+    ),
+    complete AS (
+      SELECT blk FROM cell GROUP BY blk HAVING count(*) = 5
+    ),
+    r AS (
+      SELECT c.blk, c.trt,
+             (count(*) OVER (PARTITION BY c.blk ORDER BY c.y
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - count(*) OVER (PARTITION BY c.blk, c.y))
+             + (count(*) OVER (PARTITION BY c.blk, c.y) + 1) / 2.0 AS rk
+      FROM cell c JOIN complete USING (blk)
+    ),
+    pertrt AS (
+      SELECT trt, sum(rk) AS rank_sum, sum(rk * rk) AS rank_sq,
+             CAST(count(*) AS BIGINT) AS b
+      FROM r GROUP BY trt
+    ),
+    tot AS (
+      SELECT max(b) AS b, sum(rank_sq) AS aa,
+             sum((rank_sum - max_b * 3.0) * (rank_sum - max_b * 3.0)) AS dev2
+      FROM (SELECT *, max(b) OVER () AS max_b FROM pertrt)
+    ),
+    stat AS (
+      SELECT b, round(4.0 * dev2 / (aa - b * 5 * 9.0), 4) AS q_stat
+      FROM tot
+    )
+    SELECT p.trt AS treatment, CAST(s.b AS BIGINT) AS n_blocks,
+           round(p.rank_sum, 2) AS rank_sum,
+           round(p.rank_sum / s.b, 4) AS mean_rank,
+           s.q_stat,
+           round(exp(-s.q_stat / 2) * (1 + s.q_stat / 2), 6) AS p_value
+    FROM pertrt p, stat s ORDER BY p.trt
+    """,
+    "stats",
+    "rank-test",
+    "ab-test",
+)
+def stat_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test of monthly revenue across the five order
+    priorities: blocks = order months, treatments = priorities, value =
+    exact cents revenue per (month, priority); incomplete blocks (the
+    trailing partial month at some SFs) are dropped. Within-block
+    midranks come from two block-partitioned windows over the
+    5-row-per-block cell frame (bounded groups — scale-safe by
+    construction; the cell frame itself is a combiner-friendly
+    groupBy). Tie-general form Q = (k-1) * sum_j (R_j - b(k+1)/2)^2 /
+    (A - C) with A = sum r^2, C = b k(k+1)^2/4; k is pinned to 5 by
+    the explicit IN-list, so C = 45 b and the p-value uses the df=4
+    even-df closed form exp(-Q/2)(1 + Q/2) (operators/pvalues.py),
+    evaluated on the 4-decimal-rounded Q — the within-block sibling of
+    stat_kruskal_wallis."""
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    cell = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority").isin(pris))
+        .groupBy(
+            F.trunc(F.col("o_orderdate").cast("date"), "month").alias("blk"),
+            F.col("o_orderpriority").alias("trt"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    complete = cell.groupBy("blk").agg(F.count(F.lit(1)).alias("k")).where(
+        F.col("k") == 5
+    )
+    cells = cell.join(F.broadcast(complete.select("blk")), "blk")
+    w_leq = W.partitionBy("blk").orderBy("y").rangeBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_eq = W.partitionBy("blk", "y")
+    cnt_leq = F.count(F.lit(1)).over(w_leq)
+    cnt_eq = F.count(F.lit(1)).over(w_eq)
+    r = cells.select(
+        "blk", "trt", ((cnt_leq - cnt_eq) + (cnt_eq + 1) / F.lit(2.0)).alias("rk")
+    )
+    pertrt = r.groupBy("trt").agg(
+        F.sum("rk").alias("rank_sum"),
+        F.sum(F.col("rk") * F.col("rk")).alias("rank_sq"),
+        F.count(F.lit(1)).cast("bigint").alias("b"),
+    )
+    totb = pertrt.agg(F.max("b").alias("max_b"))
+    dev = F.col("rank_sum") - F.col("max_b") * 3.0
+    tot = (
+        pertrt.crossJoin(F.broadcast(totb))  # 1-row block-count dimension
+        .agg(
+            F.max("b").alias("b"),
+            F.sum("rank_sq").alias("aa"),
+            F.sum(dev * dev).alias("dev2"),
+        )
+    )
+    stat = tot.select(
+        F.col("b").alias("b_tot"),
+        F.round(4.0 * F.col("dev2") / (F.col("aa") - F.col("b") * 5 * 9.0), 4).alias(
+            "q_stat"
+        ),
+    )
+    return (
+        pertrt.drop("b")
+        .crossJoin(F.broadcast(stat))  # 1-row test dimension
+        .select(
+            F.col("trt").alias("treatment"),
+            F.col("b_tot").cast("bigint").alias("n_blocks"),
+            F.round("rank_sum", 2).alias("rank_sum"),
+            F.round(F.col("rank_sum") / F.col("b_tot"), 4).alias("mean_rank"),
+            "q_stat",
+            F.round(chi2_sf_df4(F.col("q_stat")), 6).alias("p_value"),
+        )
+        .orderBy("treatment")
+    )
+
+
+@register(
+    "stat_dunn_posthoc",
+    f"""
+    WITH s AS (
+      SELECT o_orderpriority AS grp, o_totalprice AS v FROM orders
+    ),
+    g AS (SELECT grp, v, count(*) AS c FROM s GROUP BY grp, v),
+    vals AS (SELECT v, CAST(sum(c) AS BIGINT) AS cnt FROM g GROUP BY v),
+    cum AS (
+      SELECT v, cnt,
+             coalesce(sum(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (cnt + 1) / 2.0 AS avg_rank
+      FROM vals
+    ),
+    pg AS (
+      SELECT g.grp, CAST(sum(g.c) AS BIGINT) AS n,
+             sum(g.c * cum.avg_rank) AS r
+      FROM g JOIN cum ON g.v = cum.v GROUP BY g.grp
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS ntot,
+             CAST(count(*) AS BIGINT) AS k,
+             (SELECT sum(cnt * cnt * cnt - cnt) FROM vals) AS tie_sum
+      FROM pg
+    ),
+    pairs AS (
+      SELECT a.grp AS grp_a, b.grp AS grp_b, t.k * (t.k - 1) / 2 AS m,
+             round((a.r / a.n - b.r / b.n)
+                   / sqrt((t.ntot * (t.ntot + 1) / 12.0
+                           - t.tie_sum / (12.0 * (t.ntot - 1)))
+                          * (1.0 / a.n + 1.0 / b.n)), 4) AS z_stat
+      FROM pg a, pg b, tot t WHERE a.grp < b.grp
+    ),
+    pz AS (SELECT *, abs(z_stat) / sqrt(2.0) AS xx FROM pairs),
+    pp AS (SELECT *, 1 / (1 + 0.3275911 * xx) AS tt FROM pz),
+    pv AS (SELECT grp_a, grp_b, z_stat, m, {_SQL_ERFC} AS p FROM pp)
+    SELECT grp_a, grp_b, z_stat,
+           round(p, 6) AS p_value,
+           round(least(p * m, 1.0), 6) AS p_bonferroni
+    FROM pv ORDER BY grp_a, grp_b
+    """,
+    "stats",
+    "rank-test",
+    "distributed-rank",
+)
+def stat_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's post-hoc pairwise z tests after stat_kruskal_wallis (same
+    frame: o_totalprice across the five priorities): z_ij =
+    (Rbar_i - Rbar_j) / sqrt((N(N+1)/12 - sum(t^3-t)/(12(N-1)))
+    (1/n_i + 1/n_j)) with the tie correction from the same
+    (value, count) frame the midranks ride, Bonferroni-adjusted over
+    the k(k-1)/2 pairs (m from the data, not hard-coded). Ranks use
+    the bucketed two-phase plan; the pairwise join is a 5x5 broadcast
+    of the per-group aggregate. p is the closed-form two-sided normal
+    tail (operators/pvalues.py) on the 4-decimal-rounded z."""
+    s = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"), F.col("o_totalprice").alias("v")
+    )
+    g = s.groupBy("grp", "v").agg(F.count(F.lit(1)).alias("c"))
+    vals = g.groupBy("v").agg(F.sum("c").cast("bigint").alias("cnt"))
+    ranked = avg_ranks(vals, "v", "cnt")
+    pg = (
+        g.join(ranked.select("v", "avg_rank"), "v")
+        .groupBy("grp")
+        .agg(
+            F.sum("c").cast("bigint").alias("n"),
+            F.sum(F.col("c") * F.col("avg_rank")).alias("r"),
+        )
+    )
+    ties = vals.agg(
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("double")
+        .alias("tie_sum")
+    )
+    tot = (
+        pg.agg(
+            F.sum("n").cast("bigint").alias("ntot"),
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+        )
+        .crossJoin(F.broadcast(ties))  # 1-row tie dimension
+    )
+    a = pg.select(
+        F.col("grp").alias("grp_a"), F.col("n").alias("na"), F.col("r").alias("ra")
+    )
+    b = pg.select(
+        F.col("grp").alias("grp_b"), F.col("n").alias("nb"), F.col("r").alias("rb")
+    )
+    sigma2 = (
+        F.col("ntot") * (F.col("ntot") + 1) / 12.0
+        - F.col("tie_sum") / (12.0 * (F.col("ntot") - 1))
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("grp_a") < F.col("grp_b"))
+        .crossJoin(F.broadcast(tot))  # 1-row totals dimension
+        .select(
+            "grp_a",
+            "grp_b",
+            (F.col("k") * (F.col("k") - 1) / 2).alias("m"),
+            F.round(
+                (F.col("ra") / F.col("na") - F.col("rb") / F.col("nb"))
+                / F.sqrt(sigma2 * (1.0 / F.col("na") + 1.0 / F.col("nb"))),
+                4,
+            ).alias("z_stat"),
+        )
+    )
+    p = normal_two_sided_p(F.col("z_stat"))
+    return pairs.select(
+        "grp_a",
+        "grp_b",
+        "z_stat",
+        F.round(p, 6).alias("p_value"),
+        F.round(F.least(p * F.col("m"), F.lit(1.0)), 6).alias("p_bonferroni"),
+    ).orderBy("grp_a", "grp_b")
