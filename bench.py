@@ -189,6 +189,17 @@ HEADLINE = [
     "stat_wasserstein_1d",
     "stat_eb_shrinkage",
     "stat_msprt_sequential",
+    # round-5 effects + insight-2 faces
+    "stat_energy_distance",
+    "stat_dunn_posthoc",
+    "stat_friedman_test",
+    "graph_adamic_adar",
+    "text_term_burstiness",
+    "behavior_ltv_cohort_curves",
+    "eval_auprc",
+    "dq_key_gaps",
+    "rec_item_cosine",
+    "rec_user_jaccard_topk",
 ]
 
 

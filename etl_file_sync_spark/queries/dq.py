@@ -371,3 +371,71 @@ def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "violation_rate"
         ),
     ).orderBy("fd")
+
+
+@register(
+    "dq_key_gaps",
+    """
+    WITH k AS (SELECT DISTINCT o_orderkey AS key FROM orders),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(min(key) AS BIGINT) AS min_key,
+             CAST(max(key) AS BIGINT) AS max_key,
+             CAST(max(key) - min(key) + 1 - count(*) AS BIGINT) AS n_missing
+      FROM k
+    ),
+    nxt AS (
+      SELECT key, lead(key) OVER (ORDER BY key) AS next_key FROM k
+    ),
+    gaps AS (
+      SELECT key + 1 AS gap_start, next_key - 1 AS gap_end,
+             next_key - key - 1 AS gap_len
+      FROM nxt WHERE next_key - key > 1
+    )
+    SELECT CAST(g.gap_start AS BIGINT) AS gap_start,
+           CAST(g.gap_end AS BIGINT) AS gap_end,
+           CAST(g.gap_len AS BIGINT) AS gap_len,
+           t.n_keys, t.n_missing
+    FROM gaps g, tot t
+    ORDER BY gap_len DESC, gap_start LIMIT 5
+    """,
+    "dq",
+    "audit",
+    "distributed-rank",
+)
+def dq_key_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap audit of the o_orderkey space: total missing keys
+    (max - min + 1 - count, one exact aggregate) and the five largest
+    contiguous holes. Successor pairs come from the bucketed global
+    row_number (operators/rankstats.py) joined to itself on rn = rn+1 —
+    an equi-join shuffle on the dense rank, so no single-partition
+    window or lead() ever touches the full key column at any scale
+    (the oracle restates it with a naive global lead)."""
+    from etl_file_sync_spark.operators.rankstats import bucketed_row_number
+
+    k = t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("key")).distinct()
+    tot = k.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.min("key").cast("bigint").alias("min_key"),
+        F.max("key").cast("bigint").alias("max_key"),
+        (F.max("key") - F.min("key") + 1 - F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_missing"),
+    )
+    rn = bucketed_row_number(k, "key")
+    cur = rn.select(F.col("key"), F.col("rn"))
+    nxt = rn.select(F.col("key").alias("next_key"), (F.col("rn") - 1).alias("rn"))
+    gaps = (
+        cur.join(nxt, "rn")
+        .where(F.col("next_key") - F.col("key") > 1)
+        .select(
+            (F.col("key") + 1).cast("bigint").alias("gap_start"),
+            (F.col("next_key") - 1).cast("bigint").alias("gap_end"),
+            (F.col("next_key") - F.col("key") - 1).cast("bigint").alias("gap_len"),
+        )
+    )
+    return (
+        gaps.crossJoin(F.broadcast(tot.select("n_keys", "n_missing")))
+        .orderBy(F.desc("gap_len"), "gap_start")
+        .limit(5)
+    )

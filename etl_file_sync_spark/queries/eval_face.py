@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_file_sync_spark.operators import text as X
-from etl_file_sync_spark.operators.rankstats import avg_ranks
+from etl_file_sync_spark.operators.rankstats import avg_ranks, bucketed_cumsums
 from etl_file_sync_spark.queries.registry import register, t
 
 _STOPLIST_SQL = "['the','a','and','of','to','in','is','that']"
@@ -684,4 +684,71 @@ def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("c") > 0, 1).otherwise(0))
         .cast("bigint")
         .alias("any_success"),
+    )
+
+
+@register(
+    "eval_auprc",
+    f"""
+    WITH {_SCORED_SQL},
+    g AS (
+      SELECT score,
+             CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+             CAST(count(*) AS BIGINT) AS tot
+      FROM scored GROUP BY score
+    ),
+    tot AS (SELECT CAST(sum(pos) AS BIGINT) AS p,
+                   CAST(sum(tot) - sum(pos) AS BIGINT) AS n FROM g),
+    cum AS (
+      SELECT score, pos, tot,
+             sum(pos) OVER (ORDER BY score DESC) AS cumpos,
+             sum(tot) OVER (ORDER BY score DESC) AS cumtot
+      FROM g
+    )
+    SELECT max(p) AS n_pos, max(n) AS n_neg,
+           round(sum(pos * 1.0 / p * (cumpos * 1.0 / cumtot)), 6) AS auprc,
+           round(max(p) * 1.0 / (max(p) + max(n)), 6) AS baseline_precision
+    FROM cum, tot
+    """,
+    "eval",
+    "calibration",
+    "distributed-rank",
+)
+def eval_auprc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Area under the precision-recall curve of the logistic quality
+    score against the lang=en label — the companion to eval_roc_auc on
+    the SAME scored frame, and the metric that matters when positives
+    are rare. Ties handled blockwise (the step-function AP used by
+    ranking evaluators): descending by distinct score,
+    AP = sum over score blocks of (pos_k / P) * precision-at-block,
+    which needs only the inclusive descending cumsums — one bucketed
+    two-phase pass over the 4-decimal score vocabulary
+    (operators/rankstats.py via negated score), never row-grain
+    windows. Also emits the positive-rate baseline an uninformative
+    ranker would score."""
+    s = _scored(spark, sf_dir)
+    g = s.groupBy("score").agg(
+        F.sum(F.when(F.col("label") == 1, 1).otherwise(0)).cast("bigint").alias("pos"),
+        F.count(F.lit(1)).cast("bigint").alias("tot"),
+    )
+    tot = g.agg(
+        F.sum("pos").cast("bigint").alias("p"),
+        (F.sum("tot") - F.sum("pos")).cast("bigint").alias("n"),
+    )
+    # descending-score cumsums == ascending cumsums over the negated score
+    neg = g.withColumn("nscore", -F.col("score"))
+    cum = bucketed_cumsums(neg, "nscore", ["pos", "tot"], inclusive=True)
+    ap_term = (
+        F.col("pos") * 1.0 / F.col("p") * (F.col("cum_pos") * 1.0 / F.col("cum_tot"))
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))  # 1-row totals dimension
+        .agg(
+            F.max("p").alias("n_pos"),
+            F.max("n").alias("n_neg"),
+            F.round(F.sum(ap_term), 6).alias("auprc"),
+            F.round(
+                F.max("p") * 1.0 / (F.max("p") + F.max("n")), 6
+            ).alias("baseline_precision"),
+        )
     )

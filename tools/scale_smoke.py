@@ -146,6 +146,21 @@ OPS = [
     "stat_cramers_v_matrix",
     "dq_functional_dependency",
     "ts_stl_decompose_dow",
+    # round-5 effects + insight-2 faces: the rank-machinery tests
+    # (cliffs/CvM/energy fold to distinct-value cumsum frames), the
+    # two-hop link-prediction join (support-thresholded, hub-capped),
+    # and the doc-grain burstiness reduction
+    "stat_cliffs_delta",
+    "stat_energy_distance",
+    "graph_adamic_adar",
+    "text_term_burstiness",
+    "behavior_ltv_cohort_curves",
+    # batch 6: score-vocabulary cumsums, dense-rank successor join,
+    # inverted-index candidate generation
+    "eval_auprc",
+    "dq_key_gaps",
+    "rec_item_cosine",
+    "rec_user_jaccard_topk",
 ]
 
 TIERS = ["sf0.001", "sf0.01", "sf0.1"]
