@@ -200,6 +200,9 @@ HEADLINE = [
     "dq_key_gaps",
     "rec_item_cosine",
     "rec_user_jaccard_topk",
+    "ts_holt_winters_weekly",
+    "stat_kendall_tau_daily",
+    "eval_auc_hanley_ci",
 ]
 
 

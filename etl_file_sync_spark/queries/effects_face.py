@@ -672,3 +672,114 @@ def stat_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p, 6).alias("p_value"),
         F.round(F.least(p * F.col("m"), F.lit(1.0)), 6).alias("p_bonferroni"),
     ).orderBy("grp_a", "grp_b")
+
+
+@register(
+    "stat_kendall_tau_daily",
+    f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+    pairs AS (
+      SELECT
+        CAST(sum(CASE WHEN (b.rev - a.rev) * (b.n_orders - a.n_orders) > 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        CAST(sum(CASE WHEN (b.rev - a.rev) * (b.n_orders - a.n_orders) < 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        CAST(sum(CASE WHEN a.rev = b.rev THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+        CAST(sum(CASE WHEN a.n_orders = b.n_orders THEN 1 ELSE 0 END) AS BIGINT)
+          AS ty
+      FROM daily a JOIN daily b ON a.day < b.day
+    ),
+    stat AS (
+      SELECT n.n, pairs.c, pairs.d,
+             round((pairs.c - pairs.d) * 1.0
+                   / sqrt((n.n * (n.n - 1) / 2.0 - pairs.tx)
+                          * (n.n * (n.n - 1) / 2.0 - pairs.ty)), 6) AS tau_b,
+             round(3.0 * (pairs.c - pairs.d)
+                   / sqrt(n.n * (n.n - 1.0) * (2 * n.n + 5) / 2.0), 4) AS z_stat
+      FROM pairs, n
+    ),
+    pz AS (SELECT *, abs(z_stat) / sqrt(2.0) AS xx FROM stat),
+    pp AS (SELECT *, 1 / (1 + 0.3275911 * xx) AS tt FROM pz)
+    SELECT n AS n_days, c AS concordant, d AS discordant, tau_b, z_stat,
+           round({_SQL_ERFC}, 6) AS p_value
+    FROM pp
+    """,
+    "stats",
+    "rank-test",
+    "timeseries",
+)
+def stat_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between daily revenue and daily order count, with
+    tie corrections and the normal z approximation (closed-form
+    two-sided p on the 4-decimal-rounded z). The all-pairs self-join is
+    SAFE here by construction: it runs on the CALENDAR-BOUNDED daily
+    frame (~2.4k rows -> ~3M integer-only pair comparisons at ANY
+    corpus scale — the corpus-sized work is the one groupBy that builds
+    the frame). For row-grain tau at scale you'd use Spearman
+    (stat_spearman_rank_corr) instead, which is why that operator rides
+    the bucketed rank machinery."""
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+    )
+    n = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = daily.select(
+        F.col("day").alias("da"), F.col("rev").alias("ra"), F.col("n_orders").alias("oa")
+    )
+    b = daily.select(
+        F.col("day").alias("db"), F.col("rev").alias("rb"), F.col("n_orders").alias("ob")
+    )
+    prod = (F.col("rb") - F.col("ra")) * (F.col("ob") - F.col("oa"))
+    pairs = (
+        a.join(b, F.col("da") < F.col("db"))
+        .agg(
+            F.sum(F.when(prod > 0, 1).otherwise(0)).cast("bigint").alias("c"),
+            F.sum(F.when(prod < 0, 1).otherwise(0)).cast("bigint").alias("d"),
+            F.sum(F.when(F.col("ra") == F.col("rb"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("tx"),
+            F.sum(F.when(F.col("oa") == F.col("ob"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("ty"),
+        )
+    )
+    n0 = F.col("n") * (F.col("n") - 1) / F.lit(2.0)
+    stat = pairs.crossJoin(F.broadcast(n)).select(  # 1-row count dimension
+        "n",
+        "c",
+        "d",
+        F.round(
+            (F.col("c") - F.col("d"))
+            * 1.0
+            / F.sqrt((n0 - F.col("tx")) * (n0 - F.col("ty"))),
+            6,
+        ).alias("tau_b"),
+        F.round(
+            3.0
+            * (F.col("c") - F.col("d"))
+            / F.sqrt(
+                F.col("n") * (F.col("n") - 1.0) * (2 * F.col("n") + 5) / F.lit(2.0)
+            ),
+            4,
+        ).alias("z_stat"),
+    )
+    return stat.select(
+        F.col("n").alias("n_days"),
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        "tau_b",
+        "z_stat",
+        F.round(normal_two_sided_p(F.col("z_stat")), 6).alias("p_value"),
+    )

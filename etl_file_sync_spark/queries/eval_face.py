@@ -752,3 +752,91 @@ def eval_auprc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("baseline_precision"),
         )
     )
+
+
+@register(
+    "eval_auc_hanley_ci",
+    f"""
+    WITH {_SCORED_SQL},
+    g AS (SELECT score, label, count(*) AS c FROM scored GROUP BY score, label),
+    vals AS (SELECT score, CAST(sum(c) AS BIGINT) AS cnt FROM g GROUP BY score),
+    cum AS (
+      SELECT score, cnt,
+             coalesce(sum(cnt) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (cnt + 1) / 2.0 AS avg_rank
+      FROM vals
+    ),
+    agg AS (
+      SELECT CAST(sum(CASE WHEN label = 1 THEN g.c ELSE 0 END) AS BIGINT) AS np,
+             CAST(sum(CASE WHEN label = 0 THEN g.c ELSE 0 END) AS BIGINT) AS nn,
+             sum(CASE WHEN label = 1 THEN g.c * cum.avg_rank ELSE 0.0 END) AS rp
+      FROM g JOIN cum ON g.score = cum.score
+    ),
+    auc AS (
+      SELECT np, nn, (rp - np * (np + 1) / 2.0) / (np * 1.0 * nn) AS a
+      FROM agg
+    ),
+    se AS (
+      SELECT np, nn, a,
+             sqrt((a * (1 - a)
+                   + (np - 1) * (a / (2 - a) - a * a)
+                   + (nn - 1) * (2 * a * a / (1 + a) - a * a))
+                  / (np * 1.0 * nn)) AS se
+      FROM auc
+    )
+    SELECT np AS n_pos, nn AS n_neg, round(a, 6) AS auc,
+           round(se, 6) AS auc_se,
+           round(greatest(0.0, a - 1.959963984540054 * se), 6) AS ci_lo,
+           round(least(1.0, a + 1.959963984540054 * se), 6) AS ci_hi
+    FROM se
+    """,
+    "eval",
+    "calibration",
+    "distributed-rank",
+)
+def eval_auc_hanley_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC with the Hanley-McNeil (1982) closed-form standard error
+    and clamped 95% CI — eval_roc_auc plus the uncertainty a model
+    report actually needs, in the same single bucketed rank pass:
+    SE^2 = (A(1-A) + (n+-1)(Q1-A^2) + (n--1)(Q2-A^2)) / (n+ n-) with
+    Q1 = A/(2-A), Q2 = 2A^2/(1+A). The 1.96 critical value is the
+    explicit double literal 1.959963984540054 in both engines."""
+    s = _scored(spark, sf_dir)
+    g = s.groupBy("score", "label").agg(F.count(F.lit(1)).alias("c"))
+    vals = g.groupBy("score").agg(F.sum("c").cast("bigint").alias("cnt"))
+    ranked = avg_ranks(vals, "score", "cnt")
+    agg = g.join(ranked.select("score", "avg_rank"), "score").agg(
+        F.sum(F.when(F.col("label") == 1, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("np"),
+        F.sum(F.when(F.col("label") == 0, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("nn"),
+        F.sum(
+            F.when(F.col("label") == 1, F.col("c") * F.col("avg_rank")).otherwise(0.0)
+        ).alias("rp"),
+    )
+    a = (F.col("rp") - F.col("np") * (F.col("np") + 1) / F.lit(2.0)) / (
+        F.col("np") * 1.0 * F.col("nn")
+    )
+    auc = agg.select("np", "nn", a.alias("a"))
+    se_expr = F.sqrt(
+        (
+            F.col("a") * (1 - F.col("a"))
+            + (F.col("np") - 1) * (F.col("a") / (2 - F.col("a")) - F.col("a") * F.col("a"))
+            + (F.col("nn") - 1)
+            * (2 * F.col("a") * F.col("a") / (1 + F.col("a")) - F.col("a") * F.col("a"))
+        )
+        / (F.col("np") * 1.0 * F.col("nn"))
+    )
+    se = auc.withColumn("se", se_expr)
+    z95 = 1.959963984540054
+    return se.select(
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        F.round("a", 6).alias("auc"),
+        F.round("se", 6).alias("auc_se"),
+        F.round(F.greatest(F.lit(0.0), F.col("a") - z95 * F.col("se")), 6).alias("ci_lo"),
+        F.round(F.least(F.lit(1.0), F.col("a") + z95 * F.col("se")), 6).alias("ci_hi"),
+    )

@@ -697,3 +697,141 @@ def ts_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("timestamp")
         .alias("first_alarm_day"),
     )
+
+
+_HW_A, _HW_B, _HW_G = 0.3, 0.1, 0.2  # level / trend / seasonal
+_HW_P, _HW_H = 7, 7  # weekly period, 7-day forecast
+_HW_TAIL = 28  # history rows emitted
+
+
+@register(
+    "ts_holt_winters_weekly",
+    f"""
+    WITH RECURSIVE {_DAILY_REV},
+    r AS (
+      SELECT day, cents AS y,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+      FROM daily
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r),
+    init AS (
+      SELECT
+        (SELECT sum(CAST(y AS DOUBLE)) / {_HW_P} FROM r WHERE rn <= {_HW_P}) AS l0,
+        ((SELECT sum(CAST(y AS DOUBLE)) / {_HW_P} FROM r
+           WHERE rn > {_HW_P} AND rn <= {2 * _HW_P})
+         - (SELECT sum(CAST(y AS DOUBLE)) / {_HW_P} FROM r WHERE rn <= {_HW_P}))
+        / {_HW_P} AS b0,
+        (SELECT list(CAST(y AS DOUBLE) ORDER BY rn) FROM r WHERE rn <= {_HW_P})
+          AS w1
+    ),
+    hw AS (
+      SELECT CAST({_HW_P} AS BIGINT) AS rn,
+             CAST(l0 AS DOUBLE) AS l, CAST(b0 AS DOUBLE) AS b,
+             list_transform(w1, v -> v - l0) AS s,
+             CAST(NULL AS DOUBLE) AS fitted
+      FROM init
+      UNION ALL
+      SELECT hw.rn + 1,
+             CAST({_HW_A} * (r.y - hw.s[1]) + {1 - _HW_A} * (hw.l + hw.b)
+               AS DOUBLE),
+             CAST({_HW_B} * (({_HW_A} * (r.y - hw.s[1])
+                              + {1 - _HW_A} * (hw.l + hw.b)) - hw.l)
+                  + {1 - _HW_B} * hw.b AS DOUBLE),
+             hw.s[2:{_HW_P}]
+               || [CAST({_HW_G} * (r.y - ({_HW_A} * (r.y - hw.s[1])
+                                          + {1 - _HW_A} * (hw.l + hw.b)))
+                        + {1 - _HW_G} * hw.s[1] AS DOUBLE)],
+             hw.l + hw.b + hw.s[1]
+      FROM hw JOIN r ON r.rn = hw.rn + 1
+    ),
+    hist AS (
+      SELECT r.day, r.y, hw.fitted, CAST(0 AS BIGINT) AS horizon
+      FROM hw JOIN r ON r.rn = hw.rn, n
+      WHERE hw.rn > {_HW_P} AND hw.rn > n.n - {_HW_TAIL}
+    ),
+    last AS (
+      SELECT hw.l, hw.b, hw.s, r.day
+      FROM hw JOIN n ON hw.rn = n.n JOIN r ON r.rn = hw.rn
+    ),
+    fc AS (
+      SELECT CAST(last.day + (i.range + 1) * INTERVAL 1 DAY AS DATE) AS day,
+             CAST(NULL AS BIGINT) AS y,
+             last.l + (i.range + 1) * last.b + last.s[CAST(i.range + 1 AS INTEGER)]
+               AS fitted,
+             CAST(i.range + 1 AS BIGINT) AS horizon
+      FROM last, range({_HW_H}) i
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, y AS y_cents,
+           round(fitted, 4) AS fitted, horizon
+    FROM (SELECT * FROM hist UNION ALL SELECT * FROM fc)
+    ORDER BY day
+    """,
+    "timeseries",
+    "smoothing",
+    "forecast",
+)
+def ts_holt_winters_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE triple-exponential smoothing of daily
+    revenue with a weekly (period-7) season and a 7-day forecast —
+    ts_holt_linear's seasonal sibling. Initialization is the textbook
+    two-week scheme (l0 = week-1 mean, b0 = (week-2 mean - week-1
+    mean)/7, s_i = y_i - l0), then the l/b/s recurrences run once per
+    day. The daily frame is CALENDAR-BOUNDED (~2.4k rows at any corpus
+    scale), so after the one corpus-scale groupBy the engine collects
+    it (the bounded-frame contract shared with ts_holt_linear and the
+    Markov kernel) and runs the float64 recurrence driver-side; the
+    oracle replays the IDENTICAL ops as a recursive CTE whose seasonal
+    state rides a rotating 7-element LIST (head = current season,
+    updated value appended at the tail), so every level/trend/season is
+    the same IEEE sequence in both engines. Emits the last 28 fitted
+    days plus horizons 1..7."""
+    import datetime
+
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    rows = sorted(daily.collect(), key=lambda r: r["day"])  # calendar-bounded
+    a, bb, g, p = _HW_A, _HW_B, _HW_G, _HW_P
+    n = len(rows)
+    out: list[tuple] = []
+    if n >= 2 * p:
+        w1 = sum(float(r["y"]) for r in rows[:p]) / p
+        w2 = sum(float(r["y"]) for r in rows[p : 2 * p]) / p
+        l, b = w1, (w2 - w1) / p
+        s = [float(r["y"]) - w1 for r in rows[:p]]
+        fits: list[tuple] = []
+        for r in rows[p:]:
+            y = r["y"]
+            s_head = s[0]
+            fitted = l + b + s_head
+            l_new = a * (y - s_head) + (1 - a) * (l + b)
+            b = bb * (l_new - l) + (1 - bb) * b
+            s = s[1:] + [g * (y - l_new) + (1 - g) * s_head]
+            l = l_new
+            fits.append((r["day"], y, fitted, 0))
+        out.extend(fits[-_HW_TAIL:] if len(fits) > _HW_TAIL else fits)
+        last_day = rows[-1]["day"]
+        for h in range(1, _HW_H + 1):
+            out.append(
+                (
+                    last_day + datetime.timedelta(days=h),
+                    None,
+                    l + h * b + s[h - 1],
+                    h,
+                )
+            )
+    sdf = spark.createDataFrame(
+        out, "day date, y_cents bigint, fitted double, horizon bigint"
+    )
+    return sdf.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "y_cents",
+        F.round("fitted", 4).alias("fitted"),
+        "horizon",
+    ).orderBy("day")

@@ -161,6 +161,11 @@ OPS = [
     "dq_key_gaps",
     "rec_item_cosine",
     "rec_user_jaccard_topk",
+    # batch 7: calendar-bounded recurrence + all-pairs-safe tau; AUC CI
+    # rides the same rank pass as eval_roc_auc
+    "ts_holt_winters_weekly",
+    "stat_kendall_tau_daily",
+    "eval_auc_hanley_ci",
 ]
 
 TIERS = ["sf0.001", "sf0.01", "sf0.1"]
