@@ -203,6 +203,10 @@ HEADLINE = [
     "ts_holt_winters_weekly",
     "stat_kendall_tau_daily",
     "eval_auc_hanley_ci",
+    "dq_referential_integrity",
+    "eval_lift_gains",
+    "stat_cochran_armitage",
+    "ts_pacf_durbin",
 ]
 
 

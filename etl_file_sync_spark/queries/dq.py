@@ -439,3 +439,91 @@ def dq_key_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("gap_len"), "gap_start")
         .limit(5)
     )
+
+
+@register(
+    "dq_referential_integrity",
+    """
+    WITH li AS (
+      SELECT CAST(count(*) AS BIGINT) AS child_rows,
+             CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS orphan_rows
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    oc AS (
+      SELECT CAST(count(*) AS BIGINT) AS child_rows,
+             CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS orphan_rows
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    cn AS (
+      SELECT CAST(count(*) AS BIGINT) AS child_rows,
+             CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS orphan_rows
+      FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT fk, child_rows, orphan_rows,
+           round(orphan_rows * 1.0 / child_rows, 6) AS orphan_rate,
+           orphan_rows = 0 AS holds
+    FROM (
+      SELECT 'lineitem.l_orderkey -> orders' AS fk, * FROM li
+      UNION ALL SELECT 'orders.o_custkey -> customer', * FROM oc
+      UNION ALL SELECT 'customer.c_nationkey -> nation', * FROM cn
+    ) ORDER BY fk
+    """,
+    "dq",
+    "audit",
+    "join",
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit of the three fact->dimension foreign
+    keys (lineitem->orders, orders->customer, customer->nation): child
+    row count, orphan count via a left-join null probe (one shuffle per
+    FK, counted map-side after the join — never a collected orphan
+    list), orphan rate, and a boolean verdict. The FK companion to
+    dq_functional_dependency: FD validates intra-table determinism,
+    this validates inter-table closure."""
+
+    def probe(child: DataFrame, ckey: str, parent: DataFrame, pkey: str, fk: str):
+        joined = child.select(F.col(ckey)).join(
+            parent.select(F.col(pkey)).distinct(),
+            F.col(ckey) == F.col(pkey),
+            "left",
+        )
+        return joined.agg(
+            F.lit(fk).alias("fk"),
+            F.count(F.lit(1)).cast("bigint").alias("child_rows"),
+            F.sum(F.when(F.col(pkey).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("orphan_rows"),
+        )
+
+    li = probe(
+        t(spark, sf_dir, "lineitem"), "l_orderkey",
+        t(spark, sf_dir, "orders"), "o_orderkey",
+        "lineitem.l_orderkey -> orders",
+    )
+    oc = probe(
+        t(spark, sf_dir, "orders"), "o_custkey",
+        t(spark, sf_dir, "customer"), "c_custkey",
+        "orders.o_custkey -> customer",
+    )
+    cn = probe(
+        t(spark, sf_dir, "customer"), "c_nationkey",
+        t(spark, sf_dir, "nation"), "n_nationkey",
+        "customer.c_nationkey -> nation",
+    )
+    return (
+        li.unionAll(oc)
+        .unionAll(cn)
+        .select(
+            "fk",
+            "child_rows",
+            "orphan_rows",
+            F.round(F.col("orphan_rows") * 1.0 / F.col("child_rows"), 6).alias(
+                "orphan_rate"
+            ),
+            (F.col("orphan_rows") == 0).alias("holds"),
+        )
+        .orderBy("fk")
+    )

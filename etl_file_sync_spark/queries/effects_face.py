@@ -783,3 +783,88 @@ def stat_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "z_stat",
         F.round(normal_two_sided_p(F.col("z_stat")), 6).alias("p_value"),
     )
+
+
+@register(
+    "stat_cochran_armitage",
+    f"""
+    WITH s AS (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS score,
+             CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END AS suc
+      FROM orders
+    ),
+    g AS (
+      SELECT score, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(suc) AS BIGINT) AS x
+      FROM s GROUP BY score
+    ),
+    fold AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(x) AS BIGINT) AS xt,
+             CAST(sum(score * x) AS BIGINT) AS t,
+             CAST(sum(score * n) AS BIGINT) AS sn,
+             CAST(sum(score * score * n) AS BIGINT) AS ssn
+      FROM g
+    ),
+    stat AS (
+      SELECT nt, xt,
+             round((t - xt * 1.0 / nt * sn)
+                   / sqrt(xt * 1.0 / nt * (1 - xt * 1.0 / nt)
+                          * (ssn - sn * 1.0 * sn / nt)), 4) AS z_stat
+      FROM fold
+    ),
+    pz AS (SELECT *, abs(z_stat) / sqrt(2.0) AS xx FROM stat),
+    pp AS (SELECT *, 1 / (1 + 0.3275911 * xx) AS tt FROM pz)
+    SELECT nt AS n_orders, xt AS n_success, z_stat,
+           round({_SQL_ERFC}, 6) AS p_value
+    FROM pp
+    """,
+    "stats",
+    "ab-test",
+    "rank-test",
+)
+def stat_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage test for a linear trend in the big-order rate
+    (o_totalprice > 250k) across the ORDERED priority levels, scored by
+    the priority's leading digit 1..5: T = sum s_j x_j,
+    z = (T - pbar sum s_j n_j) / sqrt(pbar(1-pbar)(sum s_j^2 n_j -
+    (sum s_j n_j)^2/N)) — the dose-response sibling of
+    stat_chi_square_independence, which ignores the ordering. All folds
+    are exact integers; the two-sided normal tail is the closed-form
+    erf spelling on the 4-decimal-rounded z."""
+    s = t(spark, sf_dir, "orders").select(
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("score"),
+        F.when(F.col("o_totalprice") > 250000, 1).otherwise(0).alias("suc"),
+    )
+    g = s.groupBy("score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("suc").cast("bigint").alias("x"),
+    )
+    fold = g.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("x").cast("bigint").alias("xt"),
+        F.sum(F.col("score") * F.col("x")).cast("bigint").alias("t"),
+        F.sum(F.col("score") * F.col("n")).cast("bigint").alias("sn"),
+        F.sum(F.col("score") * F.col("score") * F.col("n"))
+        .cast("bigint")
+        .alias("ssn"),
+    )
+    pbar = F.col("xt") * 1.0 / F.col("nt")
+    stat = fold.select(
+        "nt",
+        "xt",
+        F.round(
+            (F.col("t") - pbar * F.col("sn"))
+            / F.sqrt(
+                pbar
+                * (1 - pbar)
+                * (F.col("ssn") - F.col("sn") * 1.0 * F.col("sn") / F.col("nt"))
+            ),
+            4,
+        ).alias("z_stat"),
+    )
+    return stat.select(
+        F.col("nt").alias("n_orders"),
+        F.col("xt").alias("n_success"),
+        "z_stat",
+        F.round(normal_two_sided_p(F.col("z_stat")), 6).alias("p_value"),
+    )

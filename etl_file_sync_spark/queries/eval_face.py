@@ -840,3 +840,80 @@ def eval_auc_hanley_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.greatest(F.lit(0.0), F.col("a") - z95 * F.col("se")), 6).alias("ci_lo"),
         F.round(F.least(F.lit(1.0), F.col("a") + z95 * F.col("se")), 6).alias("ci_hi"),
     )
+
+
+@register(
+    "eval_lift_gains",
+    f"""
+    WITH {_SCORED_SQL},
+    b AS (
+      SELECT CAST(least(floor(score * 10), 9) AS INTEGER) AS bucket,
+             label
+      FROM scored
+    ),
+    g AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(label) AS BIGINT) AS pos
+      FROM b GROUP BY bucket
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(pos) AS BIGINT) AS pt
+            FROM g),
+    cum AS (
+      SELECT bucket, n, pos,
+             sum(n) OVER (ORDER BY bucket DESC) AS cum_n,
+             sum(pos) OVER (ORDER BY bucket DESC) AS cum_pos
+      FROM g
+    )
+    SELECT bucket, n, pos,
+           round(cum_pos * 1.0 / pt, 6) AS cum_gain,
+           round((cum_pos * 1.0 / cum_n) / (pt * 1.0 / nt), 6) AS cum_lift,
+           round(cum_n * 1.0 / nt, 6) AS population_frac
+    FROM cum, tot ORDER BY bucket DESC
+    """,
+    "eval",
+    "decision",
+    "calibration",
+)
+def eval_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains and lift table of the quality classifier by
+    descending score decile — the campaign-targeting companion to
+    dq_calibration_curve (same fixed-width buckets on the quantized
+    score): cum_gain = fraction of all positives captured at or above
+    the bucket, cum_lift = capture precision over the base rate,
+    population_frac = how much of the corpus you had to accept. One
+    groupBy to the 10-row bucket frame; the cumulative window runs on
+    that bounded frame only."""
+    s = _scored(spark, sf_dir)
+    b = s.select(
+        F.least(F.floor(F.col("score") * 10), F.lit(9)).cast("int").alias("bucket"),
+        "label",
+    )
+    g = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("label").cast("bigint").alias("pos"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("nt"), F.sum("pos").cast("bigint").alias("pt")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.desc("bucket"))  # 10-row bucket frame — bounded
+    cum = g.withColumn("cum_n", F.sum("n").over(w)).withColumn(
+        "cum_pos", F.sum("pos").over(w)
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))  # 1-row totals dimension
+        .select(
+            "bucket",
+            "n",
+            "pos",
+            F.round(F.col("cum_pos") * 1.0 / F.col("pt"), 6).alias("cum_gain"),
+            F.round(
+                (F.col("cum_pos") * 1.0 / F.col("cum_n"))
+                / (F.col("pt") * 1.0 / F.col("nt")),
+                6,
+            ).alias("cum_lift"),
+            F.round(F.col("cum_n") * 1.0 / F.col("nt"), 6).alias("population_frac"),
+        )
+        .orderBy(F.desc("bucket"))
+    )

@@ -835,3 +835,122 @@ def ts_holt_winters_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("fitted", 4).alias("fitted"),
         "horizon",
     ).orderBy("day")
+
+
+@register(
+    "ts_pacf_durbin",
+    f"""
+    WITH {_DAILY_REV},
+    r AS (SELECT day, cents,
+                 CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+          FROM daily),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(cents AS DOUBLE)) / count(*) AS mu
+          FROM r),
+    c0 AS (
+      SELECT sum((r.cents - m.mu) * (r.cents - m.mu)) AS c0, max(m.n) AS n
+      FROM r, m
+    ),
+    ck AS (
+      SELECT l.lag, sum((a.cents - m.mu) * (b.cents - m.mu)) AS c
+      FROM (SELECT unnest(range(1, 4)) AS lag) l
+      JOIN r a ON true JOIN r b ON a.rn = b.rn + l.lag, m
+      GROUP BY l.lag
+    ),
+    rk AS (
+      SELECT c0.n,
+             max(CASE WHEN ck.lag = 1 THEN ck.c END) / max(c0.c0) AS r1,
+             max(CASE WHEN ck.lag = 2 THEN ck.c END) / max(c0.c0) AS r2,
+             max(CASE WHEN ck.lag = 3 THEN ck.c END) / max(c0.c0) AS r3
+      FROM ck, c0 GROUP BY c0.n
+    ),
+    p2 AS (
+      SELECT *, (r2 - r1 * r1) / (1 - r1 * r1) AS pacf2 FROM rk
+    ),
+    p3 AS (
+      SELECT *, r1 * (1 - pacf2) AS phi21 FROM p2
+    )
+    SELECT n AS n_days,
+           round(r1, 6) AS acf1, round(r2, 6) AS acf2, round(r3, 6) AS acf3,
+           round(r1, 6) AS pacf1, round(pacf2, 6) AS pacf2,
+           round((r3 - phi21 * r2 - pacf2 * r1)
+                 / (1 - phi21 * r1 - pacf2 * r2), 6) AS pacf3
+    FROM p3
+    """,
+    "timeseries",
+    "autocorrelation",
+)
+def ts_pacf_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of daily revenue at lags 1-3 via the
+    Durbin-Levinson recursion unrolled to closed form (pacf1 = r1,
+    pacf2 = (r2 - r1^2)/(1 - r1^2), pacf3 from the order-2
+    coefficients) — the AR-order diagnostic companion to
+    ts_autocorrelation, using the autocovariance ACF with the GLOBAL
+    mean (the Box-Jenkins convention, unlike ts_autocorrelation's
+    per-lag Pearson). The daily frame is calendar-bounded, so the
+    row_number window and lag self-joins never touch row-grain data;
+    cents are exact integers so both engines' co-moments are
+    ulp-aligned."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    r = daily.withColumn(
+        "rn", F.row_number().over(W.orderBy("day")).cast("bigint")
+    )
+    m = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum(F.col("cents").cast("double")) / F.count(F.lit(1))).alias("mu"),
+    )
+    rm = r.crossJoin(F.broadcast(m))  # 1-row moments dimension
+    c0 = rm.agg(
+        F.sum((F.col("cents") - F.col("mu")) * (F.col("cents") - F.col("mu"))).alias(
+            "c0"
+        ),
+        F.max("n").alias("n"),
+    )
+    lags = spark.range(1, 4).select(F.col("id").cast("int").alias("lag"))
+    a = r.select(F.col("rn").alias("rn_a"), F.col("cents").alias("x"))
+    b = r.select(F.col("rn").alias("rn_b"), F.col("cents").alias("y"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("rn_a") == F.col("rn_b") + F.col("lag"))
+        .crossJoin(F.broadcast(m))
+    )
+    ck = pairs.groupBy("lag").agg(
+        F.sum((F.col("x") - F.col("mu")) * (F.col("y") - F.col("mu"))).alias("c")
+    )
+    rk = (
+        ck.crossJoin(F.broadcast(c0))
+        .groupBy("n")
+        .agg(
+            (F.max(F.when(F.col("lag") == 1, F.col("c"))) / F.max("c0")).alias("r1"),
+            (F.max(F.when(F.col("lag") == 2, F.col("c"))) / F.max("c0")).alias("r2"),
+            (F.max(F.when(F.col("lag") == 3, F.col("c"))) / F.max("c0")).alias("r3"),
+        )
+    )
+    pacf2 = (F.col("r2") - F.col("r1") * F.col("r1")) / (
+        1 - F.col("r1") * F.col("r1")
+    )
+    p2 = rk.withColumn("pacf2", pacf2)
+    p3 = p2.withColumn("phi21", F.col("r1") * (1 - F.col("pacf2")))
+    return p3.select(
+        F.col("n").alias("n_days"),
+        F.round("r1", 6).alias("acf1"),
+        F.round("r2", 6).alias("acf2"),
+        F.round("r3", 6).alias("acf3"),
+        F.round("r1", 6).alias("pacf1"),
+        F.round("pacf2", 6).alias("pacf2"),
+        F.round(
+            (F.col("r3") - F.col("phi21") * F.col("r2") - F.col("pacf2") * F.col("r1"))
+            / (1 - F.col("phi21") * F.col("r1") - F.col("pacf2") * F.col("r2")),
+            6,
+        ).alias("pacf3"),
+    )

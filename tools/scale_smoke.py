@@ -166,6 +166,12 @@ OPS = [
     "ts_holt_winters_weekly",
     "stat_kendall_tau_daily",
     "eval_auc_hanley_ci",
+    # batch 8: FK null-probe joins, bounded gains window, ordinal
+    # trend fold, calendar-bounded PACF
+    "dq_referential_integrity",
+    "eval_lift_gains",
+    "stat_cochran_armitage",
+    "ts_pacf_durbin",
 ]
 
 TIERS = ["sf0.001", "sf0.01", "sf0.1"]
