@@ -207,6 +207,9 @@ HEADLINE = [
     "eval_lift_gains",
     "stat_cochran_armitage",
     "ts_pacf_durbin",
+    "behavior_dau_stickiness",
+    "funnel_time_to_convert",
+    "stat_partial_correlation",
 ]
 
 

@@ -925,3 +925,140 @@ def behavior_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
             "state string, p_error_before_purchase double",
         ).orderBy("state")
     )
+
+
+@register(
+    "behavior_dau_stickiness",
+    """
+    WITH du AS (
+      SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+      FROM events
+    ),
+    dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY day),
+    fan AS (
+      SELECT CAST(du.day + o.range * INTERVAL 1 DAY AS DATE) AS wday,
+             du.user_id
+      FROM du, range(7) o
+    ),
+    wau AS (
+      SELECT wday AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      FROM fan GROUP BY wday
+    )
+    SELECT CAST(dau.day AS TIMESTAMP) AS day, dau.dau, wau.wau,
+           round(dau.dau * 1.0 / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau ON dau.day = wau.day
+    ORDER BY day
+    """,
+    "behavior",
+    "distinct-count",
+    "window",
+)
+def behavior_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU, trailing-7-day WAU, and the DAU/WAU stickiness ratio per
+    active day. Rolling DISTINCT users can't ride a plain window (no
+    distinct-over-range), so each (day, user) activity row FANS OUT to
+    the 7 future days whose trailing window it belongs to, and WAU is a
+    plain count-distinct per fanned day — a bounded 7x row expansion
+    (the standard rolling-distinct trick) instead of a 7-way self-join.
+    Emitted days are the observed active days only (join back to DAU),
+    so early days carry partial windows by definition."""
+    du = (
+        t(spark, sf_dir, "events")
+        .select(F.col("ts").cast("date").alias("day"), "user_id")
+        .distinct()
+    )
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    offsets = spark.range(7).select(F.col("id").cast("int").alias("o"))
+    fan = du.crossJoin(F.broadcast(offsets)).select(
+        F.date_add(F.col("day"), F.col("o")).alias("wday"), "user_id"
+    )
+    wau = fan.groupBy(F.col("wday").alias("day")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau") * 1.0 / F.col("wau"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "funnel_time_to_convert",
+    """
+    WITH f AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view'
+                 THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS first_view,
+             min(CASE WHEN event_type = 'purchase'
+                 THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS first_purchase
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT CAST(first_purchase - first_view AS BIGINT) AS delta_us
+      FROM f
+      WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase >= first_view
+    ),
+    base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_viewers
+      FROM f WHERE first_view IS NOT NULL
+    )
+    SELECT base.n_viewers,
+           CAST(count(*) AS BIGINT) AS n_converters,
+           round(count(*) * 1.0 / base.n_viewers, 6) AS conversion_rate,
+           round(quantile_cont(delta_us, 0.5) / 3600e6, 4) AS med_hours,
+           round(quantile_cont(delta_us, 0.9) / 3600e6, 4) AS p90_hours
+    FROM conv, base GROUP BY base.n_viewers
+    """,
+    "behavior",
+    "percentile",
+    "decision",
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, first view to first
+    purchase (converters = viewers whose first purchase is at or after
+    their first view), with EXACT median/p90 hours and the viewer
+    conversion rate — the latency companion to funnel_user_conversion.
+    Timestamps reduce to exact epoch-microsecond BIGINTs before the
+    percentile interpolation, so both engines interpolate identical
+    integers (the agg_percentiles_exact contract); the percentile
+    shuffle carries per-partition digests, not rows."""
+    e = t(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.unix_micros(F.col("ts")))
+        ).alias("first_view"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros(F.col("ts")))
+        ).alias("first_purchase"),
+    )
+    conv = f.where(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select((F.col("first_purchase") - F.col("first_view")).cast("bigint").alias("delta_us"))
+    base = f.where(F.col("first_view").isNotNull()).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_viewers")
+    )
+    return (
+        conv.crossJoin(F.broadcast(base))  # 1-row viewer-count dimension
+        .groupBy("n_viewers")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_converters"),
+            F.round(F.count(F.lit(1)) * 1.0 / F.first("n_viewers"), 6).alias(
+                "conversion_rate"
+            ),
+            F.round(F.percentile("delta_us", F.lit(0.5)) / 3600e6, 4).alias(
+                "med_hours"
+            ),
+            F.round(F.percentile("delta_us", F.lit(0.9)) / 3600e6, 4).alias(
+                "p90_hours"
+            ),
+        )
+        .select("n_viewers", "n_converters", "conversion_rate", "med_hours", "p90_hours")
+    )

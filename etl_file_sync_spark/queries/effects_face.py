@@ -868,3 +868,98 @@ def stat_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "z_stat",
         F.round(normal_two_sided_p(F.col("z_stat")), 6).alias("p_value"),
     )
+
+
+@register(
+    "stat_partial_correlation",
+    """
+    WITH s AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS x,
+             CAST(l_quantity AS BIGINT) AS y,
+             CAST(round(l_discount * 100) AS BIGINT) AS z
+      FROM lineitem
+    ),
+    m AS (
+      SELECT count(*) AS n, avg(x) AS mx, avg(y) AS my, avg(z) AS mz FROM s
+    ),
+    c AS (
+      SELECT sum((x - mx) * (y - my)) AS sxy,
+             sum((x - mx) * (z - mz)) AS sxz,
+             sum((y - my) * (z - mz)) AS syz,
+             sum((x - mx) * (x - mx)) AS sxx,
+             sum((y - my) * (y - my)) AS syy,
+             sum((z - mz) * (z - mz)) AS szz,
+             max(n) AS n
+      FROM s, m
+    ),
+    r AS (
+      SELECT CAST(n AS BIGINT) AS n,
+             sxy / sqrt(sxx * syy) AS rxy,
+             sxz / sqrt(sxx * szz) AS rxz,
+             syz / sqrt(syy * szz) AS ryz
+      FROM c
+    )
+    SELECT n, round(rxy, 6) AS r_price_qty,
+           round(rxz, 6) AS r_price_disc,
+           round(ryz, 6) AS r_qty_disc,
+           round((rxy - rxz * ryz) / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 6)
+             AS partial_r_price_qty_given_disc
+    FROM r
+    """,
+    "stats",
+    "regression",
+    "agg",
+)
+def stat_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order partial correlation of price and quantity controlling
+    for discount: r_xy.z = (r_xy - r_xz r_yz) / sqrt((1-r_xz^2)
+    (1-r_yz^2)) — what stat_correlation_matrix's marginal entries can't
+    tell you. All three inputs reduce to exact integers (cents,
+    quantity, discount basis points); co-moments use the two-pass
+    centered algebra (means first) shared with agg_corr_covar, so the
+    doubles are cancellation-free and ulp-aligned across engines."""
+    s = t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("x"),
+        F.col("l_quantity").cast("bigint").alias("y"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("z"),
+    )
+    m = s.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.avg("z").alias("mz"),
+    )
+    j = s.crossJoin(F.broadcast(m))  # 1-row means dimension
+    dx, dy, dz = (
+        F.col("x") - F.col("mx"),
+        F.col("y") - F.col("my"),
+        F.col("z") - F.col("mz"),
+    )
+    c = j.agg(
+        F.sum(dx * dy).alias("sxy"),
+        F.sum(dx * dz).alias("sxz"),
+        F.sum(dy * dz).alias("syz"),
+        F.sum(dx * dx).alias("sxx"),
+        F.sum(dy * dy).alias("syy"),
+        F.sum(dz * dz).alias("szz"),
+        F.max("n").alias("n"),
+    )
+    r = c.select(
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("sxy") / F.sqrt(F.col("sxx") * F.col("syy"))).alias("rxy"),
+        (F.col("sxz") / F.sqrt(F.col("sxx") * F.col("szz"))).alias("rxz"),
+        (F.col("syz") / F.sqrt(F.col("syy") * F.col("szz"))).alias("ryz"),
+    )
+    return r.select(
+        "n",
+        F.round("rxy", 6).alias("r_price_qty"),
+        F.round("rxz", 6).alias("r_price_disc"),
+        F.round("ryz", 6).alias("r_qty_disc"),
+        F.round(
+            (F.col("rxy") - F.col("rxz") * F.col("ryz"))
+            / F.sqrt(
+                (1 - F.col("rxz") * F.col("rxz")) * (1 - F.col("ryz") * F.col("ryz"))
+            ),
+            6,
+        ).alias("partial_r_price_qty_given_disc"),
+    )

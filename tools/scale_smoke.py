@@ -172,6 +172,11 @@ OPS = [
     "eval_lift_gains",
     "stat_cochran_armitage",
     "ts_pacf_durbin",
+    # batch 9: rolling-distinct fan-out, percentile digests, centered
+    # co-moment folds — all events/lineitem-grain
+    "behavior_dau_stickiness",
+    "funnel_time_to_convert",
+    "stat_partial_correlation",
 ]
 
 TIERS = ["sf0.001", "sf0.01", "sf0.1"]
