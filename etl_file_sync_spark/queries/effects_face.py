@@ -963,3 +963,97 @@ def stat_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("partial_r_price_qty_given_disc"),
     )
+
+
+@register(
+    "stat_smd_balance",
+    """
+    WITH x AS (
+      SELECT r.r_name AS stratum,
+             CASE WHEN o.o_custkey % 2 = 0 THEN 1 ELSE 0 END AS treated,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS c
+      FROM orders o
+      JOIN customer cu ON o.o_custkey = cu.c_custkey
+      JOIN nation n ON cu.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    ),
+    m AS (
+      SELECT stratum, treated,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s,
+             CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE) AS ss
+      FROM x GROUP BY stratum, treated
+    ),
+    w AS (
+      SELECT stratum,
+             max(CASE WHEN treated = 1 THEN n END) AS nt,
+             max(CASE WHEN treated = 0 THEN n END) AS nc,
+             max(CASE WHEN treated = 1 THEN s * 1.0 / n END) AS mt,
+             max(CASE WHEN treated = 0 THEN s * 1.0 / n END) AS mc,
+             max(CASE WHEN treated = 1
+                 THEN (ss - s * 1.0 / n * s) / (n - 1) END) AS vt,
+             max(CASE WHEN treated = 0
+                 THEN (ss - s * 1.0 / n * s) / (n - 1) END) AS vc
+      FROM m GROUP BY stratum
+    )
+    SELECT stratum, CAST(nt AS BIGINT) AS n_treated, CAST(nc AS BIGINT) AS n_control,
+           round((mt - mc) / sqrt((vt + vc) / 2), 6) AS smd,
+           round(abs(mt - mc) / sqrt((vt + vc) / 2), 6) AS abs_smd,
+           abs((mt - mc) / sqrt((vt + vc) / 2)) < 0.1 AS balanced
+    FROM w ORDER BY stratum
+    """,
+    "stats",
+    "ab-test",
+    "stratified",
+)
+def stat_smd_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized-mean-difference covariate balance table per region
+    stratum (exposure = even custkey, covariate = order price in exact
+    cents): SMD = (mean_T - mean_C) / sqrt((var_T + var_C)/2) with the
+    conventional |SMD| < 0.1 balance verdict — the diagnostic run
+    BEFORE trusting stat_propensity_stratified_att / stat_ipw_ate.
+    Per-(stratum, arm) moments are exact integer folds (DECIMAL squares
+    — cents squared overflow BIGINT); the verdict compares the
+    unrounded double identically in both engines."""
+    o = t(spark, sf_dir, "orders")
+    x = (
+        o.join(t(spark, sf_dir, "customer"), o.o_custkey == F.col("c_custkey"))
+        .join(
+            F.broadcast(t(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            F.col("r_name").alias("stratum"),
+            F.when(F.col("o_custkey") % 2 == 0, 1).otherwise(0).alias("treated"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+        )
+    )
+    dec = F.col("c").cast("decimal(18,0)")
+    m = x.groupBy("stratum", "treated").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(dec * dec).cast("double").alias("ss"),
+    )
+    mean = F.col("s") * 1.0 / F.col("n")
+    var = (F.col("ss") - mean * F.col("s")) / (F.col("n") - 1)
+    w = m.groupBy("stratum").agg(
+        F.max(F.when(F.col("treated") == 1, F.col("n"))).alias("nt"),
+        F.max(F.when(F.col("treated") == 0, F.col("n"))).alias("nc"),
+        F.max(F.when(F.col("treated") == 1, mean)).alias("mt"),
+        F.max(F.when(F.col("treated") == 0, mean)).alias("mc"),
+        F.max(F.when(F.col("treated") == 1, var)).alias("vt"),
+        F.max(F.when(F.col("treated") == 0, var)).alias("vc"),
+    )
+    smd = (F.col("mt") - F.col("mc")) / F.sqrt((F.col("vt") + F.col("vc")) / 2)
+    return w.select(
+        "stratum",
+        F.col("nt").cast("bigint").alias("n_treated"),
+        F.col("nc").cast("bigint").alias("n_control"),
+        F.round(smd, 6).alias("smd"),
+        F.round(F.abs(smd), 6).alias("abs_smd"),
+        (F.abs(smd) < 0.1).alias("balanced"),
+    ).orderBy("stratum")

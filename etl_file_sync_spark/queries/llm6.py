@@ -357,3 +357,60 @@ def text_bigram_lm_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_hapax_profile",
+    """
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT source, term, CAST(count(*) AS BIGINT) AS c
+      FROM toks WHERE term <> '' GROUP BY source, term
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(c) AS BIGINT) AS tokens,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis,
+           round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS hapax_rate,
+           round(count(*) * 1.0 / sum(c), 6) AS ttr
+    FROM tf GROUP BY source ORDER BY source
+    """,
+    "text",
+    "quality",
+    "curation",
+)
+def text_hapax_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source hapax legomena profile: vocabulary size, token count,
+    hapax (frequency-1) and dis legomena (frequency-2) counts, hapax
+    rate, and type-token ratio — the Zipf-tail companion to
+    text_zipf_fit and text_heaps_law_fit (a corpus whose hapax rate
+    collapses under growth is template-heavy; one that stays ~0.4-0.6
+    is organic). Two combiner-friendly groupBys (source x term, then
+    source); every emitted number is an exact integer ratio."""
+    toks = t(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = (
+        toks.where(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("vocab"),
+            F.sum("c").cast("bigint").alias("tokens"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("bigint").alias("hapax"),
+            F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("bigint").alias("dis"),
+            F.round(
+                F.sum(F.when(F.col("c") == 1, 1).otherwise(0)) * 1.0 / F.count(F.lit(1)),
+                6,
+            ).alias("hapax_rate"),
+            F.round(F.count(F.lit(1)) * 1.0 / F.sum("c"), 6).alias("ttr"),
+        )
+        .orderBy("source")
+    )

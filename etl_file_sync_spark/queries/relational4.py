@@ -542,3 +542,75 @@ def scalar_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "agg_weighted_median",
+    """
+    WITH g AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(w) AS BIGINT) AS wt, CAST(count(*) AS BIGINT) AS nv
+            FROM g),
+    cum AS (
+      SELECT v, w, sum(w) OVER (ORDER BY v) AS cw FROM g
+    )
+    SELECT tot.wt AS total_weight, tot.nv AS n_distinct_prices,
+           CAST(min(CASE WHEN cum.cw * 2 >= tot.wt THEN cum.v END) AS BIGINT)
+             AS weighted_median_cents,
+           CAST(min(CASE WHEN cum.cw * 4 >= tot.wt THEN cum.v END) AS BIGINT)
+             AS weighted_p25_cents,
+           CAST(min(CASE WHEN cum.cw * 4 >= 3 * tot.wt THEN cum.v END) AS BIGINT)
+             AS weighted_p75_cents
+    FROM cum, tot GROUP BY tot.wt, tot.nv
+    """,
+    "agg",
+    "percentile",
+    "distributed-rank",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median (and p25/p75) of the unit price in
+    cents: the smallest price whose cumulative quantity weight reaches
+    half (quarter, three-quarters) of the total — the lower weighted
+    quantile, decided entirely in exact integer arithmetic (cw*2 >= W
+    avoids any 0.5 double), so no interpolation convention can
+    diverge. Cumulative weights ride the bucketed two-phase plan over
+    DISTINCT prices (operators/rankstats.py); the crossing pick is a
+    conditional min, not an order-dependent first()."""
+    from etl_file_sync_spark.operators.rankstats import bucketed_cumsums
+
+    g = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("v"))
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("w"))
+    )
+    tot = g.agg(
+        F.sum("w").cast("bigint").alias("wt"),
+        F.count(F.lit(1)).cast("bigint").alias("nv"),
+    )
+    cum = bucketed_cumsums(g, "v", ["w"], inclusive=True)
+    cw = F.col("cum_w")
+    return (
+        cum.crossJoin(F.broadcast(tot))  # 1-row totals dimension
+        .groupBy("wt", "nv")
+        .agg(
+            F.min(F.when(cw * 2 >= F.col("wt"), F.col("v")))
+            .cast("bigint")
+            .alias("weighted_median_cents"),
+            F.min(F.when(cw * 4 >= F.col("wt"), F.col("v")))
+            .cast("bigint")
+            .alias("weighted_p25_cents"),
+            F.min(F.when(cw * 4 >= 3 * F.col("wt"), F.col("v")))
+            .cast("bigint")
+            .alias("weighted_p75_cents"),
+        )
+        .select(
+            F.col("wt").alias("total_weight"),
+            F.col("nv").alias("n_distinct_prices"),
+            "weighted_median_cents",
+            "weighted_p25_cents",
+            "weighted_p75_cents",
+        )
+    )

@@ -177,6 +177,11 @@ OPS = [
     "behavior_dau_stickiness",
     "funnel_time_to_convert",
     "stat_partial_correlation",
+    # batch 10: weighted-quantile cumsum crossings, term-grain hapax
+    # reduction, per-stratum moment folds
+    "agg_weighted_median",
+    "text_hapax_profile",
+    "stat_smd_balance",
 ]
 
 TIERS = ["sf0.001", "sf0.01", "sf0.1"]
