@@ -210,6 +210,12 @@ HEADLINE = [
     "behavior_dau_stickiness",
     "funnel_time_to_convert",
     "stat_partial_correlation",
+    "agg_weighted_median",
+    "text_hapax_profile",
+    "stat_smd_balance",
+    "stat_tost_equivalence",
+    "text_code_detection",
+    "ops_error_budget_burn",
 ]
 
 

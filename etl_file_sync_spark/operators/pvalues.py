@@ -47,3 +47,10 @@ def chi2_sf_df1(x: Column) -> Column:
 def chi2_sf_df4(x: Column) -> Column:
     """Upper-tail chi-square probability at 4 degrees of freedom."""
     return F.exp(-x / 2) * (1 + x / 2)
+
+
+def normal_sf_signed(x: Column) -> Column:
+    """One-sided upper tail P(Z > x) for a SIGNED x:
+    1 - Phi(x) = 0.5 * (1 - sign(x) * erf(|x|/sqrt(2)))."""
+    s = F.when(x >= 0, 1.0).otherwise(-1.0)
+    return 0.5 * (1 - s * erf_as(F.abs(x) / math.sqrt(2.0)))

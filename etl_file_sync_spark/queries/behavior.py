@@ -1062,3 +1062,66 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_viewers", "n_converters", "conversion_rate", "med_hours", "p90_hours")
     )
+
+
+@register(
+    "ops_error_budget_burn",
+    """
+    WITH d AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS events,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS BIGINT) AS errors
+      FROM events GROUP BY 1
+    ),
+    cum AS (
+      SELECT day, events, errors,
+             sum(events) OVER (ORDER BY day) AS cum_events,
+             sum(errors) OVER (ORDER BY day) AS cum_errors
+      FROM d
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, events, errors,
+           round(errors * 1.0 / events, 6) AS error_rate,
+           round(cum_errors * 1.0 / (0.25 * cum_events), 6) AS budget_burn,
+           cum_errors * 4 > cum_events AS budget_exhausted
+    FROM cum ORDER BY day
+    """,
+    "behavior",
+    "decision",
+    "dq",
+)
+def ops_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO error-budget burn-down: daily error rate against a 75%
+    non-error objective (the events table carries ~20% organic errors,
+    so the budget is 25% of traffic), with the cumulative
+    budget-consumed fraction and an exhaustion flag — the SRE companion
+    to dq_freshness_sla. The corpus-scale pass is one daily groupBy;
+    the running sums ride the calendar-bounded daily frame, and the
+    exhaustion verdict is exact integer arithmetic (cum_errors*4 >
+    cum_events), immune to division rounding."""
+    d = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("events"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("bigint")
+            .alias("errors"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("day")  # calendar-bounded daily frame
+    cum = d.withColumn("cum_events", F.sum("events").over(w)).withColumn(
+        "cum_errors", F.sum("errors").over(w)
+    )
+    return cum.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "events",
+        "errors",
+        F.round(F.col("errors") * 1.0 / F.col("events"), 6).alias("error_rate"),
+        F.round(F.col("cum_errors") * 1.0 / (0.25 * F.col("cum_events")), 6).alias(
+            "budget_burn"
+        ),
+        (F.col("cum_errors") * 4 > F.col("cum_events")).alias("budget_exhausted"),
+    ).orderBy("day")

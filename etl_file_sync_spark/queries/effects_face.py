@@ -1057,3 +1057,120 @@ def stat_smd_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs(smd), 6).alias("abs_smd"),
         (F.abs(smd) < 0.1).alias("balanced"),
     ).orderBy("stratum")
+
+
+# one-sided upper tail on a signed column named zz: 0.5*(1 - sign*erf)
+def _sql_sf(zz: str) -> str:
+    return (
+        f"0.5 * (1 - (CASE WHEN {zz} >= 0 THEN 1.0 ELSE -1.0 END)"
+        f" * (1 - ((((1.061405429 * (1/(1+0.3275911*abs({zz})/sqrt(2.0)))"
+        f" - 1.453152027) * (1/(1+0.3275911*abs({zz})/sqrt(2.0)))"
+        f" + 1.421413741) * (1/(1+0.3275911*abs({zz})/sqrt(2.0)))"
+        f" - 0.284496736) * (1/(1+0.3275911*abs({zz})/sqrt(2.0)))"
+        f" + 0.254829592) * (1/(1+0.3275911*abs({zz})/sqrt(2.0)))"
+        f" * exp(-(abs({zz})/sqrt(2.0)) * (abs({zz})/sqrt(2.0)))))"
+    )
+
+
+_TOST_MARGIN = 500.0  # equivalence margin, cents
+
+
+@register(
+    "stat_tost_equivalence",
+    f"""
+    WITH s AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT variant, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS sm,
+             CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE) AS ss
+      FROM s GROUP BY variant
+    ),
+    w AS (
+      SELECT max(CASE WHEN variant = 'A' THEN n END) AS na,
+             max(CASE WHEN variant = 'B' THEN n END) AS nb,
+             max(CASE WHEN variant = 'A' THEN sm * 1.0 / n END) AS ma,
+             max(CASE WHEN variant = 'B' THEN sm * 1.0 / n END) AS mb,
+             max(CASE WHEN variant = 'A'
+                 THEN (ss - sm * 1.0 / n * sm) / (n - 1) / n END) AS va,
+             max(CASE WHEN variant = 'B'
+                 THEN (ss - sm * 1.0 / n * sm) / (n - 1) / n END) AS vb
+      FROM m
+    ),
+    z AS (
+      SELECT na, nb, ma - mb AS diff, sqrt(va + vb) AS se,
+             round((ma - mb + {_TOST_MARGIN}) / sqrt(va + vb), 4) AS z_lower,
+             round(({_TOST_MARGIN} - (ma - mb)) / sqrt(va + vb), 4) AS z_upper
+      FROM w
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(diff, 4) AS mean_diff_cents, round(se, 4) AS se_cents,
+           z_lower, z_upper,
+           round(greatest({_sql_sf('z_lower')}, {_sql_sf('z_upper')}), 6)
+             AS p_tost,
+           greatest({_sql_sf('z_lower')}, {_sql_sf('z_upper')}) < 0.05
+             AS equivalent
+    FROM z
+    """,
+    "stats",
+    "ab-test",
+    "equivalence",
+)
+def stat_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (two one-sided tests, Schuirmann) on mean
+    purchase value between even/odd user_id arms with a +-500-cent
+    margin: p_tost = max(P(Z > (diff+m)/se), P(Z > (m-diff)/se)) —
+    the test that can CONFIRM 'no meaningful difference', which
+    stat_ab_welch_ttest can only fail to reject. Per-arm moments are
+    exact integer folds (Welch unpooled SE); the one-sided tails use
+    the SIGNED closed-form normal SF (operators/pvalues.py
+    normal_sf_signed) on the 4-decimal-rounded z's; the verdict
+    compares the unrounded max identically in both engines."""
+    from etl_file_sync_spark.operators.pvalues import normal_sf_signed
+
+    s = t(spark, sf_dir, "events").where(F.col("event_type") == "purchase").select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("variant"),
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    dec = F.col("c").cast("decimal(18,0)")
+    m = s.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("sm"),
+        F.sum(dec * dec).cast("double").alias("ss"),
+    )
+    mean = F.col("sm") * 1.0 / F.col("n")
+    varmean = (F.col("ss") - mean * F.col("sm")) / (F.col("n") - 1) / F.col("n")
+    w = m.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("variant") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("variant") == "A", mean)).alias("ma"),
+        F.max(F.when(F.col("variant") == "B", mean)).alias("mb"),
+        F.max(F.when(F.col("variant") == "A", varmean)).alias("va"),
+        F.max(F.when(F.col("variant") == "B", varmean)).alias("vb"),
+    )
+    diff = F.col("ma") - F.col("mb")
+    se = F.sqrt(F.col("va") + F.col("vb"))
+    z = w.select(
+        "na",
+        "nb",
+        diff.alias("diff"),
+        se.alias("se"),
+        F.round((diff + _TOST_MARGIN) / se, 4).alias("z_lower"),
+        F.round((_TOST_MARGIN - diff) / se, 4).alias("z_upper"),
+    )
+    p = F.greatest(
+        normal_sf_signed(F.col("z_lower")), normal_sf_signed(F.col("z_upper"))
+    )
+    return z.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round("diff", 4).alias("mean_diff_cents"),
+        F.round("se", 4).alias("se_cents"),
+        "z_lower",
+        "z_upper",
+        F.round(p, 6).alias("p_tost"),
+        (p < 0.05).alias("equivalent"),
+    )

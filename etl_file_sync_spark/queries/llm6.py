@@ -414,3 +414,75 @@ def text_hapax_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_code_detection",
+    """
+    WITH f AS (
+      SELECT source, n_chars,
+             length(text) - length(regexp_replace(text, '[{}();=<>\\[\\]]', '', 'g'))
+               AS sym,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS dig,
+             length(text) AS len
+      FROM documents
+    ),
+    scored AS (
+      SELECT source,
+             round(sym * 1.0 / len, 6) AS symbol_ratio,
+             round(dig * 1.0 / len, 6) AS digit_ratio,
+             round(sym * 3.0 / len + dig * 1.0 / len, 6) AS code_score
+      FROM f
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(symbol_ratio), 6) AS avg_symbol_ratio,
+           round(avg(digit_ratio), 6) AS avg_digit_ratio,
+           CAST(sum(CASE WHEN code_score > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_codeish,
+           round(sum(CASE WHEN code_score > 0.05 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS codeish_rate
+    FROM scored GROUP BY source ORDER BY source
+    """,
+    "text",
+    "curation",
+    "quality",
+)
+def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic code-vs-prose detection per source: symbol density
+    (braces/parens/operators), digit density, and a weighted code score
+    with a fixed gate — the cheap first-pass router a mixed web corpus
+    runs before language-ID or a learned classifier (code shards want
+    different dedup and quality rules than prose). Pure JVM regexp
+    counting (char-class strip + length diff, identical spelling in the
+    oracle), one narrow map + one groupBy; the gate compares the
+    6-decimal-rounded score so both engines route identically."""
+    d = t(spark, sf_dir, "documents")
+    strip_sym = F.regexp_replace(F.col("text"), r"[{}();=<>\[\]]", "")
+    strip_dig = F.regexp_replace(F.col("text"), r"[0-9]", "")
+    ln = F.length("text")
+    f = d.select(
+        "source",
+        (ln - F.length(strip_sym)).alias("sym"),
+        (ln - F.length(strip_dig)).alias("dig"),
+        ln.alias("len"),
+    )
+    scored = f.select(
+        "source",
+        F.round(F.col("sym") * 1.0 / F.col("len"), 6).alias("symbol_ratio"),
+        F.round(F.col("dig") * 1.0 / F.col("len"), 6).alias("digit_ratio"),
+        F.round(
+            F.col("sym") * 3.0 / F.col("len") + F.col("dig") * 1.0 / F.col("len"), 6
+        ).alias("code_score"),
+    )
+    codeish = F.when(F.col("code_score") > 0.05, 1).otherwise(0)
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("symbol_ratio"), 6).alias("avg_symbol_ratio"),
+            F.round(F.avg("digit_ratio"), 6).alias("avg_digit_ratio"),
+            F.sum(codeish).cast("bigint").alias("n_codeish"),
+            F.round(F.sum(codeish) * 1.0 / F.count(F.lit(1)), 6).alias("codeish_rate"),
+        )
+        .orderBy("source")
+    )

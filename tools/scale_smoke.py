@@ -182,6 +182,11 @@ OPS = [
     "agg_weighted_median",
     "text_hapax_profile",
     "stat_smd_balance",
+    # batch 11: regexp density maps, purchase-grain moment folds,
+    # daily budget reduction
+    "stat_tost_equivalence",
+    "text_code_detection",
+    "ops_error_budget_burn",
 ]
 
 TIERS = ["sf0.001", "sf0.01", "sf0.1"]
