@@ -216,6 +216,8 @@ HEADLINE = [
     "stat_tost_equivalence",
     "text_code_detection",
     "ops_error_budget_burn",
+    "ts_pettitt_changepoint",
+    "agg_log2_histogram",
 ]
 
 

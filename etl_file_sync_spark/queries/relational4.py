@@ -614,3 +614,69 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weighted_p75_cents",
         )
     )
+
+
+@register(
+    "agg_log2_histogram",
+    """
+    WITH v AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE event_type = 'purchase' AND value > 0
+    ),
+    b AS (
+      SELECT length(bin(c)) AS bucket, c FROM v
+    ),
+    g AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+             CAST(min(c) AS BIGINT) AS min_cents,
+             CAST(max(c) AS BIGINT) AS max_cents
+      FROM b GROUP BY bucket
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM g)
+    SELECT CAST(g.bucket AS BIGINT) AS log2_bucket, g.n, g.min_cents, g.max_cents,
+           round(g.n * 1.0 / tot.nt, 6) AS share,
+           round(sum(g.n) OVER (ORDER BY g.bucket) * 1.0 / tot.nt, 6) AS cum_share
+    FROM g, tot ORDER BY log2_bucket
+    """,
+    "agg",
+    "dq",
+    "distribution-fit",
+)
+def agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed histogram of purchase value cents (the HDR-style
+    magnitude profile a latency/value dashboard wants): bucket = BIT
+    LENGTH of the integer cents — length(bin(c)) — which equals
+    floor(log2(c))+1 in EXACT integer arithmetic, so no float log can
+    flip a power-of-two boundary differently across engines. One
+    groupBy to the ~40-row bucket frame; share and cumulative share
+    fold against the broadcast total."""
+    v = (
+        t(spark, sf_dir, "events")
+        .where((F.col("event_type") == "purchase") & (F.col("value") > 0))
+        .select(F.round(F.col("value") * 100).cast("bigint").alias("c"))
+    )
+    g = (
+        v.select(F.length(F.bin(F.col("c"))).alias("bucket"), "c")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("c").cast("bigint").alias("min_cents"),
+            F.max("c").cast("bigint").alias("max_cents"),
+        )
+    )
+    tot = g.agg(F.sum("n").cast("bigint").alias("nt"))
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("bucket")  # ~40-row bucket frame — bounded
+    return (
+        g.crossJoin(F.broadcast(tot))  # 1-row totals dimension
+        .select(
+            F.col("bucket").cast("bigint").alias("log2_bucket"),
+            "n",
+            "min_cents",
+            "max_cents",
+            F.round(F.col("n") * 1.0 / F.col("nt"), 6).alias("share"),
+            F.round(F.sum("n").over(w) * 1.0 / F.col("nt"), 6).alias("cum_share"),
+        )
+        .orderBy("log2_bucket")
+    )

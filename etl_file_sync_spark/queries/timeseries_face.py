@@ -954,3 +954,138 @@ def ts_pacf_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pacf3"),
     )
+
+
+@register(
+    "ts_pettitt_changepoint",
+    f"""
+    WITH {_DAILY_REV},
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+    r AS (
+      SELECT day, cents,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+             (count(*) OVER (ORDER BY cents RANGE BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) - count(*) OVER (PARTITION BY cents))
+             + (count(*) OVER (PARTITION BY cents) + 1) / 2.0 AS rk
+      FROM daily
+    ),
+    u AS (
+      SELECT day, t,
+             2.0 * sum(rk) OVER (ORDER BY t) - t * (n.n + 1) AS u_t
+      FROM r, n
+    ),
+    k AS (SELECT max(abs(u_t)) AS k_stat FROM u WHERE t < (SELECT n FROM n)),
+    cp AS (
+      SELECT min(u.day) AS change_day
+      FROM u, k WHERE abs(u.u_t) = k.k_stat AND u.t < (SELECT n FROM n)
+    ),
+    halves AS (
+      SELECT CAST(sum(CASE WHEN d.day <= cp.change_day THEN d.cents END)
+               AS BIGINT) AS s_b,
+             CAST(sum(CASE WHEN d.day <= cp.change_day THEN 1 END) AS BIGINT)
+               AS n_b,
+             CAST(sum(CASE WHEN d.day > cp.change_day THEN d.cents END)
+               AS BIGINT) AS s_a,
+             CAST(sum(CASE WHEN d.day > cp.change_day THEN 1 END) AS BIGINT)
+               AS n_a
+      FROM daily d, cp
+    )
+    SELECT n.n AS n_days, round(k.k_stat, 2) AS k_stat,
+           CAST(cp.change_day AS TIMESTAMP) AS change_day,
+           round(least(2 * exp(-6.0 * k.k_stat * k.k_stat
+                               / (n.n * n.n * n.n + n.n * n.n)), 1.0), 6)
+             AS p_value,
+           round(h.s_b * 1.0 / h.n_b, 4) AS mean_before_cents,
+           round(h.s_a * 1.0 / h.n_a, 4) AS mean_after_cents
+    FROM n, k, cp, halves h
+    """,
+    "timeseries",
+    "changepoint",
+    "rank-test",
+)
+def ts_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt rank-based changepoint test on daily revenue: U_t =
+    2*S_t - t(n+1) with S_t the cumulative MIDRANK sum (tie-exact
+    half-integers), K = max|U_t| over interior split points, the
+    earliest argmax day as the changepoint, the standard approximation
+    p = 2 exp(-6K^2/(n^3+n^2)), and the before/after means — the
+    distribution-free companion to ts_cusum_changepoint (robust to the
+    heavy right tail CUSUM's mean-shift statistic feels). Every window
+    runs on the calendar-bounded daily frame."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    n = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w_leq = W.orderBy("cents").rangeBetween(W.unboundedPreceding, W.currentRow)
+    w_eq = W.partitionBy("cents")
+    cnt_leq = F.count(F.lit(1)).over(w_leq)
+    cnt_eq = F.count(F.lit(1)).over(w_eq)
+    r = daily.select(
+        "day",
+        "cents",
+        F.row_number().over(W.orderBy("day")).cast("bigint").alias("t"),
+        ((cnt_leq - cnt_eq) + (cnt_eq + 1) / F.lit(2.0)).alias("rk"),
+    )
+    u = (
+        r.crossJoin(F.broadcast(n))
+        .select(
+            "day",
+            "t",
+            "n",
+            (2.0 * F.sum("rk").over(W.orderBy("t")) - F.col("t") * (F.col("n") + 1)).alias(
+                "u_t"
+            ),
+        )
+    )
+    interior = u.where(F.col("t") < F.col("n"))
+    k = interior.agg(F.max(F.abs(F.col("u_t"))).alias("k_stat"))
+    cp = (
+        interior.crossJoin(F.broadcast(k))
+        .where(F.abs(F.col("u_t")) == F.col("k_stat"))
+        .agg(F.min("day").alias("change_day"))
+    )
+    halves = (
+        daily.crossJoin(F.broadcast(cp))
+        .agg(
+            F.sum(F.when(F.col("day") <= F.col("change_day"), F.col("cents")))
+            .cast("bigint")
+            .alias("s_b"),
+            F.sum(F.when(F.col("day") <= F.col("change_day"), 1))
+            .cast("bigint")
+            .alias("n_b"),
+            F.sum(F.when(F.col("day") > F.col("change_day"), F.col("cents")))
+            .cast("bigint")
+            .alias("s_a"),
+            F.sum(F.when(F.col("day") > F.col("change_day"), 1))
+            .cast("bigint")
+            .alias("n_a"),
+            F.max("change_day").alias("change_day_keep"),
+        )
+    )
+    kk = F.col("k_stat")
+    nn = F.col("n")
+    return (
+        n.crossJoin(F.broadcast(k))
+        .crossJoin(F.broadcast(halves))
+        .select(
+            F.col("n").alias("n_days"),
+            F.round(kk, 2).alias("k_stat"),
+            F.col("change_day_keep").cast("timestamp").alias("change_day"),
+            F.round(
+                F.least(
+                    2 * F.exp(-6.0 * kk * kk / (nn * nn * nn + nn * nn)), F.lit(1.0)
+                ),
+                6,
+            ).alias("p_value"),
+            F.round(F.col("s_b") * 1.0 / F.col("n_b"), 4).alias("mean_before_cents"),
+            F.round(F.col("s_a") * 1.0 / F.col("n_a"), 4).alias("mean_after_cents"),
+        )
+    )

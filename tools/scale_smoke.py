@@ -187,6 +187,8 @@ OPS = [
     "stat_tost_equivalence",
     "text_code_detection",
     "ops_error_budget_burn",
+    "ts_pettitt_changepoint",
+    "agg_log2_histogram",
 ]
 
 TIERS = ["sf0.001", "sf0.01", "sf0.1"]
