@@ -218,6 +218,8 @@ HEADLINE = [
     "ops_error_budget_burn",
     "ts_pettitt_changepoint",
     "agg_log2_histogram",
+    "stat_mood_median_test",
+    "text_bigram_entropy_rate",
 ]
 
 

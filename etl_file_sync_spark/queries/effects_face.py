@@ -1174,3 +1174,107 @@ def stat_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p, 6).alias("p_tost"),
         (p < 0.05).alias("equivalent"),
     )
+
+
+@register(
+    "stat_mood_median_test",
+    """
+    WITH s AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+    ),
+    vals AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM s GROUP BY v),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM vals),
+    cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cw FROM vals),
+    med AS (
+      SELECT CAST(min(CASE WHEN cum.cw * 2 >= tot.n THEN cum.v END) AS BIGINT)
+        AS m
+      FROM cum, tot
+    ),
+    g AS (
+      SELECT s.grp,
+             CAST(sum(CASE WHEN s.v <= med.m THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(count(*) AS BIGINT) AS n_g
+      FROM s, med GROUP BY s.grp
+    ),
+    pool AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(a) AS BIGINT) AS at, CAST(sum(n_g) AS BIGINT) AS nt
+      FROM g
+    ),
+    fold AS (
+      SELECT pool.k, pool.at, pool.nt,
+             sum((g.a - g.n_g * (pool.at * 1.0 / pool.nt))
+                 * (g.a - g.n_g * (pool.at * 1.0 / pool.nt))
+                 / (g.n_g * (pool.at * 1.0 / pool.nt)
+                    * (1 - pool.at * 1.0 / pool.nt))) AS x2
+      FROM g, pool GROUP BY pool.k, pool.at, pool.nt
+    )
+    SELECT k AS n_groups, nt AS n_rows, at AS n_at_or_below,
+           round(x2, 4) AS chi2_stat,
+           round(exp(-round(x2, 4) / 2) * (1 + round(x2, 4) / 2), 6) AS p_value
+    FROM fold
+    """,
+    "stats",
+    "rank-test",
+    "percentile",
+)
+def stat_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across the five order priorities: the grand
+    LOWER median comes from the same integer cumulative-weight crossing
+    as agg_weighted_median (no interpolation convention to diverge),
+    each group's at-or-below count folds into the k x 2 chi-square
+    X^2 = sum (a_j - n_j p)^2 / (n_j p (1-p)) with p the pooled
+    at-or-below rate, and the df=4 even-df closed form prices the tail
+    (on the 4-decimal-rounded statistic) — the medians-only sibling of
+    stat_kruskal_wallis for when ranks themselves are suspect. The
+    distinct-value cumsum rides the bucketed two-phase plan."""
+    from etl_file_sync_spark.operators.pvalues import chi2_sf_df4
+    from etl_file_sync_spark.operators.rankstats import bucketed_cumsums
+
+    s = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+    )
+    vals = s.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    tot = vals.agg(F.sum("cnt").cast("bigint").alias("n"))
+    cum = bucketed_cumsums(vals, "v", ["cnt"], inclusive=True)
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min(F.when(F.col("cum_cnt") * 2 >= F.col("n"), F.col("v")))
+            .cast("bigint")
+            .alias("m")
+        )
+    )
+    g = (
+        s.crossJoin(F.broadcast(med))
+        .groupBy("grp")
+        .agg(
+            F.sum(F.when(F.col("v") <= F.col("m"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("a"),
+            F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        )
+    )
+    pool = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("a").cast("bigint").alias("at"),
+        F.sum("n_g").cast("bigint").alias("nt"),
+    )
+    p = F.col("at") * 1.0 / F.col("nt")
+    dev = F.col("a") - F.col("n_g") * p
+    x2 = (
+        g.crossJoin(F.broadcast(pool))  # 1-row pooled-rate dimension
+        .groupBy("k", "at", "nt")
+        .agg(F.sum(dev * dev / (F.col("n_g") * p * (1 - p))).alias("x2"))
+    )
+    x2r = F.round(F.col("x2"), 4)
+    return x2.select(
+        F.col("k").alias("n_groups"),
+        F.col("nt").alias("n_rows"),
+        F.col("at").alias("n_at_or_below"),
+        x2r.alias("chi2_stat"),
+        F.round(chi2_sf_df4(x2r), 6).alias("p_value"),
+    )

@@ -486,3 +486,77 @@ def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_bigram_entropy_rate",
+    """
+    WITH toks AS (
+      SELECT source, doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    bi AS (
+      SELECT source, w[i] AS w1, w[i + 1] AS w2
+      FROM toks, unnest(range(1, len(w))) AS t(i)
+      WHERE w[i] <> '' AND w[i + 1] <> ''
+    ),
+    c12 AS (
+      SELECT source, w1, w2, CAST(count(*) AS BIGINT) AS c
+      FROM bi GROUP BY source, w1, w2
+    ),
+    c1 AS (
+      SELECT source, w1, CAST(sum(c) AS BIGINT) AS c1 FROM c12
+      GROUP BY source, w1
+    )
+    SELECT c12.source,
+           CAST(sum(c12.c) AS BIGINT) AS n_bigrams,
+           CAST(count(*) AS BIGINT) AS vocab_bigrams,
+           round(-sum(c12.c * ln(c12.c * 1.0 / c1.c1)) / sum(c12.c), 6)
+             AS cond_entropy_nats,
+           round(exp(-sum(c12.c * ln(c12.c * 1.0 / c1.c1)) / sum(c12.c)), 4)
+             AS bigram_perplexity
+    FROM c12 JOIN c1 ON c12.source = c1.source AND c12.w1 = c1.w1
+    GROUP BY c12.source ORDER BY c12.source
+    """,
+    "text",
+    "quality",
+    "curation",
+)
+def text_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical bigram conditional entropy H(w2|w1) per source —
+    -(1/T) sum c(w1,w2) ln(c(w1,w2)/c(w1)) — and its perplexity
+    exp(H): the sequence-predictability companion to text_char_entropy
+    (character grain) and text_bigram_lm_kn (a smoothed MODEL; this is
+    the raw corpus statistic a smoothing choice is judged against).
+    Within-doc adjacent pairs only; two combiner-friendly groupBys to
+    the bigram-vocabulary grain; counts are exact integers so the
+    entropy fold sits in the documented summation-order ulp class
+    under round(6)/round(4)."""
+    d = t(spark, sf_dir, "documents").select(
+        "source", F.split("text", " ").alias("w")
+    )
+    paired = d.select(
+        "source",
+        F.expr(
+            "filter(transform(w, (x, i) -> struct(x AS w1, get(w, i + 1) AS w2)),"
+            " p -> p.w1 <> '' AND p.w2 IS NOT NULL AND p.w2 <> '')"
+        ).alias("pairs"),
+    )
+    bi = paired.select("source", F.explode("pairs").alias("p")).select(
+        "source", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    c12 = bi.groupBy("source", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    c1 = c12.groupBy("source", "w1").agg(F.sum("c").cast("bigint").alias("c1"))
+    j = c12.join(c1, ["source", "w1"])
+    ent = -F.sum(F.col("c") * F.log(F.col("c") * 1.0 / F.col("c1"))) / F.sum("c")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+            F.count(F.lit(1)).cast("bigint").alias("vocab_bigrams"),
+            F.round(ent, 6).alias("cond_entropy_nats"),
+            F.round(F.exp(ent), 4).alias("bigram_perplexity"),
+        )
+        .orderBy("source")
+    )

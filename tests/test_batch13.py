@@ -1,0 +1,67 @@
+"""Independent-definition truth tests for batch 13 (Mood's median
+test, bigram conditional entropy rate)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from etl_file_sync_spark.queries import REGISTRY
+
+
+def _pq(sf_dir: str, name: str) -> pd.DataFrame:
+    return pd.read_parquet(f"{sf_dir}/{name}.parquet")
+
+
+def test_mood_median_matches_python(spark, sf_dir):
+    got = REGISTRY["stat_mood_median_test"].build(spark, sf_dir).collect()[0]
+    o = _pq(sf_dir, "orders")
+    v = (o.o_totalprice * 100).round().astype("int64").to_numpy()
+    grp = o.o_orderpriority.to_numpy()
+    # lower median: smallest value whose inclusive cum count reaches n/2
+    sv = np.sort(v)
+    n = len(sv)
+    m = int(sv[(np.arange(1, n + 1) * 2 >= n).argmax()])
+    at = int((v <= m).sum())
+    p = at / n
+    x2 = 0.0
+    k = 0
+    for gname in np.unique(grp):
+        mask = grp == gname
+        n_g = int(mask.sum())
+        a = int((v[mask] <= m).sum())
+        x2 += (a - n_g * p) ** 2 / (n_g * p * (1 - p))
+        k += 1
+    assert got["n_groups"] == k and got["n_rows"] == n
+    assert got["n_at_or_below"] == at
+    assert got["chi2_stat"] == pytest.approx(x2, abs=1e-3)
+    q = got["chi2_stat"]
+    assert got["p_value"] == pytest.approx(math.exp(-q / 2) * (1 + q / 2), abs=1e-6)
+
+
+def test_bigram_entropy_matches_python(spark, sf_dir):
+    got = {r["source"]: r for r in
+           REGISTRY["text_bigram_entropy_rate"].build(spark, sf_dir).collect()}
+    d = _pq(sf_dir, "documents")
+    for src, grp in d.groupby("source"):
+        c12: Counter = Counter()
+        for text in grp.text:
+            w = [tok for tok in text.split(" ")]
+            for a, b in zip(w, w[1:]):
+                if a and b:
+                    c12[(a, b)] += 1
+        c1: dict[str, int] = defaultdict(int)
+        for (a, _b), c in c12.items():
+            c1[a] += c
+        t_tot = sum(c12.values())
+        h = -sum(c * math.log(c / c1[a]) for (a, _b), c in c12.items()) / t_tot
+        r = got[src]
+        assert r["n_bigrams"] == t_tot
+        assert r["vocab_bigrams"] == len(c12)
+        assert r["cond_entropy_nats"] == pytest.approx(h, abs=1e-5)
+        assert r["bigram_perplexity"] == pytest.approx(math.exp(h), rel=1e-4)
+        assert r["cond_entropy_nats"] >= -1e-9

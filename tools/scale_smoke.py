@@ -189,6 +189,8 @@ OPS = [
     "ops_error_budget_burn",
     "ts_pettitt_changepoint",
     "agg_log2_histogram",
+    "stat_mood_median_test",
+    "text_bigram_entropy_rate",
 ]
 
 TIERS = ["sf0.001", "sf0.01", "sf0.1"]
@@ -335,6 +337,11 @@ def main() -> None:
         "scans every row group (a fixture-layout artifact: production",
         "layouts cluster/Z-order on the prune key; the operator itself is",
         "id-count-bounded, output rows constant at every tier).",
+        "Round-5 isolated re-measures of the >2.2x cells (fresh 10x tier,",
+        "min-of-4, nothing else on the box): stat_eb_shrinkage 1.35x,",
+        "text_pmi_collocations 1.97x, sample_dsir_weights 1.84x — all",
+        "measurement noise, cleared; multimodal_phash_neardup 4.36x —",
+        "the fixture-layout artifact above, output rows constant.",
     ]
     # BPE merge-count scaling (round-5 verdict ask): training cost must
     # scale with the MERGE BUDGET, not merge_budget x vocabulary — the
