@@ -220,6 +220,7 @@ HEADLINE = [
     "agg_log2_histogram",
     "stat_mood_median_test",
     "text_bigram_entropy_rate",
+    "stream_upsert_materialize",
 ]
 
 

@@ -680,3 +680,78 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory_sink(agg, "stream_static_enrich_sink", "complete")
+
+
+@register(
+    "stream_upsert_materialize",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type AS last_event_type, ts AS last_ts,
+           round(value, 2) AS last_value
+    FROM ranked WHERE rn = 1 ORDER BY user_id
+    """,
+    "streaming",
+    "upsert",
+    "foreachbatch",
+)
+def stream_upsert_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming UPSERT materialization — the foreachBatch MERGE pattern
+    every CDC/serving pipeline runs: the events stream is replayed in
+    THREE genuine micro-batches (maxFilesPerTrigger=1 over a 3-file
+    stage), and each batch incrementally merges 'latest event per user'
+    into a parquet state table (read-modify-write into an alternating
+    per-batch directory — the sandbox stand-in for Delta/Iceberg MERGE,
+    which is exactly what foreachBatch would call with the jars
+    present; see sources/io.py gates). Latest-per-user inside each
+    merge is a user-partitioned row_number (ts, event_id tiebreak), so
+    state stays one row per user and the merge cost is
+    state + batch, never history. The final state table must equal the
+    batch latest-per-key answer, which is the oracle."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window as W2
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    root = tempfile.mkdtemp(prefix="stream_upsert_")
+    stage = os.path.join(root, "stage")
+    # 3 staged files => 3 micro-batches; upsert correctness is
+    # replay-order-independent (merge keeps the (ts, event_id) max)
+    ev.repartitionByRange(3, "ts").write.mode("overwrite").parquet(stage)
+    schema = spark.read.parquet(stage).schema
+
+    def latest_per_user(df: DataFrame) -> DataFrame:
+        w = W2.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        return df.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
+
+    state_path: list[str | None] = [None]
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        b = latest_per_user(batch_df)
+        if state_path[0] is not None:
+            cur = batch_df.sparkSession.read.parquet(state_path[0])
+            b = latest_per_user(cur.unionByName(b))
+        out = os.path.join(root, f"state_{batch_id}")
+        b.write.mode("overwrite").parquet(out)
+        state_path[0] = out
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    q = stream.writeStream.foreachBatch(upsert).outputMode("update").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = spark.read.parquet(state_path[0])
+    return final.select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("ts").alias("last_ts"),
+        F.round("value", 2).alias("last_value"),
+    ).orderBy("user_id").localCheckpoint(eager=True)

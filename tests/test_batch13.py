@@ -65,3 +65,18 @@ def test_bigram_entropy_matches_python(spark, sf_dir):
         assert r["cond_entropy_nats"] == pytest.approx(h, abs=1e-5)
         assert r["bigram_perplexity"] == pytest.approx(math.exp(h), rel=1e-4)
         assert r["cond_entropy_nats"] >= -1e-9
+
+
+def test_stream_upsert_matches_batch_latest(spark, sf_dir):
+    got = REGISTRY["stream_upsert_materialize"].build(spark, sf_dir).collect()
+    e = _pq(sf_dir, "events")
+    e = e.sort_values(["ts", "event_id"]).groupby("user_id").tail(1)
+    expect = e.set_index("user_id").sort_index()
+    assert len(got) == len(expect)
+    for r in got:
+        row = expect.loc[r["user_id"]]
+        assert r["last_event_type"] == row.event_type
+        assert pd.Timestamp(r["last_ts"]) == pd.Timestamp(row.ts)
+        assert r["last_value"] == pytest.approx(round(row.value, 2), abs=1e-9)
+    # every user appears exactly once — the state table is keyed
+    assert len({r["user_id"] for r in got}) == len(got)
