@@ -221,6 +221,9 @@ HEADLINE = [
     "stat_mood_median_test",
     "text_bigram_entropy_rate",
     "stream_upsert_materialize",
+    "stream_alert_rate_threshold",
+    "stat_g_test_independence",
+    "eval_f1_threshold_sweep",
 ]
 
 

@@ -1278,3 +1278,96 @@ def stat_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         x2r.alias("chi2_stat"),
         F.round(chi2_sf_df4(x2r), 6).alias("p_value"),
     )
+
+
+@register(
+    "stat_g_test_independence",
+    """
+    WITH x AS (
+      SELECT r.r_name AS region,
+             CASE WHEN o.o_custkey % 2 = 0 THEN 'even' ELSE 'odd' END AS arm,
+             CAST(count(*) AS BIGINT) AS o
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, CASE WHEN o.o_custkey % 2 = 0 THEN 'even' ELSE 'odd' END
+    ),
+    m AS (
+      SELECT x.region, x.arm, x.o,
+             sum(x.o) OVER (PARTITION BY x.region) AS row_t,
+             sum(x.o) OVER (PARTITION BY x.arm) AS col_t,
+             sum(x.o) OVER () AS n
+      FROM x
+    ),
+    g AS (
+      SELECT CAST(max(n) AS BIGINT) AS n,
+             round(2 * sum(o * ln(o / (row_t * 1.0 * col_t / n))), 4) AS g_stat
+      FROM m
+    )
+    SELECT n AS n_orders, g_stat,
+           round(exp(-g_stat / 2) * (1 + g_stat / 2), 6) AS p_value
+    FROM g
+    """,
+    "stats",
+    "ab-test",
+    "distribution-fit",
+)
+def stat_g_test_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test (log-likelihood ratio) of independence between region and
+    custkey parity: G = 2 sum O ln(O/E) over the 5x2 contingency table
+    — the information-theoretic twin of stat_chi_square_independence
+    (G is additive across partitions of the table, chi-square is not).
+    df = (5-1)(2-1) = 4, even, so the tail is the closed form
+    exp(-G/2)(1+G/2) on the 4-decimal-rounded statistic. Cell counts
+    and margins are exact integers folded over the enum-bounded
+    contingency frame."""
+    o = t(spark, sf_dir, "orders")
+    x = (
+        o.join(t(spark, sf_dir, "customer"), o.o_custkey == F.col("c_custkey"))
+        .join(
+            F.broadcast(t(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.when(F.col("o_custkey") % 2 == 0, "even").otherwise("odd").alias("arm"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    )
+    # margins over the enum-bounded 10-cell contingency frame
+    wr = W.partitionBy("region")
+    wc = W.partitionBy("arm")
+    wall = W.partitionBy()
+    m = x.select(
+        "region",
+        "arm",
+        "o",
+        F.sum("o").over(wr).alias("row_t"),
+        F.sum("o").over(wc).alias("col_t"),
+        F.sum("o").over(wall).alias("n"),
+    )
+    g = m.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.round(
+            2
+            * F.sum(
+                F.col("o")
+                * F.log(
+                    F.col("o") / (F.col("row_t") * 1.0 * F.col("col_t") / F.col("n"))
+                )
+            ),
+            4,
+        ).alias("g_stat"),
+    )
+    from etl_file_sync_spark.operators.pvalues import chi2_sf_df4
+
+    return g.select(
+        F.col("n").alias("n_orders"),
+        "g_stat",
+        F.round(chi2_sf_df4(F.col("g_stat")), 6).alias("p_value"),
+    )

@@ -917,3 +917,76 @@ def eval_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("bucket"))
     )
+
+
+@register(
+    "eval_f1_threshold_sweep",
+    f"""
+    WITH {_SCORED_SQL},
+    th AS (SELECT (i.range + 1) / 10.0 AS thr FROM range(9) i),
+    cm AS (
+      SELECT th.thr,
+             CAST(sum(CASE WHEN s.score >= th.thr AND s.label = 1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN s.score >= th.thr AND s.label = 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN s.score < th.thr AND s.label = 1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM scored s, th GROUP BY th.thr
+    ),
+    fs AS (
+      SELECT thr, tp, fp, fn,
+             round(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1
+      FROM cm
+    )
+    SELECT thr AS threshold, tp, fp, fn, f1,
+           f1 = max(f1) OVER () AS is_best
+    FROM fs ORDER BY threshold
+    """,
+    "eval",
+    "classification",
+    "decision",
+)
+def eval_f1_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point selection: F1 at every decision threshold
+    0.1..0.9 for the quality classifier, with the argmax flagged — the
+    sweep that turns eval_precision_recall's single 0.5 cut into an
+    actual deployment choice. One pass over the scored frame fanned by
+    the broadcast 9-row threshold dimension (9x bounded expansion, not
+    9 scans); F1 is an exact integer rational rounded identically, so
+    the is_best flag can't flip across engines."""
+    s = _scored(spark, sf_dir)
+    th = spark.range(1, 10).select((F.col("id") / 10.0).alias("thr"))
+    cm = (
+        s.crossJoin(F.broadcast(th))
+        .groupBy("thr")
+        .agg(
+            F.sum(F.when((F.col("score") >= F.col("thr")) & (F.col("label") == 1), 1).otherwise(0))
+            .cast("bigint")
+            .alias("tp"),
+            F.sum(F.when((F.col("score") >= F.col("thr")) & (F.col("label") == 0), 1).otherwise(0))
+            .cast("bigint")
+            .alias("fp"),
+            F.sum(F.when((F.col("score") < F.col("thr")) & (F.col("label") == 1), 1).otherwise(0))
+            .cast("bigint")
+            .alias("fn"),
+        )
+    )
+    f = cm.select(
+        "thr",
+        "tp",
+        "fp",
+        "fn",
+        F.round(2.0 * F.col("tp") / (2.0 * F.col("tp") + F.col("fp") + F.col("fn")), 6).alias("f1"),
+    )
+    from pyspark.sql import Window as W2
+
+    best = F.max("f1").over(W2.partitionBy())  # 9-row threshold frame
+    return f.select(
+        F.col("thr").alias("threshold"),
+        "tp",
+        "fp",
+        "fn",
+        "f1",
+        (F.col("f1") == best).alias("is_best"),
+    ).orderBy("threshold")

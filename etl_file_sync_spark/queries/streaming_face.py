@@ -755,3 +755,44 @@ def stream_upsert_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("last_ts"),
         F.round("value", 2).alias("last_value"),
     ).orderBy("user_id").localCheckpoint(eager=True)
+
+
+@register(
+    "stream_alert_rate_threshold",
+    """
+    WITH w AS (
+      SELECT CAST(to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / 900) * 900)
+               AS TIMESTAMP) AS window_start,
+             CAST(count(*) AS BIGINT) AS n_errors
+      FROM events WHERE event_type = 'error'
+      GROUP BY 1
+    )
+    SELECT window_start, n_errors FROM w WHERE n_errors >= 2
+    ORDER BY window_start
+    """,
+    "streaming",
+    "tumbling-window",
+    "decision",
+)
+def stream_alert_rate_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming alert rule: 15-minute tumbling error counts with a
+    HAVING-style threshold filter ON the streaming aggregate — the
+    alerting shape a monitoring pipeline deploys (only windows that
+    breach the threshold ever reach the sink). Runs as a genuine
+    Structured Streaming query (watermark -> window agg -> filter ->
+    memory sink, complete mode); at scale the sink is an alert topic
+    and the mode update, same plan."""
+    from etl_file_sync_spark.streaming import events_stream, run_to_memory_sink
+
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.where(F.col("event_type") == "error")
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_errors"))
+        .where(F.col("n_errors") >= 2)
+        .select(F.col("w.start").alias("window_start"), "n_errors")
+    )
+    return run_to_memory_sink(agg, "stream_alert_rate_sink", "complete").orderBy(
+        "window_start"
+    )

@@ -80,3 +80,62 @@ def test_stream_upsert_matches_batch_latest(spark, sf_dir):
         assert r["last_value"] == pytest.approx(round(row.value, 2), abs=1e-9)
     # every user appears exactly once — the state table is keyed
     assert len({r["user_id"] for r in got}) == len(got)
+
+
+def test_alert_rate_threshold_matches_pandas(spark, sf_dir):
+    got = REGISTRY["stream_alert_rate_threshold"].build(spark, sf_dir).collect()
+    e = _pq(sf_dir, "events")
+    err = e[e.event_type == "error"]
+    w = (pd.to_datetime(err.ts).astype("datetime64[ns]").astype("int64") // 10**9 // 900) * 900
+    counts = w.value_counts()
+    expect = {pd.Timestamp(k, unit="s"): v for k, v in counts.items() if v >= 2}
+    assert len(got) == len(expect)
+    for r in got:
+        assert expect[pd.Timestamp(r["window_start"])] == r["n_errors"]
+        assert r["n_errors"] >= 2
+
+
+def test_g_test_matches_numpy(spark, sf_dir):
+    got = REGISTRY["stat_g_test_independence"].build(spark, sf_dir).collect()[0]
+    o = _pq(sf_dir, "orders")
+    c = _pq(sf_dir, "customer")
+    nn = _pq(sf_dir, "nation")
+    rr = _pq(sf_dir, "region")
+    df = (
+        o.merge(c, left_on="o_custkey", right_on="c_custkey")
+        .merge(nn, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(rr, left_on="n_regionkey", right_on="r_regionkey")
+    )
+    df["arm"] = np.where(df.o_custkey % 2 == 0, "even", "odd")
+    tab = pd.crosstab(df.r_name, df.arm)
+    n = tab.values.sum()
+    exp = np.outer(tab.sum(axis=1), tab.sum(axis=0)) / n
+    g = 2 * float((tab.values * np.log(tab.values / exp)).sum())
+    assert got["n_orders"] == n
+    assert got["g_stat"] == pytest.approx(g, abs=1e-3)
+    q = got["g_stat"]
+    assert got["p_value"] == pytest.approx(math.exp(-q / 2) * (1 + q / 2), abs=1e-6)
+
+
+def test_f1_sweep_matches_python(spark, sf_dir):
+    got = REGISTRY["eval_f1_threshold_sweep"].build(spark, sf_dir).collect()
+    from etl_file_sync_spark.queries.eval_face import _scored
+
+    rows = [(r["score"], r["label"]) for r in _scored(spark, sf_dir).collect()]
+    best_f1 = -1.0
+    expect = []
+    for i in range(1, 10):
+        thr = i / 10.0
+        tp = sum(1 for s, l in rows if s >= thr and l == 1)
+        fp = sum(1 for s, l in rows if s >= thr and l == 0)
+        fn = sum(1 for s, l in rows if s < thr and l == 1)
+        f1 = round(2 * tp / (2 * tp + fp + fn), 6)
+        expect.append((thr, tp, fp, fn, f1))
+        best_f1 = max(best_f1, f1)
+    assert len(got) == 9
+    assert sum(1 for r in got if r["is_best"]) >= 1
+    for r, (thr, tp, fp, fn, f1) in zip(got, expect):
+        assert r["threshold"] == pytest.approx(thr, abs=1e-9)
+        assert (r["tp"], r["fp"], r["fn"]) == (tp, fp, fn)
+        assert r["f1"] == pytest.approx(f1, abs=1e-6)
+        assert r["is_best"] == (f1 == best_f1)

@@ -191,6 +191,8 @@ OPS = [
     "agg_log2_histogram",
     "stat_mood_median_test",
     "text_bigram_entropy_rate",
+    "stat_g_test_independence",
+    "eval_f1_threshold_sweep",
 ]
 
 TIERS = ["sf0.001", "sf0.01", "sf0.1"]
