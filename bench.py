@@ -224,6 +224,8 @@ HEADLINE = [
     "stream_alert_rate_threshold",
     "stat_g_test_independence",
     "eval_f1_threshold_sweep",
+    "ts_backtest_seasonal_naive",
+    "sample_user_kfold",
 ]
 
 

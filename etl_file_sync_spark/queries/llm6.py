@@ -560,3 +560,97 @@ def text_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "sample_user_kfold",
+    """
+    WITH f AS (
+      SELECT user_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+             ('0x' || substr(md5(user_id::VARCHAR || ':0'), 1, 8))::UBIGINT::BIGINT
+               % 5 AS fold
+      FROM events
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END)
+               AS BIGINT) AS rev
+      FROM f
+    )
+    SELECT CAST(f.fold AS BIGINT) AS fold,
+           CAST(count(DISTINCT f.user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(count(*) * 1.0 / tot.n_events, 6) AS event_share,
+           round(sum(CASE WHEN f.event_type = 'purchase' THEN f.cents
+                     ELSE 0 END) * 1.0 / tot.rev, 6) AS revenue_share
+    FROM f, tot
+    GROUP BY f.fold, tot.n_events, tot.rev ORDER BY fold
+    """,
+    "sampling",
+    "mix",
+    "decision",
+)
+def sample_user_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USER-level 5-fold assignment with a balance audit: fold =
+    md5(user_id)%5, so every event of a user lands in ONE fold by
+    construction — the leakage-safe split a per-user model needs, where
+    the doc-level sample_hash_split would bleed a user's history across
+    train and eval. Emits per-fold user/event counts and event/revenue
+    shares (each should sit near 0.2; a skewed heavy-spender fold is
+    exactly what this audit catches before training). The md5 spelling
+    is the standardized engine-portable bucket (operators/text.py
+    hash_sample contract)."""
+    e = t(spark, sf_dir, "events")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("user_id").cast("string"), F.lit("0"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 5
+    )
+    f = e.select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        fold.alias("fold"),
+    )
+    tot = f.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("rev"),
+    )
+    return (
+        f.crossJoin(F.broadcast(tot))  # 1-row totals dimension
+        .groupBy("fold", "n_events", "rev")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.count(F.lit(1)).cast("bigint").alias("n_ev"),
+            F.round(F.count(F.lit(1)) * 1.0 / F.first("n_events"), 6).alias(
+                "event_share"
+            ),
+            F.round(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", F.col("cents")).otherwise(
+                        0
+                    )
+                )
+                * 1.0
+                / F.first("rev"),
+                6,
+            ).alias("revenue_share"),
+        )
+        .select(
+            F.col("fold").cast("bigint").alias("fold"),
+            "n_users",
+            F.col("n_ev").alias("n_events"),
+            "event_share",
+            "revenue_share",
+        )
+        .orderBy("fold")
+    )

@@ -1089,3 +1089,69 @@ def ts_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("s_a") * 1.0 / F.col("n_a"), 4).alias("mean_after_cents"),
         )
     )
+
+
+@register(
+    "ts_backtest_seasonal_naive",
+    f"""
+    WITH {_DAILY_REV},
+    mx AS (SELECT max(day) AS max_day FROM daily),
+    j AS (
+      SELECT a.day, a.cents AS actual, b.cents AS forecast
+      FROM daily a
+      JOIN daily b ON b.day = a.day - INTERVAL 7 DAY, mx
+      WHERE a.day > mx.max_day - INTERVAL 28 DAY
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_evals,
+           round(avg(abs(actual - forecast) * 1.0 / actual), 6) AS mape,
+           round(avg(2.0 * abs(actual - forecast) / (actual + forecast)), 6)
+             AS smape,
+           round(avg(forecast - actual) / 100.0, 4) AS bias_dollars,
+           round(sqrt(avg((actual - forecast) * 1.0 * (actual - forecast)))
+                 / 100.0, 4) AS rmse_dollars
+    FROM j
+    """,
+    "timeseries",
+    "forecast",
+    "eval",
+)
+def ts_backtest_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the SEASONAL-NAIVE forecaster (predict today = same
+    weekday last week) over the last 28 observed days: MAPE, SMAPE,
+    signed bias, RMSE — the baseline every fancier forecaster
+    (ts_holt_linear, ts_holt_winters_weekly) must beat before it earns
+    deployment, made honest by evaluating only days whose d-7 exists.
+    The lag is a date equi-join on the calendar-bounded daily frame
+    (no window at all); errors are exact integer differences before
+    the final divisions."""
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    mx = daily.agg(F.max("day").alias("max_day"))
+    a = daily.select(F.col("day"), F.col("cents").alias("actual"))
+    b = daily.select(
+        F.date_add(F.col("day"), 7).alias("day"), F.col("cents").alias("forecast")
+    )
+    j = (
+        a.join(b, "day")
+        .crossJoin(F.broadcast(mx))  # 1-row max-day dimension
+        .where(F.col("day") > F.date_sub(F.col("max_day"), 28))
+    )
+    err = F.col("actual") - F.col("forecast")
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_evals"),
+        F.round(F.avg(F.abs(err) * 1.0 / F.col("actual")), 6).alias("mape"),
+        F.round(
+            F.avg(2.0 * F.abs(err) / (F.col("actual") + F.col("forecast"))), 6
+        ).alias("smape"),
+        F.round(F.avg(F.col("forecast") - F.col("actual")) / 100.0, 4).alias(
+            "bias_dollars"
+        ),
+        F.round(F.sqrt(F.avg(err * 1.0 * err)) / 100.0, 4).alias("rmse_dollars"),
+    )

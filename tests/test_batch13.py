@@ -139,3 +139,57 @@ def test_f1_sweep_matches_python(spark, sf_dir):
         assert (r["tp"], r["fp"], r["fn"]) == (tp, fp, fn)
         assert r["f1"] == pytest.approx(f1, abs=1e-6)
         assert r["is_best"] == (f1 == best_f1)
+
+
+def test_backtest_seasonal_naive_matches_pandas(spark, sf_dir):
+    got = REGISTRY["ts_backtest_seasonal_naive"].build(spark, sf_dir).collect()[0]
+    o = _pq(sf_dir, "orders")
+    cents = (o.o_totalprice * 100).round().astype("int64")
+    daily = (
+        pd.DataFrame({"day": pd.to_datetime(o.o_orderdate).dt.normalize(), "c": cents})
+        .groupby("day")
+        .c.sum()
+    )
+    max_day = daily.index.max()
+    evals = []
+    for day, actual in daily.items():
+        prev = day - pd.Timedelta(days=7)
+        if day > max_day - pd.Timedelta(days=28) and prev in daily.index:
+            evals.append((float(actual), float(daily[prev])))
+    a = np.array([x for x, _ in evals])
+    f = np.array([y for _, y in evals])
+    assert got["n_evals"] == len(evals)
+    assert got["mape"] == pytest.approx(float(np.mean(np.abs(a - f) / a)), abs=1e-6)
+    assert got["smape"] == pytest.approx(
+        float(np.mean(2 * np.abs(a - f) / (a + f))), abs=1e-6
+    )
+    assert got["bias_dollars"] == pytest.approx(float((f - a).mean()) / 100, abs=1e-3)
+    assert got["rmse_dollars"] == pytest.approx(
+        math.sqrt(float(((a - f) ** 2).mean())) / 100, abs=1e-3
+    )
+
+
+def test_user_kfold_matches_python(spark, sf_dir):
+    import hashlib
+
+    got = REGISTRY["sample_user_kfold"].build(spark, sf_dir).collect()
+    e = _pq(sf_dir, "events")
+    folds = {
+        u: int(hashlib.md5(f"{u}:0".encode()).hexdigest()[:8], 16) % 5
+        for u in e.user_id.unique()
+    }
+    e = e.assign(fold=e.user_id.map(folds))
+    e["cents"] = (e.value * 100).round().astype("int64")
+    n_events = len(e)
+    rev = int(e.loc[e.event_type == "purchase", "cents"].sum())
+    by = e.groupby("fold")
+    assert len(got) == e.fold.nunique()
+    for r in got:
+        g = by.get_group(r["fold"])
+        assert r["n_users"] == g.user_id.nunique()
+        assert r["n_events"] == len(g)
+        assert r["event_share"] == pytest.approx(len(g) / n_events, abs=1e-6)
+        fold_rev = int(g.loc[g.event_type == "purchase", "cents"].sum())
+        assert r["revenue_share"] == pytest.approx(fold_rev / rev, abs=1e-6)
+    # user-level disjointness: each user maps to exactly one fold
+    assert sum(r["n_users"] for r in got) == e.user_id.nunique()

@@ -193,6 +193,8 @@ OPS = [
     "text_bigram_entropy_rate",
     "stat_g_test_independence",
     "eval_f1_threshold_sweep",
+    "ts_backtest_seasonal_naive",
+    "sample_user_kfold",
 ]
 
 TIERS = ["sf0.001", "sf0.01", "sf0.1"]
