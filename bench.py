@@ -226,6 +226,7 @@ HEADLINE = [
     "eval_f1_threshold_sweep",
     "ts_backtest_seasonal_naive",
     "sample_user_kfold",
+    "behavior_markov_attribution",
 ]
 
 

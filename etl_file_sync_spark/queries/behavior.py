@@ -1125,3 +1125,221 @@ def ops_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("cum_errors") * 4 > F.col("cum_events")).alias("budget_exhausted"),
     ).orderBy("day")
+
+
+@register(
+    "behavior_markov_attribution",
+    f"""
+    WITH RECURSIVE r1 AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP)
+                 END) OVER (PARTITION BY user_id) AS conv_ts
+      FROM events
+    ),
+    r2 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND ts = conv_ts
+                    THEN event_id END) OVER (PARTITION BY user_id) AS conv_id
+      FROM r1
+    ),
+    j AS (
+      SELECT user_id, event_type, ts, event_id,
+             conv_ts IS NOT NULL AS converts
+      FROM r2
+      WHERE conv_ts IS NULL OR ts < conv_ts
+         OR (ts = conv_ts AND event_id <= conv_id)
+    ),
+    seq AS (
+      SELECT user_id, event_type, converts,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS next_type,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rn
+      FROM j
+    ),
+    pairs AS (
+      SELECT 'start' AS f, event_type AS t FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT event_type, next_type FROM seq WHERE next_type IS NOT NULL
+      UNION ALL
+      SELECT event_type, CASE WHEN converts THEN NULL ELSE 'null' END
+      FROM seq WHERE next_type IS NULL AND NOT converts
+    ),
+    tr AS (
+      SELECT f, t, CAST(count(*) AS BIGINT) AS c FROM pairs
+      WHERE t IS NOT NULL GROUP BY f, t
+    ),
+    outs AS (SELECT f, CAST(sum(c) AS BIGINT) AS tot FROM tr GROUP BY f),
+    kern0 AS (
+      SELECT tr.f, tr.t, tr.c * 1.0 / outs.tot AS p
+      FROM tr JOIN outs ON tr.f = outs.f
+    ),
+    -- self-loop augmentation: target-only states (purchase, null) hold
+    -- their pinned value through the joined-sum update
+    kernel AS (
+      SELECT f, t, p FROM kern0
+      UNION ALL
+      SELECT t, t, 1.0 FROM (SELECT DISTINCT t FROM kern0
+                             WHERE t NOT IN (SELECT f FROM kern0))
+    ),
+    states AS (SELECT DISTINCT f AS s FROM kernel),
+    chans AS (
+      SELECT s AS ch FROM states
+      WHERE s NOT IN ('start', 'purchase', 'null')
+    ),
+    scen AS (
+      SELECT 'base' AS scenario, CAST(NULL AS VARCHAR) AS removed
+      UNION ALL SELECT ch, ch FROM chans
+    ),
+    jac AS (
+      SELECT scen.scenario, scen.removed, states.s,
+             CAST(CASE WHEN states.s = 'purchase' THEN 1.0 ELSE 0.0 END
+               AS DOUBLE) AS h,
+             CAST(0 AS BIGINT) AS it
+      FROM scen, states
+      UNION ALL
+      SELECT jac.scenario, jac.removed, k.f AS s,
+             CAST(sum(CASE WHEN jac.removed IS NOT NULL AND k.t = jac.removed
+                      THEN 0.0 ELSE k.p * jac.h END) AS DOUBLE) AS h,
+             jac.it + 1
+      FROM jac JOIN kernel k ON k.t = jac.s
+      WHERE jac.it < {_MARKOV_ITERS}
+      GROUP BY jac.scenario, jac.removed, k.f, jac.it
+    ),
+    fin AS (
+      SELECT scenario, s, h FROM jac WHERE it = {_MARKOV_ITERS}
+    ),
+    base AS (SELECT h AS p_base FROM fin WHERE scenario = 'base' AND s = 'start'),
+    eff AS (
+      SELECT fin.scenario AS channel, base.p_base,
+             fin.h AS conversion_without,
+             greatest(base.p_base - fin.h, 0.0) AS removal_effect
+      FROM fin, base WHERE fin.scenario <> 'base' AND fin.s = 'start'
+    ),
+    tot_eff AS (SELECT sum(removal_effect) AS te FROM eff)
+    SELECT eff.channel, round(eff.p_base, 6) AS base_conversion,
+           round(eff.conversion_without, 6) AS conversion_without,
+           round(eff.removal_effect, 6) AS removal_effect,
+           round(CASE WHEN tot_eff.te > 0
+                 THEN eff.removal_effect / tot_eff.te END, 6)
+             AS attribution_share
+    FROM eff, tot_eff ORDER BY eff.channel
+    """,
+    "behavior",
+    "markov",
+    "decision",
+)
+def behavior_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect multi-touch attribution (Anderl et al.):
+    per-user journeys truncated at the FIRST purchase (start -> events
+    -> purchase, or -> null for non-converters) define the empirical
+    transition kernel; base conversion is the absorption probability
+    from 'start'; each channel's removal effect is the conversion drop
+    when every transition INTO that channel is redirected to null, and
+    attribution shares normalize the drops — the causal(ish) upgrade
+    over behavior_last_touch_attribution. The kernel is computed
+    DISTRIBUTED (two user-partitioned windows + one groupBy); the
+    per-scenario absorption solves run driver-side on the enum-BOUNDED
+    kernel with the same 80-step Jacobi update and self-loop
+    augmentation as behavior_markov_absorption, which the oracle
+    replays as one scenario-dimensioned recursive CTE. 5-term double
+    sums sit in the documented associativity envelope under round(6)."""
+    e = t(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id")
+    r1 = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        .over(wu)
+        .alias("conv_ts"),
+    )
+    r2 = r1.withColumn(
+        "conv_id",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") == F.col("conv_ts")),
+                F.col("event_id"),
+            )
+        ).over(wu),
+    )
+    j = r2.where(
+        F.col("conv_ts").isNull()
+        | (F.col("ts") < F.col("conv_ts"))
+        | ((F.col("ts") == F.col("conv_ts")) & (F.col("event_id") <= F.col("conv_id")))
+    ).select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.col("conv_ts").isNotNull().alias("converts"),
+    )
+    ws = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = j.select(
+        "user_id",
+        "event_type",
+        "converts",
+        F.lead("event_type").over(ws).alias("next_type"),
+        F.row_number().over(ws).alias("rn"),
+    )
+    starts = seq.where(F.col("rn") == 1).select(
+        F.lit("start").alias("f"), F.col("event_type").alias("t")
+    )
+    mids = seq.where(F.col("next_type").isNotNull()).select(
+        F.col("event_type").alias("f"), F.col("next_type").alias("t")
+    )
+    ends = seq.where(F.col("next_type").isNull() & ~F.col("converts")).select(
+        F.col("event_type").alias("f"), F.lit("null").alias("t")
+    )
+    tr = (
+        starts.unionAll(mids)
+        .unionAll(ends)
+        .groupBy("f", "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    outs = tr.groupBy("f").agg(F.sum("c").cast("bigint").alias("tot"))
+    rows = (
+        tr.join(outs, "f")
+        .select("f", "t", (F.col("c") * 1.0 / F.col("tot")).alias("p"))
+        .collect()  # enum-bounded kernel — k-row metadata pull
+    )
+    kernel = {(r["f"], r["t"]): r["p"] for r in rows}
+    sources = {f for f, _ in kernel}
+    targets = {t_ for _, t_ in kernel}
+    for s in targets - sources:  # self-loop augmentation
+        kernel[(s, s)] = 1.0
+    states = sorted(sources | targets)
+    chans = [s for s in states if s not in ("start", "purchase", "null")]
+
+    def solve(removed: str | None) -> float:
+        h = {s: (1.0 if s == "purchase" else 0.0) for s in states}
+        for _ in range(_MARKOV_ITERS):
+            h = {
+                s: sum(
+                    0.0 if (removed is not None and u == removed) else kernel[(s, u)] * h[u]
+                    for u in states
+                    if (s, u) in kernel
+                )
+                for s in states
+            }
+        return h["start"]
+
+    p_base = solve(None)
+    effects = {c: max(p_base - solve(c), 0.0) for c in chans}
+    te = sum(effects.values())
+    out = [
+        (
+            c,
+            round(p_base, 6),
+            round(p_base - effects[c] if effects[c] > 0 else solve(c), 6),
+            round(effects[c], 6),
+            round(effects[c] / te, 6) if te > 0 else None,
+        )
+        for c in sorted(chans)
+    ]
+    return e.sparkSession.createDataFrame(
+        out,
+        "channel string, base_conversion double, conversion_without double,"
+        " removal_effect double, attribution_share double",
+    ).orderBy("channel")

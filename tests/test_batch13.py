@@ -193,3 +193,64 @@ def test_user_kfold_matches_python(spark, sf_dir):
         assert r["revenue_share"] == pytest.approx(fold_rev / rev, abs=1e-6)
     # user-level disjointness: each user maps to exactly one fold
     assert sum(r["n_users"] for r in got) == e.user_id.nunique()
+
+
+def test_markov_attribution_matches_python(spark, sf_dir):
+    from collections import defaultdict
+
+    got = {r["channel"]: r for r in
+           REGISTRY["behavior_markov_attribution"].build(spark, sf_dir).collect()}
+    e = _pq(sf_dir, "events").sort_values(["user_id", "ts", "event_id"])
+    pairs: dict[tuple[str, str], int] = defaultdict(int)
+    for _, g in e.groupby("user_id"):
+        types = list(g.event_type)
+        if "purchase" in types:
+            cut = types.index("purchase")
+            path, converts = types[: cut + 1], True
+        else:
+            path, converts = types, False
+        pairs[("start", path[0])] += 1
+        for a, b in zip(path, path[1:]):
+            pairs[(a, b)] += 1
+        if not converts:
+            pairs[(path[-1], "null")] += 1
+    outs: dict[str, int] = defaultdict(int)
+    for (f, _t), c in pairs.items():
+        outs[f] += c
+    kernel = {(f, t_): c / outs[f] for (f, t_), c in pairs.items()}
+    sources = {f for f, _ in kernel}
+    targets = {t_ for _, t_ in kernel}
+    for s in targets - sources:
+        kernel[(s, s)] = 1.0
+    states = sorted(sources | targets)
+
+    def solve(removed):
+        h = {s: (1.0 if s == "purchase" else 0.0) for s in states}
+        for _ in range(80):
+            h = {
+                s: sum(
+                    0.0 if (removed is not None and u == removed) else kernel[(s, u)] * h[u]
+                    for u in states
+                    if (s, u) in kernel
+                )
+                for s in states
+            }
+        return h["start"]
+
+    p_base = solve(None)
+    chans = [s for s in states if s not in ("start", "purchase", "null")]
+    effects = {c: max(p_base - solve(c), 0.0) for c in chans}
+    te = sum(effects.values())
+    assert set(got) == set(chans)
+    for c in chans:
+        r = got[c]
+        assert r["base_conversion"] == pytest.approx(p_base, abs=1e-6)
+        assert r["removal_effect"] == pytest.approx(effects[c], abs=1e-6)
+        if te > 0:
+            assert r["attribution_share"] == pytest.approx(effects[c] / te, abs=1e-6)
+    # shares normalize
+    if te > 0:
+        assert sum(r["attribution_share"] for r in got.values()) == pytest.approx(
+            1.0, abs=1e-4
+        )
+    assert 0 <= p_base <= 1

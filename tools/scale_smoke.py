@@ -195,6 +195,7 @@ OPS = [
     "eval_f1_threshold_sweep",
     "ts_backtest_seasonal_naive",
     "sample_user_kfold",
+    "behavior_markov_attribution",
 ]
 
 TIERS = ["sf0.001", "sf0.01", "sf0.1"]
