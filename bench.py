@@ -227,6 +227,8 @@ HEADLINE = [
     "ts_backtest_seasonal_naive",
     "sample_user_kfold",
     "behavior_markov_attribution",
+    "stat_bowker_symmetry",
+    "eval_mcc",
 ]
 
 

@@ -54,3 +54,10 @@ def normal_sf_signed(x: Column) -> Column:
     1 - Phi(x) = 0.5 * (1 - sign(x) * erf(|x|/sqrt(2)))."""
     s = F.when(x >= 0, 1.0).otherwise(-1.0)
     return 0.5 * (1 - s * erf_as(F.abs(x) / math.sqrt(2.0)))
+
+
+def chi2_sf_df10(x: Column) -> Column:
+    """Upper-tail chi-square probability at 10 degrees of freedom:
+    exp(-x/2) * sum_{j=0}^{4} (x/2)^j / j! (even-df closed form)."""
+    h = x / 2
+    return F.exp(-h) * (1 + h + h * h / 2 + h * h * h / 6 + h * h * h * h / 24)

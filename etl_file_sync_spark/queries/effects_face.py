@@ -1371,3 +1371,80 @@ def stat_g_test_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "g_stat",
         F.round(chi2_sf_df4(F.col("g_stat")), 6).alias("p_value"),
     )
+
+
+@register(
+    "stat_bowker_symmetry",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_type
+      FROM events
+    ),
+    tr AS (
+      SELECT event_type AS f, next_type AS t_, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.f AS i, a.t_ AS j, a.n AS nij, coalesce(b.n, 0) AS nji
+      FROM tr a LEFT JOIN tr b ON a.f = b.t_ AND a.t_ = b.f
+      WHERE a.f < a.t_
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             round(sum((nij - nji) * 1.0 * (nij - nji) / (nij + nji)), 4)
+               AS b_stat
+      FROM p WHERE nij + nji > 0
+    )
+    SELECT n_pairs, b_stat,
+           round(exp(-b_stat / 2) * (1 + b_stat / 2
+                 + b_stat * b_stat / 8 + b_stat * b_stat * b_stat / 48
+                 + b_stat * b_stat * b_stat * b_stat / 384), 6) AS p_value
+    FROM s
+    """,
+    "stats",
+    "markov",
+    "rank-test",
+)
+def stat_bowker_symmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bowker's test of symmetry on the user event-transition matrix:
+    B = sum over unordered type pairs (n_ij - n_ji)^2 / (n_ij + n_ji) —
+    McNemar generalized to the 5x5 table, asking whether flows i->j
+    mirror j->i (a symmetric kernel means behavior_transition_matrix
+    carries no directional funnel signal). The corpus-scale pass is the
+    same user-partitioned lead window the transition matrix uses; the
+    pair fold runs on the enum-bounded table. df = C(5,2) = 10, even,
+    so the tail is the closed-form exp(-x/2) sum_{j<5} (x/2)^j/j!
+    (operators/pvalues.py chi2_sf_df10) on the 4-decimal-rounded B.
+    Note exp(-x/2)(1 + x/2 + x^2/8 + x^3/48 + x^4/384) spelled
+    identically in the oracle."""
+    from etl_file_sync_spark.operators.pvalues import chi2_sf_df10
+
+    e = t(spark, sf_dir, "events")
+    ws = W.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    seq = e.select(
+        "event_type", F.lead("event_type").over(ws).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    tr = seq.groupBy(
+        F.col("event_type").alias("f"), F.col("next_type").alias("t_")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = tr.select(F.col("f").alias("i"), F.col("t_").alias("j"), F.col("n").alias("nij"))
+    b = tr.select(F.col("t_").alias("i"), F.col("f").alias("j"), F.col("n").alias("nji"))
+    p = (
+        a.join(b, ["i", "j"], "left")
+        .where(F.col("i") < F.col("j"))
+        .select("i", "j", "nij", F.coalesce(F.col("nji"), F.lit(0)).alias("nji"))
+    )
+    dev = F.col("nij") - F.col("nji")
+    s = p.where(F.col("nij") + F.col("nji") > 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.sum(dev * 1.0 * dev / (F.col("nij") + F.col("nji"))), 4).alias(
+            "b_stat"
+        ),
+    )
+    return s.select(
+        "n_pairs",
+        "b_stat",
+        F.round(chi2_sf_df10(F.col("b_stat")), 6).alias("p_value"),
+    )

@@ -990,3 +990,66 @@ def eval_f1_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f1",
         (F.col("f1") == best).alias("is_best"),
     ).orderBy("threshold")
+
+
+@register(
+    "eval_mcc",
+    f"""
+    WITH {_SCORED_SQL},
+    cm AS (
+      SELECT CAST(sum(CASE WHEN score >= 0.5 AND label = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN score >= 0.5 AND label = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN score < 0.5 AND label = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN score < 0.5 AND label = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS tn
+      FROM scored
+    )
+    SELECT tp, fp, fn, tn,
+           round((tp * 1.0 * tn - fp * 1.0 * fn)
+                 / sqrt((tp + fp) * 1.0 * (tp + fn))
+                 / sqrt((tn + fp) * 1.0 * (tn + fn)), 6) AS mcc,
+           round((2.0 * (tp * 1.0 * tn - fp * 1.0 * fn))
+                 / ((tp + fp) * 1.0 * (fn + tn)
+                    + (tp + fn) * 1.0 * (fp + tn)), 6) AS cohen_kappa_binary
+    FROM cm
+    """,
+    "eval",
+    "classification",
+)
+def eval_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient (and the closed-form binary
+    Cohen's kappa) of the quality filter at threshold 0.5 — the
+    balanced single-number summary eval_precision_recall's F1 is not
+    (MCC punishes trash performance on EITHER class; the standard
+    metric for imbalanced gates). One confusion-matrix pass; the
+    product tp*tn is split across two sqrt factors so the doubles
+    never overflow, spelled identically in both engines."""
+    s = _scored(spark, sf_dir)
+    pred = F.col("score") >= 0.5
+    pos = F.col("label") == 1
+    cm = s.agg(
+        F.sum((pred & pos).cast("int")).cast("bigint").alias("tp"),
+        F.sum((pred & ~pos).cast("int")).cast("bigint").alias("fp"),
+        F.sum((~pred & pos).cast("int")).cast("bigint").alias("fn"),
+        F.sum((~pred & ~pos).cast("int")).cast("bigint").alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    mcc = (
+        (tp * 1.0 * tn - fp * 1.0 * fn)
+        / F.sqrt((tp + fp) * 1.0 * (tp + fn))
+        / F.sqrt((tn + fp) * 1.0 * (tn + fn))
+    )
+    kappa = (2.0 * (tp * 1.0 * tn - fp * 1.0 * fn)) / (
+        (tp + fp) * 1.0 * (fn + tn) + (tp + fn) * 1.0 * (fp + tn)
+    )
+    return cm.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(mcc, 6).alias("mcc"),
+        F.round(kappa, 6).alias("cohen_kappa_binary"),
+    )

@@ -254,3 +254,48 @@ def test_markov_attribution_matches_python(spark, sf_dir):
             1.0, abs=1e-4
         )
     assert 0 <= p_base <= 1
+
+
+def test_bowker_matches_python(spark, sf_dir):
+    from collections import defaultdict
+
+    got = REGISTRY["stat_bowker_symmetry"].build(spark, sf_dir).collect()[0]
+    e = _pq(sf_dir, "events").sort_values(["user_id", "ts", "event_id"])
+    tr: dict[tuple[str, str], int] = defaultdict(int)
+    for _, g in e.groupby("user_id"):
+        types = list(g.event_type)
+        for a, b in zip(types, types[1:]):
+            tr[(a, b)] += 1
+    kinds = sorted({k for pair in tr for k in pair})
+    b_stat = 0.0
+    n_pairs = 0
+    for x in range(len(kinds)):
+        for y in range(x + 1, len(kinds)):
+            nij, nji = tr.get((kinds[x], kinds[y]), 0), tr.get((kinds[y], kinds[x]), 0)
+            if (kinds[x], kinds[y]) in tr and nij + nji > 0:
+                b_stat += (nij - nji) ** 2 / (nij + nji)
+                n_pairs += 1
+    assert got["n_pairs"] == n_pairs
+    assert got["b_stat"] == pytest.approx(b_stat, abs=1e-3)
+    q = got["b_stat"] / 2
+    p = math.exp(-q) * sum(q**j / math.factorial(j) for j in range(5))
+    assert got["p_value"] == pytest.approx(p, abs=1e-6)
+
+
+def test_mcc_matches_python(spark, sf_dir):
+    got = REGISTRY["eval_mcc"].build(spark, sf_dir).collect()[0]
+    from etl_file_sync_spark.queries.eval_face import _scored
+
+    rows = [(r["score"], r["label"]) for r in _scored(spark, sf_dir).collect()]
+    tp = sum(1 for s, l in rows if s >= 0.5 and l == 1)
+    fp = sum(1 for s, l in rows if s >= 0.5 and l == 0)
+    fn = sum(1 for s, l in rows if s < 0.5 and l == 1)
+    tn = sum(1 for s, l in rows if s < 0.5 and l == 0)
+    mcc = (tp * tn - fp * fn) / math.sqrt(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    )
+    kappa = 2 * (tp * tn - fp * fn) / ((tp + fp) * (fn + tn) + (tp + fn) * (fp + tn))
+    assert (got["tp"], got["fp"], got["fn"], got["tn"]) == (tp, fp, fn, tn)
+    assert got["mcc"] == pytest.approx(mcc, abs=1e-6)
+    assert got["cohen_kappa_binary"] == pytest.approx(kappa, abs=1e-6)
+    assert -1 - 1e-9 <= got["mcc"] <= 1 + 1e-9

@@ -196,6 +196,8 @@ OPS = [
     "ts_backtest_seasonal_naive",
     "sample_user_kfold",
     "behavior_markov_attribution",
+    "stat_bowker_symmetry",
+    "eval_mcc",
 ]
 
 TIERS = ["sf0.001", "sf0.01", "sf0.1"]
