@@ -229,6 +229,9 @@ HEADLINE = [
     "behavior_markov_attribution",
     "stat_bowker_symmetry",
     "eval_mcc",
+    "stat_page_trend",
+    "ts_variance_ratio",
+    "behavior_new_vs_returning",
 ]
 
 

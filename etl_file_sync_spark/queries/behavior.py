@@ -1343,3 +1343,61 @@ def behavior_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channel string, base_conversion double, conversion_without double,"
         " removal_effect double, attribution_share double",
     ).orderBy("channel")
+
+
+@register(
+    "behavior_new_vs_returning",
+    """
+    WITH du AS (
+      SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+      FROM events
+    ),
+    first_seen AS (SELECT user_id, min(day) AS d0 FROM du GROUP BY user_id)
+    SELECT CAST(du.day AS TIMESTAMP) AS day,
+           CAST(count(*) AS BIGINT) AS dau,
+           CAST(sum(CASE WHEN du.day = f.d0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS new_users,
+           CAST(sum(CASE WHEN du.day > f.d0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS returning_users,
+           round(sum(CASE WHEN du.day = f.d0 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS pct_new
+    FROM du JOIN first_seen f USING (user_id)
+    GROUP BY du.day ORDER BY day
+    """,
+    "behavior",
+    "cohort",
+    "window",
+)
+def behavior_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning split: a user is NEW on their first active
+    day and RETURNING after — the day-one health chart next to
+    behavior_dau_stickiness (a product whose pct_new never falls is all
+    churn, one whose pct_new hits zero has stopped acquiring). One
+    distinct pass, one per-user min, one user-keyed join back; all
+    counts exact integers."""
+    du = (
+        t(spark, sf_dir, "events")
+        .select(F.col("ts").cast("date").alias("day"), "user_id")
+        .distinct()
+    )
+    first_seen = du.groupBy("user_id").agg(F.min("day").alias("d0"))
+    new = F.when(F.col("day") == F.col("d0"), 1).otherwise(0)
+    ret = F.when(F.col("day") > F.col("d0"), 1).otherwise(0)
+    return (
+        du.join(first_seen, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("dau"),
+            F.sum(new).cast("bigint").alias("new_users"),
+            F.sum(ret).cast("bigint").alias("returning_users"),
+            F.round(F.sum(new) * 1.0 / F.count(F.lit(1)), 6).alias("pct_new"),
+        )
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            "dau",
+            "new_users",
+            "returning_users",
+            "pct_new",
+        )
+        .orderBy("day")
+    )

@@ -1448,3 +1448,104 @@ def stat_bowker_symmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b_stat",
         F.round(chi2_sf_df10(F.col("b_stat")), 6).alias("p_value"),
     )
+
+
+@register(
+    "stat_page_trend",
+    f"""
+    WITH cell AS (
+      SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS blk,
+             CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS trt,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY 1, 2
+    ),
+    complete AS (SELECT blk FROM cell GROUP BY blk HAVING count(*) = 5),
+    r AS (
+      SELECT c.blk, c.trt,
+             (count(*) OVER (PARTITION BY c.blk ORDER BY c.y
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - count(*) OVER (PARTITION BY c.blk, c.y))
+             + (count(*) OVER (PARTITION BY c.blk, c.y) + 1) / 2.0 AS rk
+      FROM cell c JOIN complete USING (blk)
+    ),
+    pertrt AS (
+      SELECT trt, sum(rk) AS rank_sum, CAST(count(*) AS BIGINT) AS b
+      FROM r GROUP BY trt
+    ),
+    stat AS (
+      SELECT max(b) AS b, sum(trt * rank_sum) AS l_stat FROM pertrt
+    ),
+    z AS (
+      SELECT b, l_stat,
+             round((l_stat - b * 5 * 36.0 / 4)
+                   / sqrt(b * 25.0 * 6 * 24 / 144), 4) AS z_stat
+      FROM stat
+    ),
+    pz AS (SELECT *, abs(z_stat) / sqrt(2.0) AS xx FROM z),
+    pp AS (SELECT *, 1 / (1 + 0.3275911 * xx) AS tt FROM pz)
+    SELECT CAST(b AS BIGINT) AS n_blocks, round(l_stat, 2) AS l_stat, z_stat,
+           round({_SQL_ERFC}, 6) AS p_value
+    FROM pp
+    """,
+    "stats",
+    "rank-test",
+    "ab-test",
+)
+def stat_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's trend test for an ORDERED alternative across the five
+    priorities (monthly blocks, same frame as stat_friedman_test):
+    L = sum_j s_j R_j with the priority's leading digit as the a-priori
+    ordering score; z = (L - b k(k+1)^2/4) / sqrt(b k^2 (k+1)(k^2-1)
+    / 144) (k=5 pinned by the complete-block filter; midranks for the
+    near-impossible cents ties, the standard large-b normal
+    approximation). Friedman asks 'any difference?'; Page asks 'does
+    revenue rise WITH priority?' — strictly more power when the
+    ordering is the hypothesis. Two-sided p via the closed-form erf on
+    the rounded z."""
+    cell = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.trunc(F.col("o_orderdate").cast("date"), "month").alias("blk"),
+            F.substring("o_orderpriority", 1, 1).cast("bigint").alias("trt"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    complete = cell.groupBy("blk").agg(F.count(F.lit(1)).alias("k")).where(
+        F.col("k") == 5
+    )
+    cells = cell.join(F.broadcast(complete.select("blk")), "blk")
+    w_leq = W.partitionBy("blk").orderBy("y").rangeBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_eq = W.partitionBy("blk", "y")
+    cnt_leq = F.count(F.lit(1)).over(w_leq)
+    cnt_eq = F.count(F.lit(1)).over(w_eq)
+    r = cells.select(
+        "blk", "trt", ((cnt_leq - cnt_eq) + (cnt_eq + 1) / F.lit(2.0)).alias("rk")
+    )
+    pertrt = r.groupBy("trt").agg(
+        F.sum("rk").alias("rank_sum"), F.count(F.lit(1)).cast("bigint").alias("b")
+    )
+    stat = pertrt.agg(
+        F.max("b").alias("b"),
+        F.sum(F.col("trt") * F.col("rank_sum")).alias("l_stat"),
+    )
+    z = stat.select(
+        "b",
+        "l_stat",
+        F.round(
+            (F.col("l_stat") - F.col("b") * 5 * 36.0 / 4)
+            / F.sqrt(F.col("b") * 25.0 * 6 * 24 / 144),
+            4,
+        ).alias("z_stat"),
+    )
+    return z.select(
+        F.col("b").cast("bigint").alias("n_blocks"),
+        F.round("l_stat", 2).alias("l_stat"),
+        "z_stat",
+        F.round(normal_two_sided_p(F.col("z_stat")), 6).alias("p_value"),
+    )

@@ -1155,3 +1155,116 @@ def ts_backtest_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.sqrt(F.avg(err * 1.0 * err)) / 100.0, 4).alias("rmse_dollars"),
     )
+
+
+@register(
+    "ts_variance_ratio",
+    f"""
+    WITH {_DAILY_REV},
+    r AS (SELECT cents,
+                 CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+          FROM daily),
+    d1 AS (
+      SELECT b.cents - a.cents AS d
+      FROM r a JOIN r b ON b.rn = a.rn + 1
+    ),
+    d7 AS (
+      SELECT b.cents - a.cents AS d
+      FROM r a JOIN r b ON b.rn = a.rn + 7
+    ),
+    v1 AS (SELECT CAST(count(*) AS BIGINT) AS n1,
+                  CAST(sum(d) AS BIGINT) AS s1,
+                  CAST(sum(CAST(d AS HUGEINT) * d) AS DOUBLE) AS ss1 FROM d1),
+    v7 AS (SELECT CAST(count(*) AS BIGINT) AS n7,
+                  CAST(sum(d) AS BIGINT) AS s7,
+                  CAST(sum(CAST(d AS HUGEINT) * d) AS DOUBLE) AS ss7 FROM d7),
+    vr AS (
+      SELECT n1,
+             ((ss7 - s7 * 1.0 / n7 * s7) / (n7 - 1))
+             / (7.0 * ((ss1 - s1 * 1.0 / n1 * s1) / (n1 - 1))) AS ratio
+      FROM v1, v7
+    ),
+    z AS (
+      SELECT n1, round(ratio, 6) AS variance_ratio,
+             round((ratio - 1) / sqrt(2.0 * (2 * 7 - 1) * (7 - 1)
+                                      / (3.0 * 7 * n1)), 4) AS z_stat
+      FROM vr
+    ),
+    pz AS (SELECT *, abs(z_stat) / sqrt(2.0) AS xx FROM z),
+    pp AS (SELECT *, 1 / (1 + 0.3275911 * xx) AS tt FROM pz)
+    SELECT n1 AS n_diffs, variance_ratio, z_stat,
+           round((((( 1.061405429 * tt - 1.453152027) * tt + 1.421413741) * tt
+                  - 0.284496736) * tt + 0.254829592) * tt * exp(-xx * xx), 6)
+             AS p_value
+    FROM pp
+    """,
+    "timeseries",
+    "drift",
+    "rank-test",
+)
+def ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance-ratio test at horizon q=7 on daily revenue
+    increments (observed-day index, not calendar, so gaps don't inject
+    phantom zeros): VR = Var(7-step diff) / (7 Var(1-step diff)); under
+    a random walk VR = 1, VR < 1 means mean reversion (what a
+    stationary seasonal series shows), VR > 1 momentum. Homoscedastic
+    z = (VR-1)/sqrt(2(2q-1)(q-1)/(3qn)). Diffs are exact BIGINT cents
+    from two rn equi-joins on the calendar-bounded frame; moments are
+    exact integer folds (DECIMAL squares) before the double algebra."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    r = daily.select(
+        "cents", F.row_number().over(W.orderBy("day")).cast("bigint").alias("rn")
+    )
+
+    def diffs(lag: int) -> DataFrame:
+        a = r.select(F.col("rn").alias("ra"), F.col("cents").alias("ca"))
+        b = r.select((F.col("rn") - lag).alias("ra"), F.col("cents").alias("cb"))
+        return a.join(b, "ra").select((F.col("cb") - F.col("ca")).alias("d"))
+
+    def moments(df: DataFrame, n_name: str, s_name: str, ss_name: str) -> DataFrame:
+        dec = F.col("d").cast("decimal(18,0)")
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias(n_name),
+            F.sum("d").cast("bigint").alias(s_name),
+            F.sum(dec * dec).cast("double").alias(ss_name),
+        )
+
+    v1 = moments(diffs(1), "n1", "s1", "ss1")
+    v7 = moments(diffs(7), "n7", "s7", "ss7")
+    var1 = (F.col("ss1") - F.col("s1") * 1.0 / F.col("n1") * F.col("s1")) / (
+        F.col("n1") - 1
+    )
+    var7 = (F.col("ss7") - F.col("s7") * 1.0 / F.col("n7") * F.col("s7")) / (
+        F.col("n7") - 1
+    )
+    vr = v1.crossJoin(F.broadcast(v7)).select(
+        "n1", (var7 / (7.0 * var1)).alias("ratio")
+    )
+    q = 7
+    z = vr.select(
+        "n1",
+        F.round("ratio", 6).alias("variance_ratio"),
+        F.round(
+            (F.col("ratio") - 1)
+            / F.sqrt(2.0 * (2 * q - 1) * (q - 1) / (3.0 * q * F.col("n1"))),
+            4,
+        ).alias("z_stat"),
+    )
+    from etl_file_sync_spark.operators.pvalues import normal_two_sided_p
+
+    return z.select(
+        F.col("n1").alias("n_diffs"),
+        "variance_ratio",
+        "z_stat",
+        F.round(normal_two_sided_p(F.col("z_stat")), 6).alias("p_value"),
+    )

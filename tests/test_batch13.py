@@ -299,3 +299,83 @@ def test_mcc_matches_python(spark, sf_dir):
     assert got["mcc"] == pytest.approx(mcc, abs=1e-6)
     assert got["cohen_kappa_binary"] == pytest.approx(kappa, abs=1e-6)
     assert -1 - 1e-9 <= got["mcc"] <= 1 + 1e-9
+
+
+def test_page_trend_matches_python(spark, sf_dir):
+    got = REGISTRY["stat_page_trend"].build(spark, sf_dir).collect()[0]
+    o = _pq(sf_dir, "orders")
+    cents = (o.o_totalprice * 100).round().astype("int64")
+    cell = (
+        pd.DataFrame(
+            {
+                "blk": pd.to_datetime(o.o_orderdate).dt.to_period("M"),
+                "trt": o.o_orderpriority.str[0].astype(int),
+                "c": cents,
+            }
+        )
+        .groupby(["blk", "trt"])
+        .c.sum()
+        .reset_index()
+    )
+    keep = cell.groupby("blk").trt.transform("size") == 5
+    cell = cell[keep]
+    cell["rk"] = cell.groupby("blk").c.rank(method="average")
+    b = cell.blk.nunique()
+    rsum = cell.groupby("trt").rk.sum()
+    l_stat = float(sum(j * rsum[j] for j in rsum.index))
+    k = 5
+    e_l = b * k * (k + 1) ** 2 / 4
+    var_l = b * k**2 * (k + 1) * (k**2 - 1) / 144
+    z = (l_stat - e_l) / math.sqrt(var_l)
+    assert got["n_blocks"] == b
+    assert got["l_stat"] == pytest.approx(l_stat, abs=0.01)
+    assert got["z_stat"] == pytest.approx(z, abs=1e-3)
+    p_ref = math.erfc(abs(got["z_stat"]) / math.sqrt(2))
+    assert got["p_value"] == pytest.approx(p_ref, abs=5e-6)
+
+
+def test_variance_ratio_matches_numpy(spark, sf_dir):
+    got = REGISTRY["ts_variance_ratio"].build(spark, sf_dir).collect()[0]
+    o = _pq(sf_dir, "orders")
+    cents = (o.o_totalprice * 100).round().astype("int64")
+    y = (
+        pd.DataFrame({"day": pd.to_datetime(o.o_orderdate), "c": cents})
+        .groupby("day")
+        .c.sum()
+        .sort_index()
+        .to_numpy(dtype=float)
+    )
+    d1 = y[1:] - y[:-1]
+    d7 = y[7:] - y[:-7]
+    vr = d7.var(ddof=1) / (7 * d1.var(ddof=1))
+    n1 = len(d1)
+    z = (vr - 1) / math.sqrt(2 * 13 * 6 / (3 * 7 * n1))
+    assert got["n_diffs"] == n1
+    assert got["variance_ratio"] == pytest.approx(vr, abs=1e-6)
+    assert got["z_stat"] == pytest.approx(z, abs=1e-3)
+    p_ref = math.erfc(abs(got["z_stat"]) / math.sqrt(2))
+    assert got["p_value"] == pytest.approx(p_ref, abs=5e-6)
+
+
+def test_new_vs_returning_matches_pandas(spark, sf_dir):
+    got = {pd.Timestamp(r["day"]): r for r in
+           REGISTRY["behavior_new_vs_returning"].build(spark, sf_dir).collect()}
+    e = _pq(sf_dir, "events")
+    du = (
+        pd.DataFrame({"day": pd.to_datetime(e.ts).dt.normalize(), "u": e.user_id})
+        .drop_duplicates()
+    )
+    d0 = du.groupby("u").day.min()
+    du = du.assign(first=du.u.map(d0))
+    assert len(got) == du.day.nunique()
+    total_new = 0
+    for day, g in du.groupby("day"):
+        r = got[pd.Timestamp(day)]
+        new = int((g.day == g["first"]).sum())
+        assert r["dau"] == len(g)
+        assert r["new_users"] == new
+        assert r["returning_users"] == len(g) - new
+        assert r["pct_new"] == pytest.approx(new / len(g), abs=1e-6)
+        total_new += new
+    # every user is new exactly once
+    assert total_new == du.u.nunique()

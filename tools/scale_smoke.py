@@ -198,6 +198,9 @@ OPS = [
     "behavior_markov_attribution",
     "stat_bowker_symmetry",
     "eval_mcc",
+    "stat_page_trend",
+    "ts_variance_ratio",
+    "behavior_new_vs_returning",
 ]
 
 TIERS = ["sf0.001", "sf0.01", "sf0.1"]
