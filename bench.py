@@ -232,6 +232,7 @@ HEADLINE = [
     "stat_page_trend",
     "ts_variance_ratio",
     "behavior_new_vs_returning",
+    "ml_split_quality",
 ]
 
 

@@ -1053,3 +1053,139 @@ def eval_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mcc, 6).alias("mcc"),
         F.round(kappa, 6).alias("cohen_kappa_binary"),
     )
+
+
+_SPLIT_CASES_SQL = """
+    base AS (
+      SELECT o.o_orderpriority AS priority, r.r_name AS region,
+             CASE WHEN o.o_custkey % 2 = 0 THEN 'even' ELSE 'odd' END AS parity,
+             CASE WHEN o.o_totalprice > 250000 THEN 1 ELSE 0 END AS y
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    ),
+    long AS (
+      SELECT 'priority' AS feature, priority AS v, y FROM base
+      UNION ALL SELECT 'region', region, y FROM base
+      UNION ALL SELECT 'parity', parity, y FROM base
+    ),
+    per_v AS (
+      SELECT feature, v, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS pos
+      FROM long GROUP BY feature, v
+    ),
+    parent AS (
+      SELECT CAST(count(*) AS BIGINT) AS nt, CAST(sum(y) AS BIGINT) AS post
+      FROM base
+    )
+"""
+
+
+@register(
+    "ml_split_quality",
+    f"""
+    WITH {_SPLIT_CASES_SQL},
+    child AS (
+      SELECT p.feature, CAST(count(*) AS BIGINT) AS n_values,
+             sum(p.n * 1.0 / q.nt
+                 * (1 - (p.pos * 1.0 / p.n) * (p.pos * 1.0 / p.n)
+                      - (1 - p.pos * 1.0 / p.n) * (1 - p.pos * 1.0 / p.n)))
+               AS w_gini,
+             sum(p.n * 1.0 / q.nt
+                 * (CASE WHEN p.pos = 0 OR p.pos = p.n THEN 0.0
+                    ELSE -(p.pos * 1.0 / p.n) * ln(p.pos * 1.0 / p.n)
+                         - (1 - p.pos * 1.0 / p.n) * ln(1 - p.pos * 1.0 / p.n)
+                    END)) AS w_ent
+      FROM per_v p, parent q GROUP BY p.feature
+    ),
+    par AS (
+      SELECT 1 - (post * 1.0 / nt) * (post * 1.0 / nt)
+               - (1 - post * 1.0 / nt) * (1 - post * 1.0 / nt) AS g0,
+             -(post * 1.0 / nt) * ln(post * 1.0 / nt)
+               - (1 - post * 1.0 / nt) * ln(1 - post * 1.0 / nt) AS e0
+      FROM parent
+    )
+    SELECT c.feature, c.n_values,
+           round(c.w_gini, 6) AS weighted_gini,
+           round(par.g0 - c.w_gini, 6) AS gini_gain,
+           round(c.w_ent, 6) AS weighted_entropy_nats,
+           round(par.e0 - c.w_ent, 6) AS info_gain_nats
+    FROM child c, par ORDER BY c.feature
+    """,
+    "eval",
+    "decision",
+    "stats",
+)
+def ml_split_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-tree split quality for three candidate categorical
+    features (order priority, customer region, custkey parity)
+    predicting the big-order label: weighted child Gini impurity and
+    entropy, and the Gini gain / information gain over the parent —
+    the CART/ID3 feature-selection primitive a distributed tree
+    trainer evaluates per node (one combiner-friendly groupBy per
+    feature over the long frame; every probability is an exact integer
+    ratio, pure-split children contribute exactly zero entropy by the
+    explicit guard, identical in both engines)."""
+    o = t(spark, sf_dir, "orders")
+    base = (
+        o.join(t(spark, sf_dir, "customer"), o.o_custkey == F.col("c_custkey"))
+        .join(
+            F.broadcast(t(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("r_name").alias("region"),
+            F.when(F.col("o_custkey") % 2 == 0, "even").otherwise("odd").alias("parity"),
+            F.when(F.col("o_totalprice") > 250000, 1).otherwise(0).alias("y"),
+        )
+    )
+    long = (
+        base.select(F.lit("priority").alias("feature"), F.col("priority").alias("v"), "y")
+        .unionAll(base.select(F.lit("region").alias("feature"), F.col("region").alias("v"), "y"))
+        .unionAll(base.select(F.lit("parity").alias("feature"), F.col("parity").alias("v"), "y"))
+    )
+    per_v = long.groupBy("feature", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    parent = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nt"),
+        F.sum("y").cast("bigint").alias("post"),
+    )
+    p = F.col("pos") * 1.0 / F.col("n")
+    gini_v = 1 - p * p - (1 - p) * (1 - p)
+    ent_v = F.when(
+        (F.col("pos") == 0) | (F.col("pos") == F.col("n")), F.lit(0.0)
+    ).otherwise(-p * F.log(p) - (1 - p) * F.log(1 - p))
+    child = (
+        per_v.crossJoin(F.broadcast(parent))  # 1-row parent dimension
+        .groupBy("feature")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_values"),
+            F.sum(F.col("n") * 1.0 / F.col("nt") * gini_v).alias("w_gini"),
+            F.sum(F.col("n") * 1.0 / F.col("nt") * ent_v).alias("w_ent"),
+        )
+    )
+    p0 = F.col("post") * 1.0 / F.col("nt")
+    par = parent.select(
+        (1 - p0 * p0 - (1 - p0) * (1 - p0)).alias("g0"),
+        (-p0 * F.log(p0) - (1 - p0) * F.log(1 - p0)).alias("e0"),
+    )
+    return (
+        child.crossJoin(F.broadcast(par))  # 1-row parent-impurity dimension
+        .select(
+            "feature",
+            "n_values",
+            F.round("w_gini", 6).alias("weighted_gini"),
+            F.round(F.col("g0") - F.col("w_gini"), 6).alias("gini_gain"),
+            F.round("w_ent", 6).alias("weighted_entropy_nats"),
+            F.round(F.col("e0") - F.col("w_ent"), 6).alias("info_gain_nats"),
+        )
+        .orderBy("feature")
+    )

@@ -379,3 +379,42 @@ def test_new_vs_returning_matches_pandas(spark, sf_dir):
         total_new += new
     # every user is new exactly once
     assert total_new == du.u.nunique()
+
+
+def test_split_quality_matches_python(spark, sf_dir):
+    got = {r["feature"]: r for r in
+           REGISTRY["ml_split_quality"].build(spark, sf_dir).collect()}
+    o = _pq(sf_dir, "orders")
+    c = _pq(sf_dir, "customer")
+    nn = _pq(sf_dir, "nation")
+    rr = _pq(sf_dir, "region")
+    df = (
+        o.merge(c, left_on="o_custkey", right_on="c_custkey")
+        .merge(nn, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(rr, left_on="n_regionkey", right_on="r_regionkey")
+    )
+    df["y"] = (df.o_totalprice > 250000).astype(int)
+    df["parity"] = np.where(df.o_custkey % 2 == 0, "even", "odd")
+    nt, post = len(df), int(df.y.sum())
+    p0 = post / nt
+    g0 = 1 - p0**2 - (1 - p0) ** 2
+    e0 = -p0 * math.log(p0) - (1 - p0) * math.log(1 - p0)
+    feats = {"priority": df.o_orderpriority, "region": df.r_name, "parity": df.parity}
+    for name, col in feats.items():
+        w_gini = w_ent = 0.0
+        n_vals = 0
+        for _v, g in df.groupby(col):
+            n, pos = len(g), int(g.y.sum())
+            p = pos / n
+            w_gini += n / nt * (1 - p**2 - (1 - p) ** 2)
+            if 0 < pos < n:
+                w_ent += n / nt * (-p * math.log(p) - (1 - p) * math.log(1 - p))
+            n_vals += 1
+        r = got[name]
+        assert r["n_values"] == n_vals
+        assert r["weighted_gini"] == pytest.approx(w_gini, abs=1e-6)
+        assert r["gini_gain"] == pytest.approx(g0 - w_gini, abs=1e-6)
+        assert r["weighted_entropy_nats"] == pytest.approx(w_ent, abs=1e-6)
+        assert r["info_gain_nats"] == pytest.approx(e0 - w_ent, abs=1e-6)
+        # a split can't beat the parent's total impurity
+        assert -1e-9 <= r["gini_gain"] <= g0 + 1e-9

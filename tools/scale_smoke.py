@@ -201,6 +201,7 @@ OPS = [
     "stat_page_trend",
     "ts_variance_ratio",
     "behavior_new_vs_returning",
+    "ml_split_quality",
 ]
 
 TIERS = ["sf0.001", "sf0.01", "sf0.1"]
