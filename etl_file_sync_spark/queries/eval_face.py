@@ -1145,11 +1145,18 @@ def ml_split_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("o_totalprice") > 250000, 1).otherwise(0).alias("y"),
         )
     )
-    long = (
-        base.select(F.lit("priority").alias("feature"), F.col("priority").alias("v"), "y")
-        .unionAll(base.select(F.lit("region").alias("feature"), F.col("region").alias("v"), "y"))
-        .unionAll(base.select(F.lit("parity").alias("feature"), F.col("parity").alias("v"), "y"))
-    )
+    # melt with ONE scan: a union of three selects would re-run the
+    # 4-table join per feature; the struct-array explode reads it once
+    long = base.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("priority").alias("feature"), F.col("priority").alias("v")),
+                F.struct(F.lit("region").alias("feature"), F.col("region").alias("v")),
+                F.struct(F.lit("parity").alias("feature"), F.col("parity").alias("v")),
+            )
+        ).alias("fv"),
+        "y",
+    ).select(F.col("fv.feature").alias("feature"), F.col("fv.v").alias("v"), "y")
     per_v = long.groupBy("feature", "v").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("y").cast("bigint").alias("pos"),
