@@ -434,3 +434,62 @@ def test_rouge_python_eval_runs_after_pair_join(spark, sf_dir):
     join_pos = plan.find("Join")
     py_pos = max(plan.find("MapInPandas"), plan.find("ArrowEvalPython"))
     assert join_pos != -1 and py_pos != -1
+
+
+def test_round5_rank_ops_are_bucket_partitioned(spark, sf_dir):
+    """The effects-face rank machinery (Cliff's delta, CvM, energy
+    distance, Dunn, weighted median, Mood, AUPRC) must keep every
+    row-grain window bucket-partitioned — the Friedman/Pettitt/daily
+    windows are calendar/block-bounded by construction and excluded."""
+    from etl_file_sync_spark.plans import physical_plan
+
+    for name in (
+        "stat_cliffs_delta",
+        "stat_cvm_two_sample",
+        "stat_energy_distance",
+        "stat_dunn_posthoc",
+        "agg_weighted_median",
+        "stat_mood_median_test",
+        "eval_auprc",
+    ):
+        plan = physical_plan(REGISTRY[name].build(spark, sf_dir))
+        win_lines = [
+            l for l in plan.splitlines() if "Window" in l and "windowspecdefinition" in l
+        ]
+        for line in win_lines:
+            assert "_rs_bucket" in line, f"{name}: unpartitioned window: {line[:200]}"
+
+
+def test_adamic_adar_removes_edges_with_anti_join(spark, sf_dir):
+    """Existing edges must be excluded via LeftAnti (never a collected
+    edge list) and the output must be a global TakeOrdered top-k."""
+    from etl_file_sync_spark.plans import physical_plan
+
+    plan = physical_plan(REGISTRY["graph_adamic_adar"].build(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_rec_item_cosine_broadcasts_frequency_dims(spark, sf_dir):
+    """The item-frequency joins are vocabulary-sized and must broadcast;
+    output is a global TakeOrdered top-20."""
+    from etl_file_sync_spark.plans import join_strategies, physical_plan
+
+    df = REGISTRY["rec_item_cosine"].build(spark, sf_dir)
+    js = join_strategies(df)
+    assert js["broadcast_hash"] >= 2  # fa + fb frequency dims
+    assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_key_gaps_successor_is_equi_join_not_global_lead(spark, sf_dir):
+    """dq_key_gaps pairs successors through the rn = rn+1 equi-join on
+    the bucketed dense rank; no unpartitioned window may touch the
+    full key column."""
+    from etl_file_sync_spark.plans import physical_plan
+
+    plan = physical_plan(REGISTRY["dq_key_gaps"].build(spark, sf_dir))
+    win_lines = [
+        l for l in plan.splitlines() if "Window" in l and "windowspecdefinition" in l
+    ]
+    for line in win_lines:
+        assert "_rs_bucket" in line, f"unpartitioned window: {line[:200]}"
