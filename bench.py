@@ -233,6 +233,8 @@ HEADLINE = [
     "ts_variance_ratio",
     "behavior_new_vs_returning",
     "ml_split_quality",
+    "stat_sign_test_weekly",
+    "stat_breusch_pagan",
 ]
 
 

@@ -1549,3 +1549,194 @@ def stat_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "z_stat",
         F.round(normal_two_sided_p(F.col("z_stat")), 6).alias("p_value"),
     )
+
+
+@register(
+    "stat_sign_test_weekly",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.cents - b.cents AS d
+      FROM daily a JOIN daily b ON b.day = a.day - INTERVAL 7 DAY
+    ),
+    cells AS (
+      SELECT CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+             CAST(sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg
+      FROM pairs
+    ),
+    lf AS (
+      SELECT i,
+             coalesce(sum(CASE WHEN i = 0 THEN 0.0 ELSE ln(i) END)
+               OVER (ORDER BY i), 0.0) AS lnf
+      FROM (SELECT unnest(range(0, (SELECT pos + neg + 1 FROM cells))) AS i)
+    ),
+    kk AS (SELECT cells.*, pos + neg AS m,
+                  unnest(range(0, least(pos, neg) + 1)) AS k FROM cells),
+    tail AS (
+      SELECT pos, neg, m,
+             sum(exp((SELECT lnf FROM lf WHERE i = kk.m)
+                     - (SELECT lnf FROM lf WHERE i = kk.k)
+                     - (SELECT lnf FROM lf WHERE i = kk.m - kk.k)
+                     - m * ln(2))) AS p_tail
+      FROM kk GROUP BY pos, neg, m
+    )
+    SELECT pos AS n_up, neg AS n_down,
+           round(CASE WHEN pos = neg THEN 1.0
+                      ELSE least(1.0, 2 * p_tail) END, 6) AS p_value
+    FROM tail
+    """,
+    "stats",
+    "exact-test",
+    "timeseries",
+)
+def stat_sign_test_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binomial SIGN test of week-over-week revenue drift: each
+    day pairs with the same weekday one week earlier (a date equi-join,
+    so weekday seasonality cancels by construction), ties drop, and
+    under H0 the up-count is Binomial(n, 1/2) — the distribution-free
+    sibling of ts_cusum_changepoint's mean-shift question with an EXACT
+    p at any n (ln-factorial prefix fold, the Fisher/McNemar pattern:
+    the corpus-scale work is the daily groupBy; the tail sum is a
+    min(pos,neg)+1-term driver fold mirrored by the oracle's ordered
+    window fold)."""
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    a = daily.select("day", F.col("cents").alias("ca"))
+    b = daily.select(F.date_add(F.col("day"), 7).alias("day"), F.col("cents").alias("cb"))
+    d = a.join(b, "day").select((F.col("ca") - F.col("cb")).alias("d"))
+    cells = d.agg(
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).cast("bigint").alias("pos"),
+        F.sum(F.when(F.col("d") < 0, 1).otherwise(0)).cast("bigint").alias("neg"),
+    )
+    row = cells.collect()[0]  # 2-cell metadata pull (McNemar pattern)
+    pos, neg = row["pos"], row["neg"]
+    m = pos + neg
+    lnf = [0.0] * (m + 1)
+    acc = 0.0
+    for j in range(1, m + 1):
+        acc += math.log(j)
+        lnf[j] = acc
+    if pos == neg:
+        p = 1.0
+    else:
+        tail = sum(
+            math.exp(lnf[m] - lnf[k] - lnf[m - k] - m * math.log(2))
+            for k in range(0, min(pos, neg) + 1)
+        )
+        p = min(1.0, 2 * tail)
+    return cells.sparkSession.createDataFrame(
+        [(pos, neg, round(p, 6))], "n_up bigint, n_down bigint, p_value double"
+    )
+
+
+@register(
+    "stat_breusch_pagan",
+    """
+    WITH s AS (
+      SELECT CAST(l_quantity AS DOUBLE) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) * 1.0 AS y
+      FROM lineitem
+    ),
+    m AS (SELECT count(*) AS n, avg(x) AS mx, avg(y) AS my FROM s),
+    c AS (
+      SELECT max(n) AS n, max(mx) AS mx, max(my) AS my,
+             sum((x - mx) * (x - mx)) AS sxx,
+             sum((x - mx) * (y - my)) AS sxy
+      FROM s, m
+    ),
+    u AS (
+      SELECT s.x,
+             (s.y - c.my - c.sxy / c.sxx * (s.x - c.mx))
+             * (s.y - c.my - c.sxy / c.sxx * (s.x - c.mx)) AS e2,
+             c.n, c.mx, c.sxx
+      FROM s, c
+    ),
+    mu AS (SELECT avg(e2) AS ue FROM u),
+    aux AS (
+      SELECT max(u.n) AS n,
+             sum((u.x - u.mx) * (u.e2 - mu.ue)) AS sxu,
+             sum((u.e2 - mu.ue) * (u.e2 - mu.ue)) AS suu,
+             max(u.sxx) AS sxx
+      FROM u, mu
+    ),
+    lm AS (
+      SELECT CAST(n AS BIGINT) AS n,
+             round(n * (sxu * sxu) / (sxx * suu), 4) AS bp_stat
+      FROM aux
+    ),
+    pz AS (SELECT *, sqrt(bp_stat / 2) AS xx FROM lm),
+    pp AS (SELECT *, 1 / (1 + 0.3275911 * xx) AS tt FROM pz)
+    SELECT n AS n_rows, bp_stat,
+           round(((((1.061405429 * tt - 1.453152027) * tt + 1.421413741) * tt
+                  - 0.284496736) * tt + 0.254829592) * tt * exp(-xx * xx), 6)
+             AS p_value
+    FROM pp
+    """,
+    "stats",
+    "regression",
+    "dq",
+)
+def stat_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch-Pagan heteroskedasticity test on the price~quantity OLS
+    (stat_linear_regression's global sibling): LM = n * R^2 of the
+    auxiliary regression of squared residuals on x. Four relational
+    passes, all two-pass-centered (means first, centered co-moments
+    second — the engine's cancellation-free convention): (x,y) means,
+    slope co-moments, residual-square mean, auxiliary co-moments; the
+    df=1 chi-square tail is the closed-form erf spelling on the
+    4-decimal-rounded statistic. A significant BP says the OLS
+    standard errors need the robust (sandwich) correction."""
+    from etl_file_sync_spark.operators.pvalues import chi2_sf_df1
+
+    s = t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("x"),
+        (F.round(F.col("l_extendedprice") * 100).cast("bigint") * 1.0).alias("y"),
+    )
+    m = s.agg(F.count(F.lit(1)).alias("n"), F.avg("x").alias("mx"), F.avg("y").alias("my"))
+    sm = s.crossJoin(F.broadcast(m))  # 1-row means dimension
+    c = sm.agg(
+        F.max("n").alias("n"),
+        F.max("mx").alias("mx"),
+        F.max("my").alias("my"),
+        F.sum((F.col("x") - F.col("mx")) * (F.col("x") - F.col("mx"))).alias("sxx"),
+        F.sum((F.col("x") - F.col("mx")) * (F.col("y") - F.col("my"))).alias("sxy"),
+    )
+    resid = (
+        F.col("y")
+        - F.col("my")
+        - F.col("sxy") / F.col("sxx") * (F.col("x") - F.col("mx"))
+    )
+    u = s.crossJoin(F.broadcast(c)).select(  # 1-row coefficients dimension
+        "x", (resid * resid).alias("e2"), "n", "mx", "sxx"
+    )
+    mu = u.agg(F.avg("e2").alias("ue"))
+    aux = u.crossJoin(F.broadcast(mu)).agg(  # 1-row aux-mean dimension
+        F.max("n").alias("n"),
+        F.sum((F.col("x") - F.col("mx")) * (F.col("e2") - F.col("ue"))).alias("sxu"),
+        F.sum((F.col("e2") - F.col("ue")) * (F.col("e2") - F.col("ue"))).alias("suu"),
+        F.max("sxx").alias("sxx"),
+    )
+    lm = aux.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            F.col("n") * (F.col("sxu") * F.col("sxu")) / (F.col("sxx") * F.col("suu")),
+            4,
+        ).alias("bp_stat"),
+    )
+    return lm.select(
+        F.col("n").alias("n_rows"),
+        "bp_stat",
+        F.round(chi2_sf_df1(F.col("bp_stat")), 6).alias("p_value"),
+    )

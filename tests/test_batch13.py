@@ -418,3 +418,50 @@ def test_split_quality_matches_python(spark, sf_dir):
         assert r["info_gain_nats"] == pytest.approx(e0 - w_ent, abs=1e-6)
         # a split can't beat the parent's total impurity
         assert -1e-9 <= r["gini_gain"] <= g0 + 1e-9
+
+
+def test_sign_test_matches_python(spark, sf_dir):
+    got = REGISTRY["stat_sign_test_weekly"].build(spark, sf_dir).collect()[0]
+    o = _pq(sf_dir, "orders")
+    cents = (o.o_totalprice * 100).round().astype("int64")
+    daily = (
+        pd.DataFrame({"day": pd.to_datetime(o.o_orderdate).dt.normalize(), "c": cents})
+        .groupby("day")
+        .c.sum()
+    )
+    pos = neg = 0
+    for day, v in daily.items():
+        prev = day - pd.Timedelta(days=7)
+        if prev in daily.index:
+            d = v - daily[prev]
+            if d > 0:
+                pos += 1
+            elif d < 0:
+                neg += 1
+    assert (got["n_up"], got["n_down"]) == (pos, neg)
+    m = pos + neg
+    if pos == neg:
+        p = 1.0
+    else:
+        tail = sum(math.comb(m, k) for k in range(min(pos, neg) + 1)) / 2**m
+        p = min(1.0, 2 * tail)
+    assert got["p_value"] == pytest.approx(p, abs=1e-5)
+
+
+def test_breusch_pagan_matches_numpy(spark, sf_dir):
+    got = REGISTRY["stat_breusch_pagan"].build(spark, sf_dir).collect()[0]
+    li = _pq(sf_dir, "lineitem")
+    x = li.l_quantity.to_numpy(dtype=float)
+    y = (li.l_extendedprice * 100).round().to_numpy(dtype=float)
+    n = len(x)
+    dx = x - x.mean()
+    dy = y - y.mean()
+    b = float((dx * dy).sum() / (dx * dx).sum())
+    e2 = (dy - b * dx) ** 2
+    du = e2 - e2.mean()
+    r2 = float((dx * du).sum()) ** 2 / (float((dx * dx).sum()) * float((du * du).sum()))
+    bp = n * r2
+    assert got["n_rows"] == n
+    assert got["bp_stat"] == pytest.approx(bp, abs=1e-3)
+    p_ref = math.erfc(math.sqrt(got["bp_stat"] / 2))
+    assert got["p_value"] == pytest.approx(p_ref, abs=5e-6)

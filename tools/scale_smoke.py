@@ -202,6 +202,8 @@ OPS = [
     "ts_variance_ratio",
     "behavior_new_vs_returning",
     "ml_split_quality",
+    "stat_sign_test_weekly",
+    "stat_breusch_pagan",
 ]
 
 TIERS = ["sf0.001", "sf0.01", "sf0.1"]
