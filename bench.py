@@ -235,6 +235,7 @@ HEADLINE = [
     "ml_split_quality",
     "stat_sign_test_weekly",
     "stat_breusch_pagan",
+    "stat_runs_up_down",
 ]
 
 

@@ -1740,3 +1740,111 @@ def stat_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bp_stat",
         F.round(chi2_sf_df1(F.col("bp_stat")), 6).alias("p_value"),
     )
+
+
+@register(
+    "stat_runs_up_down",
+    f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ),
+    r AS (SELECT cents, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+          FROM daily),
+    d AS (
+      SELECT a.rn, CASE WHEN b.cents > a.cents THEN 1
+                        WHEN b.cents < a.cents THEN -1 END AS s
+      FROM r a JOIN r b ON b.rn = a.rn + 1
+    ),
+    s AS (SELECT rn, s FROM d WHERE s IS NOT NULL),
+    flips AS (
+      SELECT CAST(count(*) AS BIGINT) + 1
+               - CAST(sum(CASE WHEN a.s = b.s THEN 1 ELSE 0 END) AS BIGINT)
+               AS runs,
+             CAST(count(*) AS BIGINT) + 1 AS n
+      FROM s a JOIN s b ON b.rn = (SELECT min(rn) FROM s WHERE rn > a.rn)
+    ),
+    z AS (
+      SELECT n, runs,
+             round((runs - (2.0 * n - 1) / 3)
+                   / sqrt((16.0 * n - 29) / 90), 4) AS z_stat
+      FROM flips
+    ),
+    pz AS (SELECT *, abs(z_stat) / sqrt(2.0) AS xx FROM z),
+    pp AS (SELECT *, 1 / (1 + 0.3275911 * xx) AS tt FROM pz)
+    SELECT n AS n_moves, runs AS n_runs, z_stat,
+           round({_SQL_ERFC}, 6) AS p_value
+    FROM pp
+    """,
+    "stats",
+    "rank-test",
+    "timeseries",
+)
+def stat_runs_up_down(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs-up-and-down test on daily revenue: the sign sequence of
+    successive differences (ties dropped) should alternate like a
+    random series; too few runs means trending, too many means
+    oscillation — the DIFFERENCE-sign sibling of stat_runs_test's
+    around-the-median dichotomy, with the matching moments
+    E[R] = (2n-1)/3, Var[R] = (16n-29)/90. Successive pairs are rn
+    equi-joins on the calendar-bounded frame (the runs count joins
+    each retained sign to its NEXT retained sign, so dropped ties
+    don't split runs); exact integer counts feed the rounded z."""
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    r = daily.select(
+        "cents", F.row_number().over(W.orderBy("day")).cast("bigint").alias("rn")
+    )
+    a = r.select(F.col("rn").alias("ra"), F.col("cents").alias("ca"))
+    b = r.select((F.col("rn") - 1).alias("ra"), F.col("cents").alias("cb"))
+    d = (
+        a.join(b, "ra")
+        .select(
+            F.col("ra").alias("rn"),
+            F.when(F.col("cb") > F.col("ca"), 1)
+            .when(F.col("cb") < F.col("ca"), -1)
+            .alias("s"),
+        )
+        .where(F.col("s").isNotNull())
+    )
+    # next retained sign via a bucketed successor: the retained frame is
+    # calendar-bounded, so a plain dense re-rank window is fine here
+    d2 = d.select(
+        "s", F.row_number().over(W.orderBy("rn")).cast("bigint").alias("k")
+    )
+    aa = d2.select(F.col("k").alias("ka"), F.col("s").alias("sa"))
+    bb = d2.select((F.col("k") - 1).alias("ka"), F.col("s").alias("sb"))
+    flips = (
+        aa.join(bb, "ka")
+        .agg(
+            (F.count(F.lit(1)) + 1
+             - F.sum(F.when(F.col("sa") == F.col("sb"), 1).otherwise(0)))
+            .cast("bigint")
+            .alias("runs"),
+            (F.count(F.lit(1)) + 1).cast("bigint").alias("n"),
+        )
+    )
+    z = flips.select(
+        "n",
+        "runs",
+        F.round(
+            (F.col("runs") - (2.0 * F.col("n") - 1) / 3)
+            / F.sqrt((16.0 * F.col("n") - 29) / 90),
+            4,
+        ).alias("z_stat"),
+    )
+    return z.select(
+        F.col("n").alias("n_moves"),
+        F.col("runs").alias("n_runs"),
+        "z_stat",
+        F.round(normal_two_sided_p(F.col("z_stat")), 6).alias("p_value"),
+    )

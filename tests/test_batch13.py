@@ -465,3 +465,25 @@ def test_breusch_pagan_matches_numpy(spark, sf_dir):
     assert got["bp_stat"] == pytest.approx(bp, abs=1e-3)
     p_ref = math.erfc(math.sqrt(got["bp_stat"] / 2))
     assert got["p_value"] == pytest.approx(p_ref, abs=5e-6)
+
+
+def test_runs_up_down_matches_python(spark, sf_dir):
+    got = REGISTRY["stat_runs_up_down"].build(spark, sf_dir).collect()[0]
+    o = _pq(sf_dir, "orders")
+    cents = (o.o_totalprice * 100).round().astype("int64")
+    y = (
+        pd.DataFrame({"day": pd.to_datetime(o.o_orderdate), "c": cents})
+        .groupby("day")
+        .c.sum()
+        .sort_index()
+        .to_numpy()
+    )
+    signs = [1 if b > a else -1 for a, b in zip(y, y[1:]) if b != a]
+    n = len(signs)
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    z = (runs - (2 * n - 1) / 3) / math.sqrt((16 * n - 29) / 90)
+    assert got["n_moves"] == n
+    assert got["n_runs"] == runs
+    assert got["z_stat"] == pytest.approx(z, abs=1e-3)
+    p_ref = math.erfc(abs(got["z_stat"]) / math.sqrt(2))
+    assert got["p_value"] == pytest.approx(p_ref, abs=5e-6)
