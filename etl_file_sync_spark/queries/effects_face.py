@@ -1387,9 +1387,12 @@ def stat_g_test_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
     ),
     p AS (
-      SELECT a.f AS i, a.t_ AS j, a.n AS nij, coalesce(b.n, 0) AS nji
-      FROM tr a LEFT JOIN tr b ON a.f = b.t_ AND a.t_ = b.f
-      WHERE a.f < a.t_
+      -- unordered-pair aggregation so pairs seen only in the descending
+      -- direction (nij=0, nji>0) still contribute
+      SELECT least(f, t_) AS i, greatest(f, t_) AS j,
+             CAST(sum(CASE WHEN f < t_ THEN n ELSE 0 END) AS BIGINT) AS nij,
+             CAST(sum(CASE WHEN f > t_ THEN n ELSE 0 END) AS BIGINT) AS nji
+      FROM tr WHERE f <> t_ GROUP BY 1, 2
     ),
     s AS (
       SELECT CAST(count(*) AS BIGINT) AS n_pairs,
@@ -1398,9 +1401,11 @@ def stat_g_test_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM p WHERE nij + nji > 0
     )
     SELECT n_pairs, b_stat,
-           round(exp(-b_stat / 2) * (1 + b_stat / 2
-                 + b_stat * b_stat / 8 + b_stat * b_stat * b_stat / 48
-                 + b_stat * b_stat * b_stat * b_stat / 384), 6) AS p_value
+           CASE WHEN n_pairs = 10 THEN
+             round(exp(-b_stat / 2) * (1 + b_stat / 2
+                   + b_stat * b_stat / 8 + b_stat * b_stat * b_stat / 48
+                   + b_stat * b_stat * b_stat * b_stat / 384), 6)
+           END AS p_value
     FROM s
     """,
     "stats",
@@ -1414,11 +1419,13 @@ def stat_bowker_symmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirror j->i (a symmetric kernel means behavior_transition_matrix
     carries no directional funnel signal). The corpus-scale pass is the
     same user-partitioned lead window the transition matrix uses; the
-    pair fold runs on the enum-bounded table. df = C(5,2) = 10, even,
-    so the tail is the closed-form exp(-x/2) sum_{j<5} (x/2)^j/j!
-    (operators/pvalues.py chi2_sf_df10) on the 4-decimal-rounded B.
-    Note exp(-x/2)(1 + x/2 + x^2/8 + x^3/48 + x^4/384) spelled
-    identically in the oracle."""
+    pair fold runs on the enum-bounded table, aggregated by UNORDERED
+    pair (least/greatest) so a pair observed only in the descending
+    direction still contributes its n_ji. df = number of contributing
+    pairs; the closed-form even-df tail exp(-x/2) sum_{j<5} (x/2)^j/j!
+    (operators/pvalues.py chi2_sf_df10) applies only when all
+    C(5,2) = 10 pairs contribute, so p_value is NULL-gated on
+    n_pairs = 10 (identically in the oracle)."""
     from etl_file_sync_spark.operators.pvalues import chi2_sf_df10
 
     e = t(spark, sf_dir, "events")
@@ -1429,12 +1436,20 @@ def stat_bowker_symmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = seq.groupBy(
         F.col("event_type").alias("f"), F.col("next_type").alias("t_")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    a = tr.select(F.col("f").alias("i"), F.col("t_").alias("j"), F.col("n").alias("nij"))
-    b = tr.select(F.col("t_").alias("i"), F.col("f").alias("j"), F.col("n").alias("nji"))
     p = (
-        a.join(b, ["i", "j"], "left")
-        .where(F.col("i") < F.col("j"))
-        .select("i", "j", "nij", F.coalesce(F.col("nji"), F.lit(0)).alias("nji"))
+        tr.where(F.col("f") != F.col("t_"))
+        .groupBy(
+            F.least(F.col("f"), F.col("t_")).alias("i"),
+            F.greatest(F.col("f"), F.col("t_")).alias("j"),
+        )
+        .agg(
+            F.sum(F.when(F.col("f") < F.col("t_"), F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("nij"),
+            F.sum(F.when(F.col("f") > F.col("t_"), F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("nji"),
+        )
     )
     dev = F.col("nij") - F.col("nji")
     s = p.where(F.col("nij") + F.col("nji") > 0).agg(
@@ -1446,7 +1461,10 @@ def stat_bowker_symmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "n_pairs",
         "b_stat",
-        F.round(chi2_sf_df10(F.col("b_stat")), 6).alias("p_value"),
+        F.when(
+            F.col("n_pairs") == 10,
+            F.round(chi2_sf_df10(F.col("b_stat")), 6),
+        ).alias("p_value"),
     )
 
 
@@ -1767,9 +1785,11 @@ def stat_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s a JOIN s b ON b.rn = (SELECT min(rn) FROM s WHERE rn > a.rn)
     ),
     z AS (
+      -- moments use N = observations = n_signs + 1: E=(2N-1)/3=(2n+1)/3,
+      -- Var=(16N-29)/90=(16n-13)/90
       SELECT n, runs,
-             round((runs - (2.0 * n - 1) / 3)
-                   / sqrt((16.0 * n - 29) / 90), 4) AS z_stat
+             round((runs - (2.0 * n + 1) / 3)
+                   / sqrt((16.0 * n - 13) / 90), 4) AS z_stat
       FROM flips
     ),
     pz AS (SELECT *, abs(z_stat) / sqrt(2.0) AS xx FROM z),
@@ -1787,8 +1807,10 @@ def stat_runs_up_down(spark: SparkSession, sf_dir: str) -> DataFrame:
     successive differences (ties dropped) should alternate like a
     random series; too few runs means trending, too many means
     oscillation — the DIFFERENCE-sign sibling of stat_runs_test's
-    around-the-median dichotomy, with the matching moments
-    E[R] = (2n-1)/3, Var[R] = (16n-29)/90. Successive pairs are rn
+    around-the-median dichotomy. The classical moments E[R] = (2N-1)/3,
+    Var[R] = (16N-29)/90 are stated in N = observations; with n = number
+    of retained difference signs (N = n+1) they become E[R] = (2n+1)/3,
+    Var[R] = (16n-13)/90. Successive pairs are rn
     equi-joins on the calendar-bounded frame (the runs count joins
     each retained sign to its NEXT retained sign, so dropped ties
     don't split runs); exact integer counts feed the rounded z."""
@@ -1837,8 +1859,8 @@ def stat_runs_up_down(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "runs",
         F.round(
-            (F.col("runs") - (2.0 * F.col("n") - 1) / 3)
-            / F.sqrt((16.0 * F.col("n") - 29) / 90),
+            (F.col("runs") - (2.0 * F.col("n") + 1) / 3)
+            / F.sqrt((16.0 * F.col("n") - 13) / 90),
             4,
         ).alias("z_stat"),
     )
