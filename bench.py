@@ -367,6 +367,32 @@ def main() -> None:
         "value": round(sum(times.values()), 3),
     }
     print(json.dumps(out))
+    # Second, COMPACT line printed last: the driver keeps only a bounded
+    # tail of stdout, and the full per-query line above (360+ entries)
+    # overflows it, leaving the artifact unparseable (r4/r5 both lost
+    # machine-parseability this way). This summary is sized well under
+    # the tail budget so the captured tail always ends with one complete
+    # JSON object.
+    print(json.dumps(compact_summary(times, files_per_sec, out["sf"])))
+
+
+def compact_summary(
+    times: dict[str, float], files_per_sec: float, sf: float
+) -> dict:
+    """Bounded-size (~1.5 KB) summary of a bench run: totals plus only
+    the 20 slowest queries, guaranteed to fit inside the driver's stdout
+    tail capture so the artifact stays machine-parseable."""
+    slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:20])
+    return {
+        "metric": "headline query wall-clock at sf0.1 + bulk transfer throughput",
+        "unit": "sec",
+        "sf": sf,
+        "pipeline_files_per_sec": files_per_sec,
+        "reference_files_per_sec": 21.73,
+        "n_queries": len(times),
+        "value": round(sum(times.values()), 3),
+        "queries": {k: round(v, 3) for k, v in slowest.items()},
+    }
 
 
 if __name__ == "__main__":

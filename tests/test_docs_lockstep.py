@@ -68,3 +68,26 @@ def test_bench_headline_names_are_registered():
     extras = set(bench._extras())
     for name in bench.HEADLINE:
         assert name in REGISTRY or name in extras, f"benched but unregistered: {name}"
+
+
+def test_bench_compact_summary_is_bounded_and_parseable():
+    """The driver keeps only a bounded tail of bench stdout; the last
+    emitted line must be a complete JSON object well under that budget
+    regardless of how many queries the headline sweep grows to."""
+    import json
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    import bench
+
+    times = {f"q{i:03d}": float(i) / 7 for i in range(500)}
+    compact = bench.compact_summary(times, 474.01, 0.1)
+    line = json.dumps(compact)
+    assert len(line) < 4000, f"compact line too long for tail capture: {len(line)}"
+    back = json.loads(line)
+    assert back["n_queries"] == 500
+    assert len(back["queries"]) == 20
+    assert back["value"] == round(sum(times.values()), 3)
+    assert back["pipeline_files_per_sec"] == 474.01
+    # the 20 kept entries are the slowest ones
+    assert min(back["queries"].values()) >= sorted(times.values())[-20] - 1e-3
