@@ -204,3 +204,168 @@ def test_jaro_winkler_properties(pair):
         assert v == 0.0
     elif s1 == s2:
         assert v == 1.0
+
+
+# --- round-6 property tests: the rank machinery -----------------------
+# rankstats feeds ~40 statistics queries (midranks -> Mann-Whitney, KS,
+# Dunn, AUC, Gini, deciles...). The two load-bearing invariants are:
+# (a) TRUTH: results equal the pandas/python order-statistics answer;
+# (b) STABILITY: results are invariant to the bucket count and to how
+#     the input happens to be partitioned — bucketing is a physical
+#     plan choice and must never leak into the arithmetic.
+
+
+def _spread(df, n_parts):
+    """Adversarial physical layout: hash-scatter rows across n_parts."""
+    return df.repartition(n_parts) if n_parts else df
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(-50, 50), st.integers(1, 9)),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda t: t[0],
+    ),
+    n_buckets=st.sampled_from([1, 2, 3, 7, 32]),
+    n_parts=st.sampled_from([0, 1, 5]),
+)
+def test_avg_ranks_matches_pandas_midranks(spark, rows, n_buckets, n_parts):
+    import pandas as pd
+
+    from etl_file_sync_spark.operators.rankstats import avg_ranks
+
+    df = _spread(
+        spark.createDataFrame(rows, "v long, c long"), n_parts
+    )
+    got = {
+        r.v: r.avg_rank
+        for r in avg_ranks(df, "v", "c", n_buckets=n_buckets).collect()
+    }
+    expanded = pd.Series(
+        [v for v, c in rows for _ in range(c)]
+    )
+    mid = expanded.rank(method="average")
+    exp = {v: float(mid[expanded == v].iloc[0]) for v, _ in rows}
+    assert got == exp  # halves are binary-exact: equality, not approx
+    spark.catalog.clearCache()
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(-100, 100), st.integers(-5, 9), st.floats(-4, 4, allow_nan=False)),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda t: t[0],
+    ),
+    n_buckets=st.sampled_from([1, 2, 4, 32]),
+    n_parts=st.sampled_from([0, 1, 6]),
+    inclusive=st.booleans(),
+)
+def test_bucketed_cumsums_matches_pandas(spark, rows, n_buckets, n_parts, inclusive):
+    import pandas as pd
+    import pytest as _pt
+
+    from etl_file_sync_spark.operators.rankstats import bucketed_cumsums
+
+    df = _spread(spark.createDataFrame(rows, "k long, w long, f double"), n_parts)
+    out = bucketed_cumsums(
+        df, "k", ["w", "f"], inclusive=inclusive, n_buckets=n_buckets
+    ).collect()
+    pdf = pd.DataFrame(rows, columns=["k", "w", "f"]).sort_values("k")
+    cw = pdf.w.cumsum() if inclusive else pdf.w.cumsum() - pdf.w
+    cf = pdf.f.cumsum() if inclusive else pdf.f.cumsum() - pdf.f
+    exp_w = dict(zip(pdf.k, cw))
+    exp_f = dict(zip(pdf.k, cf))
+    assert len(out) == len(rows)
+    for r in out:
+        assert r.cum_w == exp_w[r.k]
+        assert r.cum_f == _pt.approx(exp_f[r.k], abs=1e-9)
+    spark.catalog.clearCache()
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(-30, 30), st.integers(-9, 9)),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    n_buckets=st.sampled_from([1, 3, 32]),
+    n_parts=st.sampled_from([0, 4]),
+)
+def test_grouped_bucketed_cumsum_matches_pandas(spark, rows, n_buckets, n_parts):
+    import pandas as pd
+
+    from etl_file_sync_spark.operators.rankstats import grouped_bucketed_cumsum
+
+    df = _spread(spark.createDataFrame(rows, "g string, k long, w long"), n_parts)
+    out = grouped_bucketed_cumsum(
+        df, ["g"], "k", "w", out_col="cum", n_buckets=n_buckets
+    ).collect()
+    pdf = pd.DataFrame(rows, columns=["g", "k", "w"]).sort_values(["g", "k"])
+    pdf["cum"] = pdf.groupby("g").w.cumsum()
+    exp = {(r.g, r.k): r.cum for r in pdf.itertuples()}
+    assert len(out) == len(rows)
+    for r in out:
+        assert r.cum == exp[(r.g, r.k)]
+    spark.catalog.clearCache()
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(-40, 40), st.integers(-99, 99)),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda t: t[0],
+    ),
+    n_buckets=st.sampled_from([1, 2, 32]),
+    n_parts=st.sampled_from([0, 5]),
+    inclusive=st.booleans(),
+)
+def test_bucketed_cummax_matches_pandas(spark, rows, n_buckets, n_parts, inclusive):
+    import pandas as pd
+
+    from etl_file_sync_spark.operators.rankstats import bucketed_cummax
+
+    df = _spread(spark.createDataFrame(rows, "k long, v long"), n_parts)
+    out = bucketed_cummax(
+        df, "k", "v", out_col="m", inclusive=inclusive, n_buckets=n_buckets
+    ).collect()
+    pdf = pd.DataFrame(rows, columns=["k", "v"]).sort_values("k")
+    cm = pdf.v.cummax() if inclusive else pdf.v.cummax().shift(1)
+    exp = dict(zip(pdf.k, cm))
+    assert len(out) == len(rows)
+    for r in out:
+        e = exp[r.k]
+        assert (r.m is None and pd.isna(e)) or r.m == e
+    spark.catalog.clearCache()
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(-20, 20), st.integers(0, 999)),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda t: t,
+    ),
+    n_buckets=st.sampled_from([1, 3, 32]),
+    n_parts=st.sampled_from([0, 5]),
+)
+def test_bucketed_row_number_matches_sorted_enumeration(spark, rows, n_buckets, n_parts):
+    from etl_file_sync_spark.operators.rankstats import bucketed_row_number
+
+    df = _spread(spark.createDataFrame(rows, "k long, tb long"), n_parts)
+    out = bucketed_row_number(
+        df, "k", tiebreak_cols=["tb"], out_col="rn", n_buckets=n_buckets
+    ).collect()
+    exp = {kt: i + 1 for i, kt in enumerate(sorted(rows))}
+    assert len(out) == len(rows)
+    for r in out:
+        assert r.rn == exp[(r.k, r.tb)]
+    spark.catalog.clearCache()

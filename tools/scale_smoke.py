@@ -243,7 +243,13 @@ def synthesize_10x(spark, src_dir: str, out_dir: str, factor: int = 10) -> None:
             "source",
             F.length(F.col("text")).alias("n_chars"),
         )
-        .repartition(32)
+        # cluster on doc_id (range partition + in-partition sort) so each
+        # parquet row group carries narrow doc_id min/max stats and id-
+        # range filters actually prune — the production layout posture
+        # (layout_zorder_buckets); random repartition defeats pruning and
+        # made the bounded-fixture phash cell read as 4.5x (r5 verdict)
+        .repartitionByRange(32, "doc_id")
+        .sortWithinPartitions("doc_id")
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "documents.parquet"))
     )
@@ -255,7 +261,8 @@ def synthesize_10x(spark, src_dir: str, out_dir: str, factor: int = 10) -> None:
             (F.col(id_col) * factor + F.col("rep")).alias(id_col),
             *[c for c in emb.columns if c != id_col],
         )
-        .repartition(32)
+        .repartitionByRange(32, id_col)
+        .sortWithinPartitions(id_col)
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "embeddings.parquet"))
     )
@@ -342,19 +349,19 @@ def main() -> None:
     lines += [
         "",
         "Measurement notes: this box swings ~2x run-to-run; any single",
-        "growth cell above ~2x is re-measured in isolation before it",
-        "drives a rewrite (r3/r4 precedent: Mann-Whitney, snapshot-diff).",
-        "multimodal_phash_neardup's bounded 80-image fixture reads",
-        "doc_id < 80 from a tier whose synthesis repartitions randomly -",
-        "row-group min/max stats span the whole id range, so the filter",
-        "scans every row group (a fixture-layout artifact: production",
-        "layouts cluster/Z-order on the prune key; the operator itself is",
-        "id-count-bounded, output rows constant at every tier).",
-        "Round-5 isolated re-measures of the >2.2x cells (fresh 10x tier,",
-        "min-of-4, nothing else on the box): stat_eb_shrinkage 1.35x,",
-        "text_pmi_collocations 1.97x, sample_dsir_weights 1.84x — all",
-        "measurement noise, cleared; multimodal_phash_neardup 4.36x —",
-        "the fixture-layout artifact above, output rows constant.",
+        "growth cell at or above ~2x is re-measured in isolation before",
+        "it drives a rewrite (r3/r4 precedent: Mann-Whitney, snapshot-",
+        "diff; the sweep threshold is >=2.0x so boundary cells cannot",
+        "escape — r5's dedup_exact_groups 2.2x cell sat exactly on the",
+        "old >2.2x cutoff and was missed).",
+        "Since round 6 the 10x tier synthesis clusters documents/",
+        "embeddings on their id key (repartitionByRange +",
+        "sortWithinPartitions) so row-group min/max stats are narrow and",
+        "id-range filters prune — the production layout posture",
+        "(layout_zorder_buckets). This removed the r5",
+        "multimodal_phash_neardup 4.5x fixture-layout artifact: the",
+        "bounded 80-image fixture's doc_id < 80 scan now touches one row",
+        "group instead of all of them.",
     ]
     # BPE merge-count scaling (round-5 verdict ask): training cost must
     # scale with the MERGE BUDGET, not merge_budget x vocabulary — the
