@@ -198,3 +198,83 @@ def test_parse_and_field_failures_keep_raw_payload(spark):
     assert originals == {
         _json.dumps({"raw": m}, separators=(",", ":")) for m in msgs
     }
+
+
+def test_chaos_multi_restart_converges(spark, tmp_path):
+    """CHAOS: crash the streaming pipeline mid-micro-batch N times —
+    both BEFORE any side effect (clean replay) and AFTER the transfers
+    ran but before the checkpoint committed (the worst case for
+    exactly-once) — and assert the system CONVERGES to the batch truth:
+    destination tree byte-identical, every job reporting ok, DLQ empty.
+    Status is an at-least-once operational trail (a batch whose crash
+    landed after its side effects replays on restart), so the assertion
+    is set-equality + >=1 ok per job, with skip_if_exists making the
+    destination writes idempotent. Extends
+    test_checkpoint_recovery_across_restarts (one clean restart) to
+    repeated UNCLEAN restarts."""
+    files, servers, jobs = _setup(tmp_path, n=10)
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    for i, j in enumerate(jobs):
+        (inbox / f"m{i:02d}.jsonl").write_text(j)
+
+    body = foreach_batch_factory(
+        servers_dataframe(spark, servers),
+        dlq_dir=str(tmp_path / "dlq"),
+        status_dir=str(tmp_path / "status"),
+        staging_dir=str(tmp_path),
+        skip_if_exists=True,  # idempotent destination writes under replay
+    )
+
+    # crash schedule: epoch -> phase ("before" = crash with no side
+    # effects; "after" = crash once the batch's transfers already ran).
+    # Each injected crash fires exactly once; the replay must succeed.
+    crashes = {1: "before", 3: "after", 5: "after", 7: "before"}
+    fired: set[int] = set()
+
+    def chaotic_body(batch_df, epoch_id):
+        if crashes.get(epoch_id) == "before" and epoch_id not in fired:
+            fired.add(epoch_id)
+            raise RuntimeError(f"chaos: pre-batch crash at epoch {epoch_id}")
+        body(batch_df, epoch_id)
+        if crashes.get(epoch_id) == "after" and epoch_id not in fired:
+            fired.add(epoch_id)
+            raise RuntimeError(f"chaos: post-effect crash at epoch {epoch_id}")
+
+    def run_until_stall():
+        q = (
+            spark.readStream.format("text")
+            .option("maxFilesPerTrigger", 1)  # one job per micro-batch
+            .load(str(inbox))
+            .writeStream.foreachBatch(chaotic_body)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            return True  # drained with no crash
+        except Exception:
+            return False  # injected crash killed the query; restart
+        finally:
+            q.stop()
+
+    restarts = 0
+    while not run_until_stall():
+        restarts += 1
+        assert restarts <= len(crashes) + 2, "pipeline failed to converge"
+    assert restarts == len(crashes), "every injected crash forces one restart"
+
+    # convergence: destination tree is the batch truth, byte-identical
+    for name, payload in files.items():
+        assert (tmp_path / "dst" / name).read_bytes() == payload
+    status = spark.read.parquet(str(tmp_path / "status"))
+    ok_jobs = {r.job_id for r in status.filter("status = 'ok'").collect()}
+    assert ok_jobs == {f"j{i}" for i in range(10)}
+    assert status.filter("status != 'ok'").count() == 0
+    # post-effect crashes replay their batch: the trail is at-least-once,
+    # never lossy — each job appears at least once, duplicates only for
+    # the two "after" epochs
+    per_job = {r["job_id"]: r["count"] for r in status.groupBy("job_id").count().collect()}
+    assert all(c >= 1 for c in per_job.values())
+    assert sum(c - 1 for c in per_job.values()) <= len([v for v in crashes.values() if v == "after"])
+    assert not (tmp_path / "dlq").exists() or spark.read.parquet(str(tmp_path / "dlq")).count() == 0
