@@ -736,7 +736,7 @@ def embedding_dup_pairs(
     import numpy as np
     import pandas as pd
 
-    v = df.select(
+    v = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(blocks)).alias("blk"),
@@ -806,7 +806,11 @@ def srp_signatures(
     import numpy as np
     import pandas as pd
 
-    dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    df = df.where(F.col(vec_col).isNotNull())  # NULL vectors carry no geometry
+    probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if probe is None:  # empty corpus
+        return df.sparkSession.createDataFrame([], "id long, sig array<bigint>")
+    dim = probe["d"]
     planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
     b_planes = df.sparkSession.sparkContext.broadcast(planes)
 

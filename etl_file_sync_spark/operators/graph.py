@@ -37,6 +37,8 @@ def pagerank(
     e = e.localCheckpoint(eager=True)
     nodes = e.select(F.col("src").alias("node")).distinct()
     n_nodes = nodes.count()  # scalar — metadata, not data
+    if n_nodes == 0:  # empty graph: no ranks, stable schema
+        return nodes.withColumn("rank", F.lit(0.0))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
 

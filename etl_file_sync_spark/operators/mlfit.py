@@ -70,6 +70,8 @@ def logistic_irls(
         # ONE cluster pass per iteration; the collected row is k + k(k+1)/2
         # doubles of aggregate metadata, not data
         row = df.agg(*aggs).collect()[0]
+        if row["g0"] is None:  # empty/all-NULL input: no gradient, no fit
+            return np.full(k, np.nan)
         G = np.array([row[f"g{i}"] for i in range(k)])
         H = np.zeros((k, k))
         for i in range(k):
@@ -91,8 +93,15 @@ def logistic_irls_frame(
     first then feature_cols order — the learned-model artifact a
     pipeline persists and with_logistic_quality-style inference maps
     back over the corpus."""
+    import math
+
     beta = logistic_irls(df, feature_cols, label_col, iters=iters, ridge=ridge)
-    rows = [Row(term="intercept", weight=float(beta[0]))] + [
-        Row(term=c, weight=float(beta[i + 1])) for i, c in enumerate(feature_cols)
+
+    def _w(x: float):
+        # undefined fit (empty/all-NULL input) -> NULL weights, never NaN
+        return None if math.isnan(x) else float(x)
+
+    rows = [Row(term="intercept", weight=_w(beta[0]))] + [
+        Row(term=c, weight=_w(beta[i + 1])) for i, c in enumerate(feature_cols)
     ]
     return df.sparkSession.createDataFrame(rows, schema="term string, weight double")

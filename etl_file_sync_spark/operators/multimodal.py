@@ -80,8 +80,13 @@ def extract_features(df: DataFrame, dim: int = 8, batch_hint: int = 1024) -> Dat
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
-                    "byte_len": pdf["payload"].map(len),
-                    "feature": pdf["payload"].map(lambda p: decode_stub(bytes(p), dim)),
+                    # NULL payload (missing media) -> NULL metadata/feature
+                    "byte_len": pdf["payload"].map(
+                        lambda p: len(p) if p is not None else None
+                    ),
+                    "feature": pdf["payload"].map(
+                        lambda p: decode_stub(bytes(p), dim) if p is not None else None
+                    ),
                 }
             )
             yield out

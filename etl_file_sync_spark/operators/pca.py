@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 def covariance_moments(df: DataFrame, vec_col: str = "embedding") -> tuple[int, np.ndarray, np.ndarray]:
     """Exact (n, mean, sample covariance) of the vector column in one
     distributed pass. Returns driver-side numpy arrays (d,) and (d, d)."""
-    v = df.select(
+    v = df.where(F.col(vec_col).isNotNull()).select(
         F.spark_partition_id().alias("pid"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
@@ -91,6 +91,8 @@ def pca_project(
     spark = df.sparkSession
     bM = spark.sparkContext.broadcast((mean, components))
     cols = df.columns
+
+    df = df.where(F.col(vec_col).isNotNull())  # aggregate-style NULL drop
 
     def project(batches):
         m, C = bM.value

@@ -37,7 +37,24 @@ from pyspark.sql import Window as W
 
 
 def _normalized_matrix_stream(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    return df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    # NULL vectors carry no geometry: dropped, like SQL aggregates drop NULLs
+    return df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+
+
+_TOPK_SCHEMA = "query_id long, neighbor_id long, cosine double, nn_rank int"
+
+
+def _degenerate_ann_input(corpus: DataFrame, queries: DataFrame, vec_col: str) -> bool:
+    """True when either side has no non-NULL vectors — ANN is undefined
+    and callers return an empty (query_id, neighbor_id, cosine, nn_rank)
+    frame instead of crashing codebook/centroid training. Two 1-row
+    limit-probes; negligible next to training."""
+    return (
+        corpus.where(F.col(vec_col).isNotNull()).limit(1).count() == 0
+        or queries.where(F.col(vec_col).isNotNull()).limit(1).count() == 0
+    )
 
 
 def pq_train(
@@ -173,6 +190,8 @@ def pq_topk(
     from etl_file_sync_spark.operators.similarity import QuerySideTooLarge, cosine_expr
 
     spark = corpus.sparkSession
+    if _degenerate_ann_input(corpus, queries, vec_col):
+        return spark.createDataFrame([], _TOPK_SCHEMA)
     C = pq_train(corpus, m, kcent, iters, id_col, vec_col)
     codes = pq_encode(corpus, C, id_col, vec_col)
 
@@ -275,6 +294,8 @@ def ivfpq_topk(
     )
 
     spark = corpus.sparkSession
+    if _degenerate_ann_input(corpus, queries, vec_col):
+        return spark.createDataFrame([], _TOPK_SCHEMA)
     if kmeans_iters > 0:
         cents = kmeans_centroids(corpus, every, kmeans_iters, id_col, vec_col).cache()
     else:

@@ -71,7 +71,8 @@ def cosine_topk(
     # caller hands us a huge frame — the failure mode is an exception,
     # not a driver OOM.
     qrows = (
-        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        queries.where(F.col(vec_col).isNotNull())  # NULL vectors have no neighbors
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
         .limit(max_queries + 1)
         .collect()
     )
@@ -79,6 +80,10 @@ def cosine_topk(
         raise QuerySideTooLarge(
             f"cosine_topk query side exceeds max_queries={max_queries}; "
             "use ivf_topk for batch-scale query sets"
+        )
+    if not qrows:  # empty query side: no pairs, stable schema
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, nn_rank int"
         )
     qids = np.array([r.qid for r in qrows], dtype=np.int64)
     Q = np.array([list(r.qv) for r in qrows], dtype=np.float64)
@@ -103,7 +108,9 @@ def cosine_topk(
             )
             yield out[out.query_id != out.neighbor_id]
 
-    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("v"))
+    c = corpus.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("v")
+    )
     scored = c.mapInPandas(score, "query_id long, neighbor_id long, cosine double")
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -120,6 +127,8 @@ def _centroid_matrix(centroids: DataFrame):
 
     rows = sorted(centroids.select("centroid_id", "cv").collect(), key=lambda r: r.centroid_id)
     ids = np.array([r.centroid_id for r in rows], dtype=np.int64)
+    if not rows:  # degenerate corpus: zero centroids, typed empty matrix
+        return ids, np.zeros((0, 0), dtype=np.float64)
     C = np.array([list(r.cv) for r in rows], dtype=np.float64)
     return ids, C / np.linalg.norm(C, axis=1, keepdims=True)
 
@@ -157,6 +166,11 @@ def ivf_assign(
     import pandas as pd
 
     cids, Cn = _centroid_matrix(centroids)
+    if len(cids) == 0:  # empty centroid set: nothing assignable
+        schema = f"{id_col} bigint, v array<double>, centroid_id bigint"
+        if with_score:
+            schema += ", cos double"
+        return df.sparkSession.createDataFrame([], schema)
     b = df.sparkSession.sparkContext.broadcast((cids, Cn))
 
     def assign(batches):
@@ -175,7 +189,9 @@ def ivf_assign(
                 cols["cos"] = S[np.arange(len(best)), best]
             yield pd.DataFrame(cols)
 
-    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    v = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
     schema = "id bigint, v array<double>, centroid_id bigint"
     if with_score:
         schema += ", cos double"
@@ -202,7 +218,14 @@ def assign_top2(
 
     cids, Cn = _centroid_matrix(centroids)
     if len(cids) < 2:
-        raise ValueError("assign_top2 requires at least 2 centroids")
+        # a runner-up centroid doesn't exist: silhouette-style consumers
+        # have nothing to compute — empty result, stable schema (a raise
+        # here would abort whole-pipeline runs over degenerate extracts)
+        return df.sparkSession.createDataFrame(
+            [],
+            f"{id_col} bigint, centroid_id bigint, cos double,"
+            " centroid_id_2nd bigint, cos_2nd double",
+        )
     b = df.sparkSession.sparkContext.broadcast((cids, Cn))
 
     def assign(batches):
@@ -228,7 +251,9 @@ def assign_top2(
                 }
             )
 
-    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    v = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
     out = v.mapInPandas(
         assign,
         "id bigint, centroid_id bigint, cos double, centroid_id_2nd bigint, cos_2nd double",
@@ -244,7 +269,7 @@ def make_centroids(df: DataFrame, every: int = 50, id_col: str = "vec_id", vec_c
     the correctness harness (no iteration, no float-order sensitivity).
     """
     return (
-        df.filter(F.col(id_col) % every == 0)
+        df.filter((F.col(id_col) % every == 0) & F.col(vec_col).isNotNull())
         .select((F.col(id_col) / every).cast("bigint").alias("centroid_id"), F.col(vec_col).cast("array<double>").alias("cv"))
     )
 
@@ -274,13 +299,17 @@ def kmeans_centroids(
 
     spark = df.sparkSession
     seed = make_centroids(df, every, id_col, vec_col).collect()  # k rows — tiny by design
+    if not seed:  # degenerate corpus: no seeds, empty centroid frame
+        return spark.createDataFrame([], "centroid_id bigint, cv array<double>")
     cids = np.array([r.centroid_id for r in seed], dtype=np.int64)
     order = np.argsort(cids)
     cids = cids[order]
     C = np.array([list(r.cv) for r in seed], dtype=np.float64)[order]
     C = C / np.linalg.norm(C, axis=1, keepdims=True)
 
-    v = df.select(F.spark_partition_id().alias("pid"), F.col(vec_col).cast("array<double>").alias("v"))
+    v = df.where(F.col(vec_col).isNotNull()).select(
+        F.spark_partition_id().alias("pid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
 
     for _ in range(max(0, iters)):
         bC = spark.sparkContext.broadcast(C)
@@ -378,7 +407,9 @@ def ivf_topk(
                 }
             )
 
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv"))
+    q = queries.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
     probes = q.mapInPandas(probe, "query_id bigint, qv array<double>, centroid_id bigint")
 
     scored = (

@@ -1243,7 +1243,11 @@ def behavior_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     augmentation as behavior_markov_absorption, which the oracle
     replays as one scenario-dimensioned recursive CTE. 5-term double
     sums sit in the documented associativity envelope under round(6)."""
-    e = t(spark, sf_dir, "events")
+    e = t(spark, sf_dir, "events").where(
+        # rows with no channel or no event time carry no path information;
+        # a NULL state would otherwise poison the driver-side kernel sort
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
     wu = W.partitionBy("user_id")
     r1 = e.select(
         "user_id",
@@ -1305,6 +1309,12 @@ def behavior_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()  # enum-bounded kernel — k-row metadata pull
     )
     kernel = {(r["f"], r["t"]): r["p"] for r in rows}
+    _attr_schema = (
+        "channel string, base_conversion double, conversion_without double,"
+        " removal_effect double, attribution_share double"
+    )
+    if not kernel:  # no events at all: no paths, no attribution
+        return e.sparkSession.createDataFrame([], _attr_schema)
     sources = {f for f, _ in kernel}
     targets = {t_ for _, t_ in kernel}
     for s in targets - sources:  # self-loop augmentation
@@ -1338,11 +1348,7 @@ def behavior_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for c in sorted(chans)
     ]
-    return e.sparkSession.createDataFrame(
-        out,
-        "channel string, base_conversion double, conversion_without double,"
-        " removal_effect double, attribution_share double",
-    ).orderBy("channel")
+    return e.sparkSession.createDataFrame(out, _attr_schema).orderBy("channel")
 
 
 @register(

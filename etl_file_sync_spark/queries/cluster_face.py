@@ -242,6 +242,14 @@ def embed_pca_label_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_file_sync_spark.operators.pca import pca_fit, pca_project
 
     emb = t(spark, sf_dir, "embeddings")
+    _pca_schema = (
+        "label int, n_vecs bigint, mean_pc1 double, mean_pc2 double,"
+        " mean_pc3 double, evr_1 double, evr_2 double, evr_3 double,"
+        " evr_4 double"
+    )
+    # a sample covariance needs >= 2 non-null vectors; cheap limit-probe
+    if emb.where(F.col("embedding").isNotNull()).limit(2).count() < 2:
+        return spark.createDataFrame([], _pca_schema)
     mean, comps, evals, total_var = pca_fit(emb, k=4)
     proj = pca_project(emb.select("label", "embedding"), mean, comps)
     out = (
@@ -259,7 +267,12 @@ def embed_pca_label_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     for i in range(4):
-        out = out.withColumn(
-            f"evr_{i + 1}", F.round(F.lit(float(evals[i] / total_var)), 6)
+        # an all-identical corpus has zero total variance: NULL ratios,
+        # never NaN (the DuckDB x/0 convention)
+        evr = (
+            F.round(F.lit(float(evals[i] / total_var)), 6)
+            if total_var > 0
+            else F.lit(None).cast("double")
         )
+        out = out.withColumn(f"evr_{i + 1}", evr)
     return out.orderBy("label")

@@ -155,7 +155,11 @@ def ops_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-phase plan grouped by event_type (operators/rankstats.py) —
     a type whose endpoints span every time bucket still never funnels
     through one task. All time is integer epoch microseconds."""
-    e = t(spark, sf_dir, "events").select(
+    e = t(spark, sf_dir, "events").where(
+        # a session needs a type and a start time; NULLs would poison the
+        # grouped rank plan (rankstats refuses NULL group/order keys)
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    ).select(
         "event_type",
         F.unix_micros("ts").alias("s_us"),
         (

@@ -1310,7 +1310,11 @@ def stat_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     moments (between-group SS via exact-ratio means, within-group SS
     via sum z² - (sum z)²/n). Single divisions throughout; the 5-term
     outer sums ride the round(6) envelope."""
-    o = t(spark, sf_dir, "orders").select(
+    o = t(spark, sf_dir, "orders").where(
+        # NULL group/value rows carry no variance information and would
+        # poison the grouped rank plan (rankstats refuses NULL keys)
+        F.col("o_orderpriority").isNotNull() & F.col("o_totalprice").isNotNull()
+    ).select(
         F.col("o_orderpriority").alias("pri"),
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     ).cache()  # median machinery + deviation pass reuse this
@@ -1457,6 +1461,11 @@ def stat_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("d"),
     )
     row = cells.collect()[0]  # 2x2 metadata pull (Markov-kernel pattern)
+    if row["a"] is None:  # empty input: sums are NULL (oracle parity), test undefined
+        return cells.sparkSession.createDataFrame(
+            [(None, None, None, None, None, None)],
+            "a bigint, b bigint, c bigint, d bigint, odds_ratio double, p_value double",
+        )
     a, b, c, d = row["a"], row["b"], row["c"], row["d"]
     n, m, ab, cd = a + b + c + d, a + c, a + b, c + d
     # ordered prefix fold of ln(j) — identical sequence to the oracle

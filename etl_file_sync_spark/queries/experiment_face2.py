@@ -144,6 +144,12 @@ def stat_bayes_ab_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     purposes."""
     cells = _conversion_cells(spark, sf_dir)
     row = cells.collect()[0]  # 2x2 metadata pull (Fisher-exact pattern)
+    if row["n_a"] is None:  # empty input: NULL cells (oracle parity)
+        return cells.sparkSession.createDataFrame(
+            [(None,) * 7],
+            "n_a bigint, c_a bigint, n_b bigint, c_b bigint, "
+            "post_mean_a double, post_mean_b double, p_b_beats_a double",
+        )
     n_a, c_a, n_b, c_b = row["n_a"], row["c_a"], row["n_b"], row["c_b"]
     aa, ba = c_a + 1, n_a - c_a + 1
     ab, bb = c_b + 1, n_b - c_b + 1
@@ -741,6 +747,11 @@ def stat_mcnemar_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("c"),
     )
     row = cells.collect()[0]  # 2-cell metadata pull (Fisher-exact pattern)
+    if row["b"] is None:  # empty input: NULL cells (oracle parity)
+        return cells.sparkSession.createDataFrame(
+            [(None, None, None)],
+            "discordant_b bigint, discordant_c bigint, p_value double",
+        )
     b, c = row["b"], row["c"]
     m = b + c
     lnf = [0.0] * (m + 1)

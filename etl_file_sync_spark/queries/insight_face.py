@@ -200,10 +200,15 @@ def eval_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost constant — the corpus-scale cost is linear in pairs."""
     toks = t(spark, sf_dir, "documents").select(
         "doc_id",
-        F.slice(
-            F.filter(F.split(F.col("text"), " "), lambda x: F.length(x) > 0),
-            1,
-            _ROUGE_CAP,
+        # NULL text tokenizes to the empty list (the Python DP's zero
+        # case) instead of a None the Arrow batch can't take len() of
+        F.coalesce(
+            F.slice(
+                F.filter(F.split(F.col("text"), " "), lambda x: F.length(x) > 0),
+                1,
+                _ROUGE_CAP,
+            ),
+            F.array().cast("array<string>"),
         ).alias("tk"),
     )
     ref = toks.select(F.col("doc_id").alias("r_id"), F.col("tk").alias("rt"))
@@ -640,7 +645,11 @@ def stat_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/rankstats.py) — a group never funnels through one task
     even though group count (5 priorities) is far below task count.
     Everything is exact integers until the single mean division."""
-    o = t(spark, sf_dir, "orders").select(
+    o = t(spark, sf_dir, "orders").where(
+        # NULL keys would poison the grouped rank plan (rankstats refuses
+        # NULL group/order keys); they carry no quantile information
+        F.col("o_orderpriority").isNotNull() & F.col("o_totalprice").isNotNull()
+    ).select(
         F.col("o_orderpriority").alias("pri"),
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
@@ -1190,6 +1199,10 @@ def sim_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(3)
         )
         parts.append(topk)
+    if not parts:  # degenerate corpus: no demo queries survive the norm filter
+        return spark.createDataFrame(
+            [], "qid bigint, rank bigint, neighbor_id bigint, cosine double"
+        )
     out = parts[0]
     for p_ in parts[1:]:
         out = out.unionAll(p_)

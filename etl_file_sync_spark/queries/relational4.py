@@ -194,6 +194,12 @@ def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     priorities keep the schema stable for the oracle)."""
     o = t(spark, sf_dir, "orders")
     ct = o.stat.crosstab("o_orderstatus", "o_orderpriority")
+    # crosstab's column set is inferred from the DATA: a tier where a
+    # pinned priority never occurs (empty/degenerate input) would
+    # otherwise fail to resolve `1-URGENT` — pin absent levels to 0
+    for level in ("1-URGENT", "5-LOW"):
+        if level not in ct.columns:
+            ct = ct.withColumn(level, F.lit(0))
     return ct.select(
         F.col("o_orderstatus_o_orderpriority").alias("o_orderstatus"),
         F.col("1-URGENT").cast("bigint").alias("urgent"),

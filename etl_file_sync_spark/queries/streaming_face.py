@@ -491,7 +491,9 @@ def stream_stateful_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         if done:
             return
         batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
-        cents = (batch["value"] * 100).round().astype("int64")
+        # NULL values add nothing to the running sum (SQL sum skips
+        # NULLs) but the event still counts — fillna before the int cast
+        cents = (batch["value"] * 100).round().fillna(0).astype("int64")
         for ts_v, ev_id, c in zip(batch["ts"], batch["event_id"], cents):
             cum += int(c)
             n += 1

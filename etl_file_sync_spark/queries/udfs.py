@@ -44,7 +44,13 @@ def udf_pandas_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf("int")
     def n_tokens(s: pd.Series) -> pd.Series:
-        return s.str.lower().map(lambda x: len(pat.findall(x))).astype("int32")
+        # NULL text -> NULL count (regexp_extract_all(NULL) is NULL in
+        # the oracle); nullable Int32 keeps the Arrow type integral
+        return (
+            s.str.lower()
+            .map(lambda x: len(pat.findall(x)) if isinstance(x, str) else None)
+            .astype("Int32")
+        )
 
     d = t(spark, sf_dir, "documents")
     return d.select(
@@ -103,6 +109,8 @@ def udtf_word_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="word: string, pos: int")
     class WordExpand:
         def eval(self, text: str):
+            if text is None:  # unnest(NULL) yields no rows in the oracle
+                return
             for i, w in enumerate(text.split(" ")):
                 yield w, i + 1
 

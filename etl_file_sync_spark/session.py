@@ -52,6 +52,13 @@ def get_spark(app_name: str = "etl_file_sync_spark", cpus: int | None = None) ->
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Non-ANSI arithmetic: x/0 -> NULL, matching the DuckDB oracle
+        # (DuckDB: SELECT 1/0 IS NULL) and the pipeline posture a 100-TB
+        # job needs — one empty group / degenerate partition must yield
+        # NULL rows, not kill the whole job (Spark 4 flipped the default
+        # to ANSI=raise; every division-by-zero in a degenerate-input
+        # sweep then aborts the query where the oracle returns NULL).
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
@@ -71,5 +78,9 @@ def prep(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # oracle-parity division semantics (x/0 -> NULL, like DuckDB); see
+    # get_spark — ansi.enabled is runtime-mutable so it applies to the
+    # driver's externally-built session too
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     _ship_package(spark)
     return spark

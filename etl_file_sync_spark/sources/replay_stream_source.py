@@ -68,16 +68,30 @@ def make_events_replay_source() -> tuple[type, type]:
                 )
                 ts = pdf["ts"]
                 if ts.dtype == "int64":  # legacy nanos vintage
-                    micros = (ts // 1000).astype("int64")
+                    micros = (ts // 1000).astype("int64").astype(object)
                 else:
-                    micros = (ts.astype("datetime64[us]").astype("int64")).astype("int64")
+                    micros = (
+                        ts.astype("datetime64[us]")
+                        .astype("int64")
+                        .astype(object)
+                        # NaT casts to int64-min, not NULL — restore the NULL
+                        .where(ts.notna(), None)
+                    )
+                # pandas renders NULL floats as NaN; a faithful source must
+                # re-emit them as NULLs (a NaN would poison sum() downstream
+                # where the batch truth yields NULL)
+                vals = pdf["value"].astype("float64")
+                vals = vals.astype(object).where(vals.notna(), None)
+                types = pdf["event_type"].astype(object).where(
+                    pdf["event_type"].notna(), None
+                )
                 self._rows = list(
                     zip(
                         pdf["event_id"].astype("int64"),
                         micros,
                         pdf["user_id"].astype("int64"),
-                        pdf["event_type"],
-                        pdf["value"].astype("float64"),
+                        types,
+                        vals,
                     )
                 )
             return self._rows

@@ -175,11 +175,19 @@ def events_stream_with_late_replay(
     if not is_nanos:
         sent["ts"] = sent["ts"].astype("datetime64[us]")
     sent = sent[[f.name for f in batch.schema.fields]]
+    late = late[[f.name for f in batch.schema.fields]]
+    # Pin the staged files to the SOURCE file's arrow schema: pandas
+    # re-infers column types on write, and an all-NULL string column
+    # (degenerate extract) would otherwise come back as a null/INT32
+    # parquet column the typed stream reader rejects.
+    import pyarrow.parquet as pq
+
+    src_schema = pq.read_schema(f"{sf_dir}/events.parquet")
     # FileStreamSource orders batches by file MODIFICATION time, so the
     # write order below IS the replay order: events → flush → late.
-    sent.to_parquet(os.path.join(stage, "01_flush.parquet"))
+    sent.to_parquet(os.path.join(stage, "01_flush.parquet"), schema=src_schema)
     time.sleep(0.02)  # distinct mtimes on coarse-granularity filesystems
-    late.to_parquet(os.path.join(stage, "02_late.parquet"))
+    late.to_parquet(os.path.join(stage, "02_late.parquet"), schema=src_schema)
     reader = spark.readStream.option("maxFilesPerTrigger", 1)
     if is_nanos:
         return (
