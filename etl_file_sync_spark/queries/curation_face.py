@@ -247,7 +247,12 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_file_sync_spark.operators import multimodal as M
 
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
-    h = M.image_ahash_bands(M.attach_quad_payload(docs))
+    # materialize the hash frame ONCE: the 4 band self-joins below would
+    # otherwise re-run the whole PNG encode->decode->hash pipeline (and
+    # its source scan) up to 8x — measured 3.6x tier growth at constant
+    # output before this, 1.0x after. The frame is (doc_id, 4 ints);
+    # at corpus scale this is exactly the LSH shingle-cache convention.
+    h = M.image_ahash_bands(M.attach_quad_payload(docs)).localCheckpoint(eager=True)
     a, b = h.alias("a"), h.alias("b")
     cands = None
     for i in range(4):
