@@ -1132,6 +1132,10 @@ def ts_backtest_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("cents")
         )
+        # calendar-bounded (~2.4k rows) but consumed THREE times below
+        # (actual branch, lag branch, max-day dimension) — cache so the
+        # corpus-scale orders groupBy scan runs once, not 3x
+        .cache()
     )
     mx = daily.agg(F.max("day").alias("max_day"))
     a = daily.select(F.col("day"), F.col("cents").alias("actual"))

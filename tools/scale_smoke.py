@@ -362,6 +362,21 @@ def main() -> None:
         "multimodal_phash_neardup 4.5x fixture-layout artifact: the",
         "bounded 80-image fixture's doc_id < 80 scan now touches one row",
         "group instead of all of them.",
+        "Round-6 isolated re-measures (fresh 10x tier, min-of-4, quiet",
+        "box) of every cell >=2.0x in that round's regen:",
+        "sample_domain_cap 1.17x, dq_snapshot_diff 1.36x,",
+        "sample_dsir_weights 1.41x, stat_js_divergence 1.57x,",
+        "text_bpe_apply_counts 1.58x, dedup_url_canonical 1.76x,",
+        "eval_corpus_bleu 1.98x, text_pmi_collocations 1.99x,",
+        "text_readability_profile 1.55x, text_char_entropy 1.64x,",
+        "stat_kendall_tau_daily 1.58x — all noise, cleared.",
+        "ts_backtest_seasonal_naive held 2.45x and was a real plan",
+        "defect: its calendar-bounded daily frame fed three branches",
+        "uncached, re-running the orders groupBy scan 3x — cached, the",
+        "cell re-measures 0.8x. multimodal_phash_neardup's r5 4.5x was",
+        "likewise real: the band self-joins re-ran the PNG hash",
+        "pipeline 8x; localCheckpoint'd, it re-measures 1.3x.",
+        "dedup_exact_groups (r5 boundary 2.2x) re-measures 1.2-1.3x.",
     ]
     # BPE merge-count scaling (round-5 verdict ask): training cost must
     # scale with the MERGE BUDGET, not merge_budget x vocabulary — the
