@@ -633,6 +633,10 @@ def ts_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("rev_cents")
         )
+        # calendar-bounded (~80 rows) but consumed by three branches
+        # (base + prior-month + prior-year sides): cache so the orders
+        # scan runs once, not 3x
+        .cache()
     )
     p = m.select(F.col("month").alias("p_month"), F.col("rev_cents").alias("p_rev"))
     y = m.select(F.col("month").alias("y_month"), F.col("rev_cents").alias("y_rev"))

@@ -526,7 +526,7 @@ def stat_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rk").alias("rank_sum"),
         F.sum(F.col("rk") * F.col("rk")).alias("rank_sq"),
         F.count(F.lit(1)).cast("bigint").alias("b"),
-    )
+    ).cache()  # 5 rows, two consumers: rank the blocks once, not 2x
     totb = pertrt.agg(F.max("b").alias("max_b"))
     dev = F.col("rank_sum") - F.col("max_b") * 3.0
     tot = (
@@ -617,7 +617,9 @@ def stat_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = t(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("grp"), F.col("o_totalprice").alias("v")
     )
-    g = s.groupBy("grp", "v").agg(F.count(F.lit(1)).alias("c"))
+    # distinct-value-bounded but consumed by the value vocabulary AND the
+    # per-group rank join: cache so the orders scan runs once
+    g = s.groupBy("grp", "v").agg(F.count(F.lit(1)).alias("c")).cache()
     vals = g.groupBy("v").agg(F.sum("c").cast("bigint").alias("cnt"))
     ranked = avg_ranks(vals, "v", "cnt")
     pg = (
@@ -733,6 +735,9 @@ def stat_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rev"),
             F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         )
+        # calendar-bounded but consumed by three branches (count dim +
+        # both pair sides): cache so the orders scan runs once, not 3x
+        .cache()
     )
     n = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     a = daily.select(

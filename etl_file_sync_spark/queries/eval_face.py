@@ -505,7 +505,7 @@ def eval_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFra
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.round(F.col("score") * 10000).cast("bigint")).cast("bigint").alias("conf_i"),
         F.sum("label").cast("bigint").alias("s_lab"),
-    )
+    ).cache()  # 10 rows, three consumers: score the corpus once, not 3x
     tot = cells.agg(F.sum("n").cast("bigint").alias("nn"))
     nb = cells.agg(F.count(F.lit(1)).cast("bigint").alias("n_bins"))
     gap = F.abs(

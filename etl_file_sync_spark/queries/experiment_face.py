@@ -601,6 +601,9 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.select(F.explode("tk").alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        # vocabulary-bounded but consumed by three branches (totals +
+        # both PMI margins): cache so the token explode runs once
+        .cache()
     )
     pairs = toks.select(
         F.explode(

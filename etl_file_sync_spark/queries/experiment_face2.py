@@ -442,6 +442,10 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("cents")
         )
+        # calendar-bounded but consumed by FOUR branches (rank frame,
+        # moments pass, and the mean dim inside it): cache so the
+        # orders scan runs once, not 4x
+        .cache()
     )
     r = daily.withColumn("rn", F.row_number().over(W.orderBy("day")))
     m = daily.crossJoin(
@@ -1224,6 +1228,10 @@ def stat_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("cents")
         )
+        # customer-grain but consumed by the totals pass, the entropy
+        # fold, and the region decomposition: cache so the 4-table join
+        # runs once, not 3x (MEMORY_AND_DISK spills safely at scale)
+        .cache()
     )
     tot = x.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),

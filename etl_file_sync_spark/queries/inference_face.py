@@ -186,8 +186,13 @@ def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         band(F.col("n_chars")).alias("rater_a"),
         band(F.col("n_chars") + jitter).alias("rater_b"),
     )
-    conf = r.groupBy("rater_a", "rater_b").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
+    conf = (
+        r.groupBy("rater_a", "rater_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        # band-bounded (k x k cells) but consumed by four branches
+        # (totals, both marginals, agreement): cache so the documents
+        # scan runs once, not 4x
+        .cache()
     )
     tot = conf.agg(F.sum("c").cast("bigint").alias("n"))
     ma = conf.groupBy("rater_a").agg(F.sum("c").alias("ca")).withColumnRenamed("rater_a", "k")

@@ -325,12 +325,15 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).cast("bigint").alias("sup"))
     )
-    edges = pairs.where(F.col("sup") >= 2).select("pa", "pb")
+    # edges feeds the symmetrized adjacency AND the final LeftAnti; mid
+    # feeds both sides of the wedge self-join — cache both so the
+    # support-thresholded co-purchase groupBy runs once, not 4x
+    edges = pairs.where(F.col("sup") >= 2).select("pa", "pb").cache()
     nb = edges.select(F.col("pa").alias("x"), F.col("pb").alias("y")).unionAll(
         edges.select(F.col("pb").alias("x"), F.col("pa").alias("y"))
     )
     deg = nb.groupBy("x").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
-    mid = nb.join(deg, "x").where(F.col("d") <= _HUB_CAP)
+    mid = nb.join(deg, "x").where(F.col("d") <= _HUB_CAP).cache()
     left = mid.select("x", F.col("y").alias("a"), "d")
     right = mid.select("x", F.col("y").alias("c"))
     hops = (

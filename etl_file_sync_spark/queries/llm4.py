@@ -80,7 +80,9 @@ def text_hashed_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(h1, F.lit(64)).alias("bucket"),
         F.when(F.pmod(h2, F.lit(2)) == 0, F.lit(1)).otherwise(F.lit(-1)).alias("sg"),
     )
-    w = sw.groupBy("doc_id", "bucket").agg(F.sum("sg").cast("bigint").alias("w"))
+    # consumed by three branches (norms, query side, candidate side):
+    # cache so the shingle-hash explode + groupBy runs once, not 3x
+    w = sw.groupBy("doc_id", "bucket").agg(F.sum("sg").cast("bigint").alias("w")).cache()
     ss = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).cast("bigint").alias("ss"))
     q = w.filter(F.col("doc_id") < 10).select(
         F.col("doc_id").alias("query_id"), "bucket", F.col("w").alias("wq")

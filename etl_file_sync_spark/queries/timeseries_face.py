@@ -1022,6 +1022,9 @@ def ts_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("cents")
         )
+        # calendar-bounded but consumed by two branches (count dim +
+        # rank frame): cache so the orders scan runs once
+        .cache()
     )
     n = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     w_leq = W.orderBy("cents").rangeBetween(W.unboundedPreceding, W.currentRow)
