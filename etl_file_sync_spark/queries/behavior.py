@@ -186,6 +186,7 @@ def ts_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("user_id", F.col("ts").cast("date").alias("day"))
         .groupBy("user_id", "day")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .cache()  # 2 consumers (bounds + grid left-join): one events scan
     )
     bounds = daily.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
     grid = bounds.select(

@@ -1635,6 +1635,7 @@ def stat_sign_test_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("cents")
         )
+        .cache()  # 2 consumers (both pair sides): one orders scan
     )
     a = daily.select("day", F.col("cents").alias("ca"))
     b = daily.select(F.date_add(F.col("day"), 7).alias("day"), F.col("cents").alias("cb"))

@@ -67,7 +67,7 @@ def stat_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_custkey") % 2 == 0, "A").otherwise("B").alias("variant"),
         F.col("o_totalprice").alias("v"),
     )
-    g = s.groupBy("variant", "v").agg(F.count(F.lit(1)).alias("c"))
+    g = s.groupBy("variant", "v").agg(F.count(F.lit(1)).alias("c")).cache()  # 2 consumers: one orders scan
     vals = g.groupBy("v").agg(F.sum("c").cast("bigint").alias("cnt"))
     ranked = avg_ranks(vals, "v", "cnt")
     agg = (
@@ -581,7 +581,7 @@ def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = t(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("grp"), F.col("o_totalprice").alias("v")
     )
-    g = s.groupBy("grp", "v").agg(F.count(F.lit(1)).alias("c"))
+    g = s.groupBy("grp", "v").agg(F.count(F.lit(1)).alias("c")).cache()  # 2 consumers: one orders scan
     vals = g.groupBy("v").agg(F.sum("c").cast("bigint").alias("cnt"))
     ranked = avg_ranks(vals, "v", "cnt")
     pg = (

@@ -284,6 +284,7 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "orders")
         .groupBy(F.col("o_orderdate").cast("date").alias("day"))
         .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("bigint").alias("cents"))
+        .cache()  # 2 consumers (totals + cumulative branch): one orders scan
     )
     tot = daily.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -344,7 +345,7 @@ def ts_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
     daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("bigint").alias("cents")
-    )
+    ).cache()  # 2 consumers (totals + day-of-week branch): one orders scan
     tot = daily.agg(
         F.count(F.lit(1)).cast("bigint").alias("total_days"),
         F.sum("cents").cast("bigint").alias("total_cents"),
