@@ -157,14 +157,15 @@ def stat_gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("cents").cast("bigint").alias("total"),
     )
-    agg = r.crossJoin(F.broadcast(tot)).agg(  # 1-row totals dimension
-        F.first("n").alias("n"),
-        F.first("total").alias("total"),
+    sums = r.crossJoin(F.broadcast(tot)).agg(  # 1-row totals dimension
         F.sum(F.col("rn") * F.col("cents")).cast("bigint").alias("weighted"),
         F.sum(
             F.when(F.col("rn") > 0.9 * F.col("n"), F.col("cents")).otherwise(F.lit(0))
         ).cast("bigint").alias("top_decile"),
     )
+    # totals from the always-1-row tot aggregate (the oracle's scalar
+    # subquery shape), never a first() over the possibly-empty rank frame
+    agg = tot.join(F.broadcast(sums), F.lit(True), "left")
     return agg.select(
         F.col("n").alias("n_customers"),
         F.round(

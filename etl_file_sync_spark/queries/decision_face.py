@@ -316,7 +316,7 @@ def stat_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(len(ct) - 1) AS BIGINT) AS tot2
       FROM pair
     ),
-    u1 AS (SELECT CAST(sum(least(cu.c, ru.c)) AS BIGINT) AS clip1
+    u1 AS (SELECT CAST(coalesce(sum(least(cu.c, ru.c)), 0) AS BIGINT) AS clip1
            FROM cu JOIN ru ON cu.doc_id = ru.doc_id AND cu.tok = ru.tok),
     u2 AS (SELECT CAST(coalesce(sum(least(cb.c, rb.c)), 0) AS BIGINT) AS clip2
            FROM cb JOIN rb ON cb.doc_id = rb.doc_id AND cb.tok = rb.tok)

@@ -1645,9 +1645,10 @@ def stat_sign_test_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("d") < 0, 1).otherwise(0)).cast("bigint").alias("neg"),
     )
     row = cells.collect()[0]  # 2-cell metadata pull (McNemar pattern)
-    if row["pos"] is None:  # no week-over-week pairs: NULL cells (oracle parity)
+    if row["pos"] is None:  # no week-over-week pairs: the oracle's
+        # range-unnest over NULL cells collapses to zero rows — match it
         return cells.sparkSession.createDataFrame(
-            [(None, None, None)], "n_up bigint, n_down bigint, p_value double"
+            [], "n_up bigint, n_down bigint, p_value double"
         )
     pos, neg = row["pos"], row["neg"]
     m = pos + neg

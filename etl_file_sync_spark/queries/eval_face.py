@@ -254,15 +254,16 @@ def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s_g").cast("bigint").alias("s"),
         F.count(F.lit(1)).cast("bigint").alias("k"),
     )
-    parts = g.crossJoin(F.broadcast(tot)).agg(  # 1-row totals dimension
-        F.first("n").alias("n"),
-        F.first("k").alias("k"),
+    ss = g.crossJoin(F.broadcast(tot)).agg(  # 1-row totals dimension
         F.sum(F.col("q_g") - F.col("s_g") * 1.0 * F.col("s_g") / F.col("n_g")).alias("ssw"),
         F.sum(
             F.col("n_g")
             * F.pow(F.col("s_g") * 1.0 / F.col("n_g") - F.col("s") * 1.0 / F.col("n"), 2)
         ).alias("ssb"),
     )
+    # totals come from the always-1-row tot frame (the oracle's scalar
+    # subquery shape), not a first() over the possibly-empty group frame
+    parts = tot.join(F.broadcast(ss), F.lit(True), "left")
     return parts.select(
         F.col("k").alias("n_groups"),
         F.col("n").alias("n_rows"),
@@ -512,15 +513,17 @@ def eval_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("s_lab") * F.lit(1.0) / F.col("n")
         - F.col("conf_i") / (F.lit(10000.0) * F.col("n"))
     )
+    s = cells.crossJoin(F.broadcast(tot)).agg(  # 1-row totals dimension
+        F.round(F.sum((F.col("n") * F.lit(1.0) / F.col("nn")) * gap), 6).alias("ece"),
+        F.round(F.max(gap), 6).alias("mce"),
+    )
+    # counts come from the always-1-row nb/tot aggregates (the oracle's
+    # scalar-subquery shape), never a first() over the possibly-empty
+    # bucket frame
     return (
-        cells.crossJoin(F.broadcast(tot))  # 1-row totals dimensions
-        .crossJoin(F.broadcast(nb))
-        .agg(
-            F.first("n_bins").alias("n_bins"),
-            F.first("nn").alias("n_docs"),
-            F.round(F.sum((F.col("n") * F.lit(1.0) / F.col("nn")) * gap), 6).alias("ece"),
-            F.round(F.max(gap), 6).alias("mce"),
-        )
+        nb.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(s), F.lit(True), "left")
+        .select("n_bins", F.col("nn").alias("n_docs"), "ece", "mce")
     )
 
 

@@ -822,7 +822,8 @@ def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
         ).alias("d"),
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
-    )
+    ).localCheckpoint()  # 1-row observed stat, materialized once — it feeds
+    # both the extreme-count agg and the final join (phash band pattern)
     perms = u.crossJoin(
         F.broadcast(spark.range(_N_PERMS).select(F.col("id").cast("bigint").alias("perm")))
     ).select(
@@ -851,17 +852,25 @@ def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     extreme = F.sum(
         F.when(F.abs(F.col("d")) >= F.abs(F.col("obs_d")), 1).otherwise(0)
     ).cast("bigint")
-    return (
-        pd_.crossJoin(F.broadcast(obs.select(F.col("d").alias("obs_d"), "n_users")))
+    stats = (
+        pd_.crossJoin(F.broadcast(obs.select(F.col("d").alias("obs_d"))))
         .agg(
-            F.first("n_users").alias("n_users"),
-            F.round(F.first("obs_d"), 4).alias("obs_diff_cents"),
             F.count(F.lit(1)).cast("bigint").alias("n_perms"),
             extreme.alias("n_extreme"),
             F.round(
                 (F.lit(1) + extreme) * F.lit(1.0) / (F.lit(1) + F.count(F.lit(1))), 6
             ).alias("p_value"),
         )
+    )
+    # obs joins in as the oracle's scalar subquery does — a LEFT join on
+    # TRUE, not a first() over the perm frame, which is EMPTY when every
+    # relabeling is one-sided (a 1-user tier) and leaked NULL n_users
+    return stats.join(F.broadcast(obs), F.lit(True), "left").select(
+        "n_users",
+        F.round(F.col("d"), 4).alias("obs_diff_cents"),
+        "n_perms",
+        "n_extreme",
+        "p_value",
     )
 
 
@@ -1347,20 +1356,28 @@ def stat_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     zbar_g = F.col("s") * F.lit(1.0) / F.col("n")
     zbar = F.col("st") * F.lit(1.0) / F.col("nn")
-    return (
+    ss_agg = (
         cells.crossJoin(F.broadcast(tot))  # 1-row totals dimension
         .agg(
-            F.first("k").alias("k_groups"),
-            F.first("nn").alias("n_total"),
-            F.round(
-                (F.first("nn") - F.first("k"))
-                * F.lit(1.0)
-                / (F.first("k") - 1)
-                * F.sum(F.col("n") * (zbar_g - zbar) * (zbar_g - zbar))
-                / F.sum(F.col("ss") - F.col("s") * F.lit(1.0) / F.col("n") * F.col("s")),
-                6,
-            ).alias("f_stat"),
+            F.sum(F.col("n") * (zbar_g - zbar) * (zbar_g - zbar)).alias("ssb"),
+            F.sum(
+                F.col("ss") - F.col("s") * F.lit(1.0) / F.col("n") * F.col("s")
+            ).alias("ssw"),
         )
+    )
+    # totals from the always-1-row tot aggregate (the oracle's scalar
+    # subquery shape), never a first() over the possibly-empty cells
+    return tot.join(F.broadcast(ss_agg), F.lit(True), "left").select(
+        F.col("k").alias("k_groups"),
+        F.col("nn").alias("n_total"),
+        F.round(
+            (F.col("nn") - F.col("k"))
+            * F.lit(1.0)
+            / (F.col("k") - 1)
+            * F.col("ssb")
+            / F.col("ssw"),
+            6,
+        ).alias("f_stat"),
     )
 
 
@@ -1464,9 +1481,10 @@ def stat_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("d"),
     )
     row = cells.collect()[0]  # 2x2 metadata pull (Markov-kernel pattern)
-    if row["a"] is None:  # empty input: sums are NULL (oracle parity), test undefined
+    if row["a"] is None:  # empty input: the oracle's range-unnest over
+        # NULL cells collapses to zero rows — match it exactly
         return cells.sparkSession.createDataFrame(
-            [(None, None, None, None, None, None)],
+            [],
             "a bigint, b bigint, c bigint, d bigint, odds_ratio double, p_value double",
         )
     a, b, c, d = row["a"], row["b"], row["c"], row["d"]

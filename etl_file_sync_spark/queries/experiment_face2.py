@@ -144,9 +144,10 @@ def stat_bayes_ab_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     purposes."""
     cells = _conversion_cells(spark, sf_dir)
     row = cells.collect()[0]  # 2x2 metadata pull (Fisher-exact pattern)
-    if row["n_a"] is None:  # empty input: NULL cells (oracle parity)
+    if row["n_a"] is None:  # empty input: the oracle's sum-generate
+        # machinery over NULL cells collapses to zero rows — match it
         return cells.sparkSession.createDataFrame(
-            [(None,) * 7],
+            [],
             "n_a bigint, c_a bigint, n_b bigint, c_b bigint, "
             "post_mean_a double, post_mean_b double, p_b_beats_a double",
         )
@@ -751,10 +752,10 @@ def stat_mcnemar_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("c"),
     )
     row = cells.collect()[0]  # 2-cell metadata pull (Fisher-exact pattern)
-    if row["b"] is None:  # empty input: NULL cells (oracle parity)
+    if row["b"] is None:  # empty input: the oracle's range-unnest over
+        # NULL cells collapses to zero rows — match it exactly
         return cells.sparkSession.createDataFrame(
-            [(None, None, None)],
-            "discordant_b bigint, discordant_c bigint, p_value double",
+            [], "discordant_b bigint, discordant_c bigint, p_value double"
         )
     b, c = row["b"], row["c"]
     m = b + c

@@ -876,15 +876,22 @@ def eval_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("bigint")
             .alias("covered"),
-            F.first("q_resid").alias("q_resid"),
         )
     )
-    return test.crossJoin(F.broadcast(nc)).select(
-        "n_cal",
-        "n_test",
-        F.round(F.col("q_resid"), 4).alias("q_resid_cents"),
-        "covered",
-        F.round(F.col("covered") * F.lit(1.0) / F.col("n_test"), 6).alias("coverage"),
+    # q_resid joins in as the oracle's scalar subquery does — a LEFT
+    # join on TRUE so an empty calibration quantile yields NULL, not a
+    # first() over the (possibly empty) test frame (which leaked NaN on
+    # a 1-row tier where the single order landed on the test half)
+    return (
+        test.crossJoin(F.broadcast(nc))
+        .join(F.broadcast(q), F.lit(True), "left")
+        .select(
+            "n_cal",
+            "n_test",
+            F.round(F.col("q_resid"), 4).alias("q_resid_cents"),
+            "covered",
+            F.round(F.col("covered") * F.lit(1.0) / F.col("n_test"), 6).alias("coverage"),
+        )
     )
 
 

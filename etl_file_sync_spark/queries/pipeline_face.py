@@ -85,8 +85,12 @@ def pipeline_parse_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = job_messages(spark, sf_dir)
     servers = servers_dataframe(spark, _SERVERS)
     split = split_valid_dlq(raw, servers)
-    valid_counts = split.valid.agg(F.count(F.lit(1)).alias("n_jobs")).select(
-        F.lit("valid").alias("status"), "n_jobs"
+    # groupBy (not a bare agg) so an EMPTY stream yields zero rows like
+    # the oracle's GROUP BY, not a ('valid', 0) row
+    valid_counts = (
+        split.valid.select(F.lit("valid").alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_jobs"))
     )
     err_class = (
         F.when(F.col("error").startswith("parse_error"), "parse_error")

@@ -453,14 +453,14 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dr = F.col("lr") - F.col("mr")
     df_ = F.col("lf") - F.col("mf")
-    c = r.crossJoin(F.broadcast(m)).agg(  # 1-row means over the 100-term frame
-        F.first("n_terms").alias("n_terms"),
-        F.first("mr").alias("mr"),
-        F.first("mf").alias("mf"),
+    s = r.crossJoin(F.broadcast(m)).agg(  # 1-row means over the 100-term frame
         F.sum(dr * df_).alias("sxy"),
         F.sum(dr * dr).alias("sxx"),
         F.sum(df_ * df_).alias("syy"),
     )
+    # moments from the always-1-row m aggregate (the oracle's scalar
+    # subquery shape), never a first() over the possibly-empty term frame
+    c = m.join(F.broadcast(s), F.lit(True), "left")
     slope = F.col("sxy") / F.col("sxx")
     return c.select(
         "n_terms",
@@ -517,14 +517,18 @@ def stat_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.crossJoin(F.broadcast(tot))  # 1-row bounds dimension
         .filter((F.col("rn") > F.col("cut")) & (F.col("rn") <= F.col("n") - F.col("cut")))
     )
-    return kept.agg(
-        F.first("n").alias("n"),
-        F.first("cut").alias("trimmed_each_side"),
+    stats = kept.agg(
         F.round(
             F.sum("cents").cast("bigint") / (100.0 * F.count(F.lit(1))), 4
         ).alias("trimmed_mean"),
         F.round(F.min("cents").cast("bigint") / 100.0, 2).alias("lower_bound"),
         F.round(F.max("cents").cast("bigint") / 100.0, 2).alias("upper_bound"),
+    )
+    # bounds from the always-1-row tot aggregate (the oracle's scalar
+    # subquery shape), never a first() over the possibly-empty kept frame
+    return tot.join(F.broadcast(stats), F.lit(True), "left").select(
+        "n", F.col("cut").alias("trimmed_each_side"),
+        "trimmed_mean", "lower_bound", "upper_bound",
     )
 
 
@@ -694,9 +698,11 @@ def stat_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("ca") > 0, 0.5 * p * F.log(p / m)).otherwise(0.0).alias("pa"),
         F.when(F.col("cb") > 0, 0.5 * q * F.log(q / m)).otherwise(0.0).alias("pb"),
     )
-    return terms.groupBy("na", "nb", "vocab", "shared_vocab").agg(
-        F.round(F.sum("pa") + F.sum("pb"), 6).alias("jsd_nats")
-    ).select(
+    # bare agg + left join on TRUE (the oracle's scalar-subquery shape):
+    # a groupBy on the totals keys would emit ZERO rows on an empty
+    # vocabulary where the oracle emits one all-NULL summary row
+    s = terms.agg(F.round(F.sum("pa") + F.sum("pb"), 6).alias("jsd_nats"))
+    return tot.join(F.broadcast(s), F.lit(True), "left").select(
         F.col("na").alias("n_tokens_a"),
         F.col("nb").alias("n_tokens_b"),
         "vocab",

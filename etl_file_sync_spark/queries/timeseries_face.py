@@ -296,14 +296,16 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("k", F.row_number().over(W.orderBy("day")))
         .withColumn("d", F.sum(F.col("cents") * F.col("n")).over(w) - F.col("k") * F.col("total"))
     )
-    best = dev.agg(
+    peak = dev.agg(
         F.max(F.struct(F.abs(F.col("d")).alias("ad"), (-F.unix_date(F.col("day"))).alias("nd"))).alias("s"),
-        F.first("n").alias("n_days"),
     )
+    # n_days from the always-1-row tot aggregate (the oracle's scalar
+    # subquery shape), never a first() over the possibly-empty frame
+    best = tot.join(F.broadcast(peak), F.lit(True), "left")
     return best.select(
-        "n_days",
+        F.col("n").alias("n_days"),
         F.date_from_unix_date(-F.col("s.nd")).cast("timestamp").alias("cp_day"),
-        F.round(F.col("s.ad") / (F.lit(100.0) * F.col("n_days")), 4).alias("max_cusum"),
+        F.round(F.col("s.ad") / (F.lit(100.0) * F.col("n")), 4).alias("max_cusum"),
     )
 
 

@@ -1,0 +1,116 @@
+"""Oracle PARITY on degenerate tiers (round-6 depth beyond the
+no-crash sweep): every oracled query must agree with DuckDB not just on
+real data (tests/test_queries_oracle.py) but on the empty and 1-row
+tiers, where empty-aggregate semantics (NULL sums, collapsed unnest
+ranges, grand-total grouping sets) diverge between engines unless the
+query was written carefully.
+
+Comparator: the standard row/column/value comparison, with ONE
+degenerate-specific relaxation — a column that is entirely NULL on BOTH
+sides matches regardless of pandas dtype (an all-NULL BIGINT column
+round-trips as float64 NaN through .toPandas()/.df(), which is a
+representation artifact, not an engine difference). A column with
+values on either side is still compared strictly.
+
+KNOWN_DIVERGENT lists the queries where Spark and DuckDB genuinely
+disagree on degenerate input for documented engine-level reasons we
+choose not to paper over.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+from etl_file_sync_spark.catalog import TABLES
+from etl_file_sync_spark.queries import REGISTRY
+from tests.conftest import canon, _kind
+from tools.degenerate_tiers import synthesize
+
+pytestmark = pytest.mark.slow
+
+ORACLE_QUERIES = sorted(name for name, q in REGISTRY.items() if q.oracle is not None)
+TIERS = ("empty", "one_row")
+
+# Engine-level divergences on degenerate input, each verified by hand:
+KNOWN_DIVERGENT = {
+    # Spark's ROLLUP/CUBE/GROUPING SETS over an EMPTY relation emit zero
+    # rows; DuckDB (per the SQL standard) still emits the () grand-total
+    # grouping-set row. Upstream Spark behavior (SPARK grouping-set
+    # semantics), not a query bug — on any non-empty input they agree.
+    ("empty", "agg_rollup"),
+    ("empty", "agg_cube"),
+    ("empty", "agg_grouping_id"),
+}
+
+
+@pytest.fixture(scope="session")
+def degen_tiers2(tmp_path_factory):
+    root = tmp_path_factory.mktemp("degen_tiers_oracle")
+    return synthesize(str(root))
+
+
+@pytest.fixture(scope="module")
+def ducks(degen_tiers2):
+    cons = {}
+    for tier in TIERS:
+        con = duckdb.connect()
+        for name in TABLES:
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM "
+                f"'{degen_tiers2[tier]}/{name}.parquet'"
+            )
+        cons[tier] = con
+    yield cons
+    for con in cons.values():
+        con.close()
+
+
+def _all_null(s: pd.Series) -> bool:
+    return bool(s.isna().all())
+
+
+def assert_frames_match_degenerate(spark_df, duck_rel, float_tol: float = 1e-9):
+    sp = canon(spark_df.toPandas())
+    dk = canon(duck_rel.df())
+    assert list(sp.columns) == list(dk.columns), (
+        f"columns differ: {list(sp.columns)} vs {list(dk.columns)}"
+    )
+    assert len(sp) == len(dk), f"row counts differ: {len(sp)} vs {len(dk)}"
+    for c in sp.columns:
+        a, b = sp[c], dk[c]
+        if _all_null(a) and _all_null(b):
+            continue  # representation-only difference (NULL ints -> float64)
+        ka, kb = _kind(a), _kind(b)
+        if "empty" not in (ka, kb):
+            assert ka == kb, f"dtype-kind mismatch on col {c}: {ka} vs {kb}"
+        if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+            for i, (x, y) in enumerate(zip(a, b)):
+                x_null = x is None or (isinstance(x, float) and math.isnan(x))
+                y_null = y is None or (isinstance(y, float) and math.isnan(y))
+                if x_null and y_null:
+                    continue
+                assert not (x_null or y_null), f"col {c} row {i}: {x!r} != {y!r}"
+                assert x == pytest.approx(y, abs=float_tol, rel=1e-9), (
+                    f"col {c} row {i}: {x} != {y}"
+                )
+        else:
+            a_n = a.where(pd.notna(a), None).tolist()
+            b_n = b.where(pd.notna(b), None).tolist()
+            assert a_n == b_n, f"col {c} differs: {a_n[:5]} vs {b_n[:5]}"
+
+
+@pytest.mark.parametrize("tier", TIERS)
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle_on_degenerate_tier(
+    spark, degen_tiers2, ducks, name, tier
+):
+    if (tier, name) in KNOWN_DIVERGENT:
+        pytest.skip("documented engine-level degenerate divergence")
+    q = REGISTRY[name]
+    sdf = q.build(spark, degen_tiers2[tier])
+    assert_frames_match_degenerate(sdf, ducks[tier].sql(q.oracle))
+    spark.catalog.clearCache()
