@@ -66,6 +66,12 @@ def make_events_replay_source() -> tuple[type, type]:
                 pdf = pd.read_parquet(
                     self.path, columns=["event_id", "ts", "user_id", "event_type", "value"]
                 )
+                # replay in LOG order: offset ranges slice this list
+                # positionally, so row order must be a pure function of
+                # the relation (event_id is the log sequence number),
+                # never of the parquet file/row-group layout — exactly
+                # like a Kafka replay is ordered by offset
+                pdf = pdf.sort_values("event_id", kind="mergesort").reset_index(drop=True)
                 ts = pdf["ts"]
                 if ts.dtype == "int64":  # legacy nanos vintage
                     micros = (ts // 1000).astype("int64").astype(object)

@@ -20,14 +20,61 @@ EVENTS_RAW_SCHEMA = (
 )
 
 
+def _stage_many(sf_dir: str, stage: str, prefix: str = "events") -> None:
+    """Symlink the events table into ``stage`` as plain parquet FILES.
+
+    A tier may ship ``events.parquet`` as a single file OR as a directory
+    of part files (the layout a cluster writer produces); FileStreamSource
+    lists only plain files and silently skips subdirectories, so a
+    directory-shaped table symlinked whole replays ZERO rows. Staging
+    file-by-file keeps both layouts equivalent — with no
+    ``maxFilesPerTrigger`` every staged file lands in the same first
+    micro-batch, so batch composition (and therefore every watermark)
+    is identical across layouts.
+    """
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src):
+        for i, f in enumerate(sorted(os.listdir(src))):
+            if f.endswith(".parquet"):
+                os.symlink(os.path.join(src, f), os.path.join(stage, f"{prefix}_{i:03d}.parquet"))
+    else:
+        os.symlink(src, os.path.join(stage, f"{prefix}.parquet"))
+
+
+def _stage_single(sf_dir: str, stage: str, name: str) -> None:
+    """Stage the events table as exactly ONE parquet file.
+
+    The flush/late-replay harnesses rely on ``maxFilesPerTrigger=1`` to
+    make "all real events" micro-batch #1 — a directory-shaped table must
+    therefore be coalesced to one file (driver-side rewrite; replay-
+    harness scope, same posture as the pandas staging passes below), or
+    each part would become its own micro-batch and the advancing
+    watermark would wrongly late-drop rows of later parts.
+    """
+    src = os.path.join(sf_dir, "events.parquet")
+    dst = os.path.join(stage, name)
+    if os.path.isdir(src):
+        import time
+
+        import pyarrow.parquet as pq
+
+        pq.write_table(pq.read_table(src), dst)
+        # FileStreamSource orders batches by mtime; push the coalesced
+        # file firmly BEFORE the sentinel/late files written next (the
+        # symlink branch gets this for free from the old target mtime)
+        past = time.time() - 10
+        os.utime(dst, (past, past))
+    else:
+        os.symlink(src, dst)
+
+
 def events_stream(spark: SparkSession, sf_dir: str, stage_dir: str | None = None) -> DataFrame:
     """Streaming DataFrame over {sf_dir}/events.parquet with a proper
     microsecond event-time `ts` column."""
     stage = stage_dir or tempfile.mkdtemp(prefix="events_stream_")
     os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+    if not any(f.endswith(".parquet") for f in os.listdir(stage)):
+        _stage_many(sf_dir, stage)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     from pyspark.sql.types import LongType
 
@@ -78,8 +125,7 @@ def events_stream_with_flush(
     from pyspark.sql.types import LongType
 
     stage = tempfile.mkdtemp(prefix="events_flush_")
-    link = os.path.join(stage, "00_events.parquet")
-    os.symlink(f"{sf_dir}/events.parquet", link)
+    _stage_single(sf_dir, stage, "00_events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     is_nanos = isinstance(batch.schema["ts"].dataType, LongType)
@@ -148,7 +194,7 @@ def events_stream_with_late_replay(
     from pyspark.sql.types import LongType
 
     stage = tempfile.mkdtemp(prefix="events_late_")
-    os.symlink(f"{sf_dir}/events.parquet", os.path.join(stage, "00_events.parquet"))
+    _stage_single(sf_dir, stage, "00_events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     is_nanos = isinstance(batch.schema["ts"].dataType, LongType)
@@ -182,7 +228,8 @@ def events_stream_with_late_replay(
     # parquet column the typed stream reader rejects.
     import pyarrow.parquet as pq
 
-    src_schema = pq.read_schema(f"{sf_dir}/events.parquet")
+    # read from the STAGED single file (the source may be a directory)
+    src_schema = pq.read_schema(os.path.join(stage, "00_events.parquet"))
     # FileStreamSource orders batches by file MODIFICATION time, so the
     # write order below IS the replay order: events → flush → late.
     sent.to_parquet(os.path.join(stage, "01_flush.parquet"), schema=src_schema)
