@@ -717,7 +717,7 @@ def stream_upsert_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from pyspark.sql import Window as W2
+    from etl_file_sync_spark.streaming.upsert import final_state, make_upsert
 
     ev = t(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"), "value"
@@ -725,32 +725,20 @@ def stream_upsert_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="stream_upsert_")
     stage = os.path.join(root, "stage")
     # 3 staged files => 3 micro-batches; upsert correctness is
-    # replay-order-independent (merge keeps the (ts, event_id) max)
+    # replay-order-independent (merge keeps the (ts, event_id) max).
+    # The merge itself is RESTART-IDEMPOTENT (streaming/upsert.py:
+    # per-batch-id state dirs, _SUCCESS-gated recovery) — crash behavior
+    # is chaos-tested in tests/test_streaming.py.
     ev.repartitionByRange(3, "ts").write.mode("overwrite").parquet(stage)
     schema = spark.read.parquet(stage).schema
 
-    def latest_per_user(df: DataFrame) -> DataFrame:
-        w = W2.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-        return df.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
-
-    state_path: list[str | None] = [None]
-
-    def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        b = latest_per_user(batch_df)
-        if state_path[0] is not None:
-            cur = batch_df.sparkSession.read.parquet(state_path[0])
-            b = latest_per_user(cur.unionByName(b))
-        out = os.path.join(root, f"state_{batch_id}")
-        b.write.mode("overwrite").parquet(out)
-        state_path[0] = out
-
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
-    q = stream.writeStream.foreachBatch(upsert).outputMode("update").start()
+    q = stream.writeStream.foreachBatch(make_upsert(root)).outputMode("update").start()
     try:
         q.processAllAvailable()
     finally:
         q.stop()
-    final = spark.read.parquet(state_path[0])
+    final = final_state(spark, root)
     return final.select(
         "user_id",
         F.col("event_type").alias("last_event_type"),

@@ -310,3 +310,91 @@ def test_stateful_api_gate_raises_cleanly(spark):
 
     with pytest.raises(StatefulApiUnavailable):
         running_max_stream(spark.createDataFrame([], "user_id long, ts timestamp, value double"))
+
+
+def test_upsert_chaos_crash_recovery(spark, sf_dir, tmp_path):
+    """CHAOS for the foreachBatch UPSERT materializer: crash the stream
+    at every dangerous point — BEFORE any effect, AFTER the state write
+    but before the checkpoint commit (forcing a re-delivery that must
+    overwrite, not double-merge), and MID-WRITE (torn state dir with its
+    _SUCCESS marker removed, which recovery must treat as absent) — then
+    restart on the same checkpoint until drained, and assert the final
+    state equals the batch latest-per-user truth."""
+    import os
+
+    from etl_file_sync_spark.streaming.upsert import (
+        committed_states,
+        final_state,
+        latest_per_user,
+        make_upsert,
+        state_dir,
+    )
+
+    ev = load_table(spark, str(sf_dir), "events").select(
+        "event_id", "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    root = tmp_path / "upsert_root"
+    root.mkdir()
+    stage = str(tmp_path / "stage")
+    ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(stage)
+    schema = spark.read.parquet(stage).schema
+
+    body = make_upsert(str(root))
+    # batch -> crash phase; each fires exactly once, the replay must pass
+    crashes = {0: "before", 1: "after", 2: "torn"}
+    fired: set[int] = set()
+
+    def chaotic(batch_df, batch_id):
+        if crashes.get(batch_id) == "before" and batch_id not in fired:
+            fired.add(batch_id)
+            raise RuntimeError(f"chaos: pre-effect crash at batch {batch_id}")
+        body(batch_df, batch_id)
+        if crashes.get(batch_id) == "after" and batch_id not in fired:
+            fired.add(batch_id)
+            raise RuntimeError(f"chaos: post-write crash at batch {batch_id}")
+        if crashes.get(batch_id) == "torn" and batch_id not in fired:
+            fired.add(batch_id)
+            os.remove(os.path.join(state_dir(str(root), batch_id), "_SUCCESS"))
+            raise RuntimeError(f"chaos: torn-write crash at batch {batch_id}")
+
+    def run_until_stall():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .writeStream.foreachBatch(chaotic)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            return True
+        except Exception:
+            return False
+        finally:
+            q.stop()
+
+    restarts = 0
+    while not run_until_stall():
+        restarts += 1
+        assert restarts <= len(crashes) + 2, "upsert stream failed to converge"
+    assert restarts == len(crashes), "every injected crash forces exactly one restart"
+
+    # all 4 batches committed, torn dir healed by its replay
+    assert committed_states(str(root)) == [0, 1, 2, 3]
+    got = (
+        final_state(spark, str(root))
+        .select("user_id", "event_type", "ts", "value")
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    truth = (
+        latest_per_user(ev)
+        .select("user_id", "event_type", "ts", "value")
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, truth)
