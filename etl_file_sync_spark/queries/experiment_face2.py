@@ -1036,12 +1036,17 @@ def stat_cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(min(k) AS BIGINT) AS kmin,
              CAST(max(k) AS BIGINT) AS kmax,
              CAST(sum(k) AS BIGINT) AS s,
-             sum(ln(k * 2.0)) AS lnsum
+             sum(ln(k * 2.0)) AS lnsum,
+             CAST(sum(CASE WHEN k >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_tail,
+             sum(CASE WHEN k >= 4 THEN ln(k / 3.5) END) AS lnsum_tail
       FROM d
     )
     SELECT n AS n_nodes, kmin, kmax,
            round(s * 1.0 / n, 6) AS mean_degree,
-           round(1.0 + n / lnsum, 6) AS alpha_mle
+           CAST(4 AS BIGINT) AS k_min_fit, n_tail,
+           round(CASE WHEN n_tail > 0 THEN 1.0 + n_tail / lnsum_tail END, 6)
+             AS alpha_mle,
+           round(1.0 + n / lnsum, 6) AS alpha_mle_k1
     FROM fit
     """,
     "graph",
@@ -1050,9 +1055,15 @@ def stat_cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Power-law exponent MLE for the customer order-count degree
     distribution via the Clauset-Shalizi-Newman continuous
-    approximation at kmin=1: alpha = 1 + n / sum ln(k_i/(kmin - 1/2))
-    = 1 + n / sum ln(2k). One distributed degree reduction, then a
-    single one-pass aggregate (the ln fold is this op's documented
+    approximation, fit on the TAIL k >= k_min_fit = 4:
+    alpha = 1 + n_tail / sum ln(k_i / (k_min_fit - 1/2)). Clauset et
+    al. (2009) warn the continuous approximation is only accurate for
+    kmin >~ 6; at kmin=1 it UNDERSTATES alpha by 7-35% across
+    alpha in [1.8, 3.5] on exact zeta samples, while the kmin=4 tail
+    fit lands within ~2% (measured in tests/test_calibration7.py —
+    round-6 calibration finding). The naive kmin=1 value is kept as
+    alpha_mle_k1 for reference. One distributed degree reduction, then
+    a single one-pass aggregate (the ln fold is this op's documented
     summation-order ulp exposure — ~1e-13 relative on the statistic,
     far inside round(6)). Degree moments are exact BIGINTs."""
     d = (
@@ -1060,19 +1071,27 @@ def graph_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
     )
+    tail = F.col("k") >= 4
     fit = d.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.min("k").cast("bigint").alias("kmin"),
         F.max("k").cast("bigint").alias("kmax"),
         F.sum("k").cast("bigint").alias("s"),
         F.sum(F.log(F.col("k") * 2.0)).alias("lnsum"),
+        F.sum(F.when(tail, 1).otherwise(0)).cast("bigint").alias("n_tail"),
+        F.sum(F.when(tail, F.log(F.col("k") / 3.5))).alias("lnsum_tail"),
     )
     return fit.select(
         F.col("n").alias("n_nodes"),
         "kmin",
         "kmax",
         F.round(F.col("s") * 1.0 / F.col("n"), 6).alias("mean_degree"),
-        F.round(1.0 + F.col("n") / F.col("lnsum"), 6).alias("alpha_mle"),
+        F.lit(4).cast("bigint").alias("k_min_fit"),
+        "n_tail",
+        F.round(
+            F.when(F.col("n_tail") > 0, 1.0 + F.col("n_tail") / F.col("lnsum_tail")), 6
+        ).alias("alpha_mle"),
+        F.round(1.0 + F.col("n") / F.col("lnsum"), 6).alias("alpha_mle_k1"),
     )
 
 

@@ -629,18 +629,24 @@ def ts_stl_decompose_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM mom
     ),
     ph AS (
-      -- m_t = S_t - t*mu from EXACT integer prefix sums, so both
-      -- engines see identical doubles; PH_t = m_t - min prefix m_s
+      -- m_t = S_t - t*mu - t*(sd/2) from EXACT integer prefix sums, so
+      -- both engines see identical doubles; the t*(sd/2) term is the
+      -- classical Page-Hinkley drift allowance delta = sd/2 — without
+      -- it m_t is a zero-drift random walk and max PH grows like
+      -- sd*sqrt(n), so ANY threshold proportional to sd false-alarms
+      -- with probability -> 1 (measured: P(alarm)=1.0 over a 365-day
+      -- stationary null). PH_t = m_t - min prefix m_s
       SELECT r.day, mv.n, mv.sd,
-             (r.s_t - r.rn * mv.mu)
-               - min(r.s_t - r.rn * mv.mu) OVER (ORDER BY r.day) AS ph_t
+             (r.s_t - r.rn * mv.mu - r.rn * (mv.sd / 2))
+               - min(r.s_t - r.rn * mv.mu - r.rn * (mv.sd / 2))
+                   OVER (ORDER BY r.day) AS ph_t
       FROM r, mv
     )
     SELECT CAST(max(n) AS BIGINT) AS n_days,
            round(max(ph_t), 4) AS max_ph_cents,
-           CAST(sum(CASE WHEN ph_t > 5 * sd THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(sum(CASE WHEN ph_t > 8 * sd THEN 1 ELSE 0 END) AS BIGINT)
              AS alarm_days,
-           CAST(min(CASE WHEN ph_t > 5 * sd THEN day END) AS TIMESTAMP)
+           CAST(min(CASE WHEN ph_t > 8 * sd THEN day END) AS TIMESTAMP)
              AS first_alarm_day
     FROM ph
     """,
@@ -650,14 +656,20 @@ def ts_stl_decompose_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ts_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page-Hinkley drift detector over daily order revenue (the
-    mean-shift companion to ts_cusum_changepoint): deviations are taken
-    against the GLOBAL mean (delta = 0; the closed-form, oracle-able
-    spelling of the usually-online statistic), the cumulative deviation
-    is carried as m_t = S_t - t*mu where S_t is the EXACT BIGINT prefix
-    sum — one multiply and subtract per row, so both engines compute
-    identical doubles — and PH_t = m_t - min_prefix(m_s) with a
-    5-sigma-of-daily-revenue alarm threshold. All windows run on the
-    calendar-bounded daily frame."""
+    mean-shift companion to ts_cusum_changepoint), with the classical
+    drift allowance delta = sd/2 (Page 1954; Gama et al. 2013): the
+    cumulative deviation m_t = S_t - t*mu - t*(sd/2) is carried from
+    the EXACT BIGINT prefix sum S_t — one multiply-subtract chain per
+    row in the same IEEE order in both engines — and
+    PH_t = m_t - min_prefix(m_s) alarms above lambda = 8*sd. WITHOUT
+    delta, m_t is a zero-drift random walk whose range grows like
+    sd*sqrt(n), so any sd-proportional threshold false-alarms with
+    probability -> 1 (a 365-day stationary null alarmed on ~236 days;
+    round-6 calibration finding). At (delta=sd/2, lambda=8sd) the
+    Monte-Carlo operating point is ~1% yearly false-alarm rate, ~87%
+    power at a 1-sd mean shift (median delay 73 days), and full power
+    at 2 sd (delay ~25 days) — asserted in tests/test_calibration7.py.
+    All windows run on the calendar-bounded daily frame."""
     from pyspark.sql import Window as W
 
     daily = (
@@ -685,7 +697,8 @@ def ts_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         mu.alias("mu"),
         F.sqrt((F.col("ss") - mu * F.col("s")) / (F.col("n") - 1)).alias("sd"),
     )
-    m_t = F.col("s_t") - F.col("rn") * F.col("mu")
+    # identical IEEE op order to the oracle: s_t - rn*mu - rn*(sd/2)
+    m_t = F.col("s_t") - F.col("rn") * F.col("mu") - F.col("rn") * (F.col("sd") / 2)
     ph = (
         r.crossJoin(F.broadcast(mv))  # 1-row moments dimension
         .withColumn("ph_t", m_t - F.min(m_t).over(w))
@@ -693,10 +706,10 @@ def ts_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ph.agg(
         F.max("n").cast("bigint").alias("n_days"),
         F.round(F.max("ph_t"), 4).alias("max_ph_cents"),
-        F.sum(F.when(F.col("ph_t") > 5 * F.col("sd"), 1).otherwise(0))
+        F.sum(F.when(F.col("ph_t") > 8 * F.col("sd"), 1).otherwise(0))
         .cast("bigint")
         .alias("alarm_days"),
-        F.min(F.when(F.col("ph_t") > 5 * F.col("sd"), F.col("day")))
+        F.min(F.when(F.col("ph_t") > 8 * F.col("sd"), F.col("day")))
         .cast("timestamp")
         .alias("first_alarm_day"),
     )

@@ -278,11 +278,16 @@ def test_powerlaw_fit_matches_numpy(spark, sf_dir):
     got = REGISTRY["graph_powerlaw_fit"].build(spark, sf_dir).collect()[0]
     o = _pq(sf_dir, "orders")
     k = o.groupby("o_custkey").size().to_numpy(dtype=float)
-    alpha = 1 + len(k) / np.log(2 * k).sum()
+    alpha_k1 = 1 + len(k) / np.log(2 * k).sum()
+    tail = k[k >= 4]
     assert got["n_nodes"] == len(k)
     assert (got["kmin"], got["kmax"]) == (int(k.min()), int(k.max()))
     assert got["mean_degree"] == pytest.approx(k.mean(), rel=1e-9)
-    assert got["alpha_mle"] == pytest.approx(alpha, rel=1e-6)
+    assert got["k_min_fit"] == 4 and got["n_tail"] == len(tail)
+    if len(tail):
+        alpha = 1 + len(tail) / np.log(tail / 3.5).sum()
+        assert got["alpha_mle"] == pytest.approx(alpha, rel=1e-6)
+    assert got["alpha_mle_k1"] == pytest.approx(alpha_k1, rel=1e-6)
 
 
 def test_stl_decompose_matches_pandas(spark, sf_dir):
@@ -384,11 +389,12 @@ def test_page_hinkley_matches_numpy(spark, sf_dir):
     n = len(y)
     mu = y.mean()
     sd = y.std(ddof=1)
-    m = np.cumsum(y - mu)
+    # drift allowance delta = sd/2 (without it PH false-alarms a.s.)
+    m = np.cumsum(y - mu - sd / 2)
     ph = m - np.minimum.accumulate(m)
     assert got["n_days"] == n
     assert got["max_ph_cents"] == pytest.approx(ph.max(), rel=1e-9)
-    alarms = ph > 5 * sd
+    alarms = ph > 8 * sd
     assert got["alarm_days"] == int(alarms.sum())
     if alarms.any():
         first = daily.index[int(np.argmax(alarms))]
