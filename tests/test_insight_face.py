@@ -256,12 +256,14 @@ def test_conformal_interval_coverage_guarantee(spark, toy_dir):
     got = REGISTRY["eval_conformal_interval"].build(spark, toy_dir).collect()[0]
     cents = {k: round(p * 100) for k, _c, p, _d, _pr in ORDERS}
     pri = {k: pr for k, _c, _p, _d, pr in ORDERS}
-    cal = [k for k in cents if k % 2 == 0]
-    test = [k for k in cents if k % 2 == 1]
+    train = [k for k in cents if k % 4 == 0]
     model = {}
     for p in set(pri.values()):
-        sel = [cents[k] for k in cal if pri[k] == p]
-        model[p] = sum(sel) / len(sel)
+        sel = [cents[k] for k in train if pri[k] == p]
+        if sel:
+            model[p] = sum(sel) / len(sel)
+    cal = [k for k in cents if k % 4 == 2 and pri[k] in model]
+    test = [k for k in cents if k % 2 == 1 and pri[k] in model]
     resid = sorted(
         (abs(cents[k] - model[pri[k]]), k) for k in cal
     )
@@ -269,7 +271,7 @@ def test_conformal_interval_coverage_guarantee(spark, toy_dir):
     k_rank = min(n_cal, (9 * (n_cal + 1) + 9) // 10)
     q = resid[k_rank - 1][0]
     covered = sum(1 for k in test if abs(cents[k] - model[pri[k]]) <= q)
-    assert (got.n_cal, got.n_test) == (n_cal, len(test))
+    assert (got.n_train, got.n_cal, got.n_test) == (len(train), n_cal, len(test))
     assert got.q_resid_cents == pytest.approx(q, abs=1e-3)
     assert got.covered == covered
     assert got.coverage == pytest.approx(covered / len(test), abs=1e-5)
