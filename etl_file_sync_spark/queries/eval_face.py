@@ -1015,8 +1015,8 @@ def eval_f1_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / sqrt((tp + fp) * 1.0 * (tp + fn))
                  / sqrt((tn + fp) * 1.0 * (tn + fn)), 6) AS mcc,
            round((2.0 * (tp * 1.0 * tn - fp * 1.0 * fn))
-                 / ((tp + fp) * 1.0 * (fn + tn)
-                    + (tp + fn) * 1.0 * (fp + tn)), 6) AS cohen_kappa_binary
+                 / ((tp + fp) * 1.0 * (fp + tn)
+                    + (tp + fn) * 1.0 * (fn + tn)), 6) AS cohen_kappa_binary
     FROM cm
     """,
     "eval",
@@ -1045,8 +1045,13 @@ def eval_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.sqrt((tp + fp) * 1.0 * (tp + fn))
         / F.sqrt((tn + fp) * 1.0 * (tn + fn))
     )
+    # denominator = P1*L0 + L1*P0 ((tp+fp)(fp+tn) + (tp+fn)(fn+tn)):
+    # the po/pe identity's exact 2x2 reduction. The pre-round-6 spelling
+    # used P1*P0 + L1*L0, which is smaller by exactly (fp-fn)^2 and
+    # biased |kappa| upward whenever the marginals disagree
+    # (caught by tests/test_calibration10.py's po/pe cross-check).
     kappa = (2.0 * (tp * 1.0 * tn - fp * 1.0 * fn)) / (
-        (tp + fp) * 1.0 * (fn + tn) + (tp + fn) * 1.0 * (fp + tn)
+        (tp + fp) * 1.0 * (fp + tn) + (tp + fn) * 1.0 * (fn + tn)
     )
     return cm.select(
         "tp",

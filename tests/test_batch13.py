@@ -298,7 +298,7 @@ def test_mcc_matches_python(spark, sf_dir):
     mcc = (tp * tn - fp * fn) / math.sqrt(
         (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
     )
-    kappa = 2 * (tp * tn - fp * fn) / ((tp + fp) * (fn + tn) + (tp + fn) * (fp + tn))
+    kappa = 2 * (tp * tn - fp * fn) / ((tp + fp) * (fp + tn) + (tp + fn) * (fn + tn))
     assert (got["tp"], got["fp"], got["fn"], got["tn"]) == (tp, fp, fn, tn)
     assert got["mcc"] == pytest.approx(mcc, abs=1e-6)
     assert got["cohen_kappa_binary"] == pytest.approx(kappa, abs=1e-6)
