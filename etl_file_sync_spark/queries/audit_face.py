@@ -145,8 +145,10 @@ def stat_gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n·Σx) − (n+1)/n over spend sorted ascending (custkey tiebreak),
     plus the top-decile share. Ranks come from the bucketed two-phase
     row_number — the naive spelling's global window is exactly the
-    single-partition cliff this avoids. All terms stay in exact BIGINT
-    cents until the two terminal divisions."""
+    single-partition cliff this avoids. The rank-weighted sum runs in
+    exact DECIMAL (rank*cents scales like n^2 and would wrap BIGINT at
+    ~3e9 customers); everything else stays exact integers until the
+    two terminal divisions."""
     spend = (
         t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -158,7 +160,14 @@ def stat_gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("bigint").alias("total"),
     )
     sums = r.crossJoin(F.broadcast(tot)).agg(  # 1-row totals dimension
-        F.sum(F.col("rn") * F.col("cents")).cast("bigint").alias("weighted"),
+        # rank*cents is an n^2-scale product (rank runs to n customers):
+        # BIGINT wraps past ~9.2e18, so accumulate exactly in DECIMAL
+        # (the oracle's HUGEINT) and convert once for the Gini division
+        F.sum(
+            F.col("rn").cast("decimal(18,0)") * F.col("cents").cast("decimal(18,0)")
+        )
+        .cast("double")
+        .alias("weighted"),
         F.sum(
             F.when(F.col("rn") > 0.9 * F.col("n"), F.col("cents")).otherwise(F.lit(0))
         ).cast("bigint").alias("top_decile"),

@@ -1129,11 +1129,23 @@ def stat_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("grp") == 1, F.col("cents")).otherwise(0))
         .cast("bigint")
         .alias("s1"),
-        F.sum(F.when(F.col("grp") == 0, F.col("cents") * F.col("cents")).otherwise(0))
-        .cast("bigint")
+        # squared per-user cents wrap BIGINT at 100 TB user counts:
+        # exact DECIMAL accumulation (the oracle's HUGEINT), one cast
+        F.sum(
+            F.when(
+                F.col("grp") == 0,
+                F.col("cents").cast("decimal(18,0)") * F.col("cents").cast("decimal(18,0)"),
+            ).otherwise(F.lit(0).cast("decimal(18,0)"))
+        )
+        .cast("double")
         .alias("q0"),
-        F.sum(F.when(F.col("grp") == 1, F.col("cents") * F.col("cents")).otherwise(0))
-        .cast("bigint")
+        F.sum(
+            F.when(
+                F.col("grp") == 1,
+                F.col("cents").cast("decimal(18,0)") * F.col("cents").cast("decimal(18,0)"),
+            ).otherwise(F.lit(0).cast("decimal(18,0)"))
+        )
+        .cast("double")
         .alias("q1"),
     )
     m0 = F.col("s0") * 1.0 / F.col("n0")
@@ -1347,7 +1359,11 @@ def stat_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = z.groupBy("pri").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("z").cast("bigint").alias("s"),
-        F.sum(F.col("z") * F.col("z")).cast("bigint").alias("ss"),
+        # squared row-grain deviations wrap BIGINT at 100 TB row counts:
+        # exact DECIMAL accumulation, one cast into the double algebra
+        F.sum(F.col("z").cast("decimal(18,0)") * F.col("z").cast("decimal(18,0)"))
+        .cast("double")
+        .alias("ss"),
     )
     tot = cells.agg(
         F.sum("n").cast("bigint").alias("nn"),

@@ -825,7 +825,11 @@ def stat_negbin_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     mom = u.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("k").cast("bigint").alias("s"),
-        F.sum(F.col("k") * F.col("k")).cast("bigint").alias("ss"),
+        # squared per-user event counts can brush the BIGINT ceiling at
+        # 100 TB (heavy-tailed k): exact DECIMAL accumulation, one cast
+        F.sum(F.col("k").cast("decimal(18,0)") * F.col("k").cast("decimal(18,0)"))
+        .cast("double")
+        .alias("ss"),
     )
     m = F.col("s") * 1.0 / F.col("n")
     v = (F.col("ss") - m * F.col("s")) / (F.col("n") - 1)

@@ -212,7 +212,16 @@ def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         ma.join(mb, "k")
         .crossJoin(F.broadcast(tot))  # 1-row totals dimension
         .groupBy("n")
-        .agg((F.sum(F.col("ca") * F.col("cb")) * 1.0 / (F.first("n") * F.first("n"))).alias("pe"))
+        # marginal products scale like n^2 and wrap BIGINT past ~3e9
+        # items: exact DECIMAL products, double only at the division
+        .agg(
+            (
+                F.sum(
+                    F.col("ca").cast("decimal(18,0)") * F.col("cb").cast("decimal(18,0)")
+                ).cast("double")
+                / (F.first("n").cast("double") * F.first("n"))
+            ).alias("pe")
+        )
         .drop("n")
     )
     return po.crossJoin(F.broadcast(pe)).select(

@@ -344,12 +344,17 @@ def stat_diff_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select((F.col("user_id") % 2).cast("bigint").alias("grp"), "pre", "post")
     )
+    # squared per-user cents wrap BIGINT at scale (1e8-cent users squared,
+    # summed over 1e9 users ~ 1e25): accumulate the squares in exact
+    # DECIMAL (the oracle's HUGEINT) and convert once for the variance
+    dpre = F.col("pre").cast("decimal(18,0)")
+    dpost = F.col("post").cast("decimal(18,0)")
     cells = u.groupBy("grp").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("pre").cast("bigint").alias("sp"),
-        F.sum(F.col("pre") * F.col("pre")).cast("bigint").alias("spp"),
+        F.sum(dpre * dpre).cast("double").alias("spp"),
         F.sum("post").cast("bigint").alias("so"),
-        F.sum(F.col("post") * F.col("post")).cast("bigint").alias("soo"),
+        F.sum(dpost * dpost).cast("double").alias("soo"),
     )
 
     def cell(g, expr):

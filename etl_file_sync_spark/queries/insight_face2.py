@@ -252,7 +252,11 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("df"),
             F.sum("c").cast("bigint").alias("tf"),
-            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss"),
+            # squared per-doc term counts over 1e10+ docs brush the
+            # BIGINT ceiling: exact DECIMAL accumulation, one cast
+            F.sum(F.col("c").cast("decimal(18,0)") * F.col("c").cast("decimal(18,0)"))
+            .cast("double")
+            .alias("ss"),
         )
         .where(F.col("df") >= _MIN_DF)
     )

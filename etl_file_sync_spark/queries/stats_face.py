@@ -134,11 +134,13 @@ def stat_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov D between the even/odd-custkey
-    o_totalprice distributions. ECDF gaps are computed as INTEGER
-    cross-multiplied counts (|cumA*nB - cumB*nA|) so the max and its
-    arg are exact; the single division happens once at the end. The
-    cumulative counts use the bucketed two-phase plan over the distinct
-    values — no single-partition window over data."""
+    o_totalprice distributions. ECDF gaps are computed as EXACT
+    cross-multiplied counts (|cumA*nB - cumB*nA|, accumulated in
+    DECIMAL because the n^2-scale product wraps BIGINT past ~3e9 rows
+    per side) so the max and its arg are exact; the single division
+    happens once at the end. The cumulative counts use the bucketed
+    two-phase plan over the distinct values — no single-partition
+    window over data."""
     s = t(spark, sf_dir, "orders").select(
         F.when(F.col("o_custkey") % 2 == 0, "A").otherwise("B").alias("variant"),
         F.col("o_totalprice").alias("v"),
@@ -151,11 +153,20 @@ def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = g.agg(
         F.sum("ca").cast("bigint").alias("na"), F.sum("cb").cast("bigint").alias("nb")
     )
+    # cumA*nB is an n^2-scale product: BIGINT wraps silently past
+    # ~9.2e18 (n ~ 3e9 rows/side), so the cross-multiply runs in
+    # DECIMAL — exact like the oracle's HUGEINT — and converts to
+    # double only at the terminal division
+    dca = F.col("cum_ca").cast("decimal(18,0)")
+    dcb = F.col("cum_cb").cast("decimal(18,0)")
     dev = cum.crossJoin(F.broadcast(tot)).select(  # 1-row totals dimension
         "v",
         "na",
         "nb",
-        F.abs(F.col("cum_ca") * F.col("nb") - F.col("cum_cb") * F.col("na")).alias("dint"),
+        F.abs(
+            dca * F.col("nb").cast("decimal(18,0)")
+            - dcb * F.col("na").cast("decimal(18,0)")
+        ).alias("dint"),
     )
     # max gap, smallest value attaining it: one struct-max aggregation
     best = dev.agg(
@@ -166,7 +177,11 @@ def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.select(
         "n_a",
         "n_b",
-        F.round(F.col("s.dint") / (F.col("n_a") * F.col("n_b")), 6).alias("ks_d"),
+        F.round(
+            F.col("s.dint").cast("double")
+            / (F.col("n_a").cast("double") * F.col("n_b")),
+            6,
+        ).alias("ks_d"),
         (-F.col("s.nv")).alias("at_value"),
     )
 
@@ -767,8 +782,9 @@ def stat_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     one exp ulp under round-6 — the repo's accepted posture). The BH
     step-up is a reverse cumulative min window over the p-ranked cells:
     the hypothesis frame is aggregate-sized (cells, not rows), so the
-    unpartitioned window is bounded regardless of corpus scale. sum(c*c)
-    stays in bigint up to ~sf10; beyond that cast the square to DECIMAL."""
+    unpartitioned window is bounded regardless of corpus scale; the
+    squared-cents sum accumulates in exact DECIMAL so it cannot wrap
+    BIGINT at any corpus size."""
     from pyspark.sql import Window as W
 
     e = t(spark, sf_dir, "events")
@@ -781,7 +797,13 @@ def stat_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_g"), F.sum("c").alias("s_g")
     )
     tot = cents.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("c").alias("s"), F.sum(F.col("c") * F.col("c")).alias("ss")
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        # squared row-grain cents wrap BIGINT at 100 TB row counts:
+        # exact DECIMAL accumulation, one cast into the double algebra
+        F.sum(F.col("c").cast("decimal(18,0)") * F.col("c").cast("decimal(18,0)"))
+        .cast("double")
+        .alias("ss"),
     )
     z = g.crossJoin(F.broadcast(tot)).select(
         "event_type", "hr", "n_g",
@@ -1064,7 +1086,10 @@ def stat_holm_stepdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = cents.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("c").alias("s"),
-        F.sum(F.col("c") * F.col("c")).alias("ss"),
+        # DECIMAL squares, as in stat_bh_fdr: BIGINT wraps at 100 TB
+        F.sum(F.col("c").cast("decimal(18,0)") * F.col("c").cast("decimal(18,0)"))
+        .cast("double")
+        .alias("ss"),
     )
     z = g.crossJoin(F.broadcast(tot)).select(  # 1-row totals dimension
         "event_type",

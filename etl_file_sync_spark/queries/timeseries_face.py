@@ -294,7 +294,16 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = (
         daily.crossJoin(F.broadcast(tot))  # 1-row totals dimension
         .withColumn("k", F.row_number().over(W.orderBy("day")))
-        .withColumn("d", F.sum(F.col("cents") * F.col("n")).over(w) - F.col("k") * F.col("total"))
+        # n*S_k - k*total scales like days * corpus-revenue: at 100 TB
+        # daily revenue the BIGINT spelling sits within ~4x of wrapping,
+        # so the cross-multiply accumulates in exact DECIMAL instead
+        .withColumn(
+            "d",
+            F.sum(
+                F.col("cents").cast("decimal(18,0)") * F.col("n").cast("decimal(18,0)")
+            ).over(w)
+            - F.col("k").cast("decimal(18,0)") * F.col("total").cast("decimal(18,0)"),
+        )
     )
     peak = dev.agg(
         F.max(F.struct(F.abs(F.col("d")).alias("ad"), (-F.unix_date(F.col("day"))).alias("nd"))).alias("s"),
