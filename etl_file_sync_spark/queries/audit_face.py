@@ -126,7 +126,7 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS total FROM r),
     agg AS (
-      SELECT CAST(sum(rn * cents) AS BIGINT) AS weighted,
+      SELECT CAST(sum(CAST(rn AS HUGEINT) * cents) AS DOUBLE) AS weighted,
              CAST(sum(CASE WHEN rn > 0.9 * (SELECT n FROM tot) THEN cents ELSE 0 END) AS BIGINT)
                AS top_decile
       FROM r

@@ -1110,8 +1110,10 @@ _SPLIT_CASES_SQL = """
     par AS (
       SELECT 1 - (post * 1.0 / nt) * (post * 1.0 / nt)
                - (1 - post * 1.0 / nt) * (1 - post * 1.0 / nt) AS g0,
-             -(post * 1.0 / nt) * ln(post * 1.0 / nt)
-               - (1 - post * 1.0 / nt) * ln(1 - post * 1.0 / nt) AS e0
+             CASE WHEN post = 0 OR post = nt THEN 0.0
+                  ELSE -(post * 1.0 / nt) * ln(post * 1.0 / nt)
+                       - (1 - post * 1.0 / nt) * ln(1 - post * 1.0 / nt)
+             END AS e0
       FROM parent
     )
     SELECT c.feature, c.n_values,
@@ -1190,7 +1192,15 @@ def ml_split_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     p0 = F.col("post") * 1.0 / F.col("nt")
     par = parent.select(
         (1 - p0 * p0 - (1 - p0) * (1 - p0)).alias("g0"),
-        (-p0 * F.log(p0) - (1 - p0) * F.log(1 - p0)).alias("e0"),
+        # a PURE parent has entropy exactly 0 — same guard as the
+        # children; unguarded, log(0) leaked NULL here (and aborted the
+        # DuckDB oracle), caught by the magnitude-stress sweep where the
+        # scaled prices make the label all-one
+        F.when(
+            (F.col("post") == 0) | (F.col("post") == F.col("nt")), F.lit(0.0)
+        )
+        .otherwise(-p0 * F.log(p0) - (1 - p0) * F.log(1 - p0))
+        .alias("e0"),
     )
     return (
         child.crossJoin(F.broadcast(par))  # 1-row parent-impurity dimension

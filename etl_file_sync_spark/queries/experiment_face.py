@@ -1081,8 +1081,10 @@ def stat_propensity_stratified_att(spark: SparkSession, sf_dir: str) -> DataFram
              CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
              CAST(sum(CASE WHEN grp = 0 THEN cents ELSE 0 END) AS BIGINT) AS s0,
              CAST(sum(CASE WHEN grp = 1 THEN cents ELSE 0 END) AS BIGINT) AS s1,
-             CAST(sum(CASE WHEN grp = 0 THEN cents * cents ELSE 0 END) AS BIGINT) AS q0,
-             CAST(sum(CASE WHEN grp = 1 THEN cents * cents ELSE 0 END) AS BIGINT) AS q1
+             CAST(sum(CASE WHEN grp = 0 THEN CAST(cents AS HUGEINT) * cents
+                           ELSE 0 END) AS DOUBLE) AS q0,
+             CAST(sum(CASE WHEN grp = 1 THEN CAST(cents AS HUGEINT) * cents
+                           ELSE 0 END) AS DOUBLE) AS q1
       FROM u
     ),
     c AS (
@@ -1305,7 +1307,8 @@ def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cells AS (
       SELECT pri, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(z) AS BIGINT) AS s, CAST(sum(z * z) AS BIGINT) AS ss
+             CAST(sum(z) AS BIGINT) AS s,
+             CAST(sum(CAST(z AS HUGEINT) * z) AS DOUBLE) AS ss
       FROM z GROUP BY pri
     ),
     tot AS (

@@ -788,7 +788,7 @@ def stat_mcnemar_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     mom AS (
       SELECT CAST(count(*) AS BIGINT) AS n,
              CAST(sum(k) AS BIGINT) AS s,
-             CAST(sum(k * k) AS BIGINT) AS ss
+             CAST(sum(CAST(k AS HUGEINT) * k) AS DOUBLE) AS ss
       FROM u
     ),
     mv AS (

@@ -149,7 +149,8 @@ def stat_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM conf, tot GROUP BY n
     ),
     pe AS (
-      SELECT sum(ca * cb) * 1.0 / (n * n) AS pe
+      SELECT CAST(sum(CAST(ca AS HUGEINT) * cb) AS DOUBLE)
+               / (CAST(n AS DOUBLE) * n) AS pe
       FROM marg, tot GROUP BY n
     )
     SELECT n AS n_items,

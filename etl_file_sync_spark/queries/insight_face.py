@@ -291,8 +291,10 @@ def eval_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cells AS (
       SELECT grp, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(pre) AS BIGINT) AS sp, CAST(sum(pre * pre) AS BIGINT) AS spp,
-             CAST(sum(post) AS BIGINT) AS so, CAST(sum(post * post) AS BIGINT) AS soo
+             CAST(sum(pre) AS BIGINT) AS sp,
+             CAST(sum(CAST(pre AS HUGEINT) * pre) AS DOUBLE) AS spp,
+             CAST(sum(post) AS BIGINT) AS so,
+             CAST(sum(CAST(post AS HUGEINT) * post) AS DOUBLE) AS soo
       FROM u GROUP BY grp
     ),
     w AS (

@@ -213,7 +213,7 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     per AS (
       SELECT term, CAST(count(*) AS BIGINT) AS df,
              CAST(sum(c) AS BIGINT) AS tf,
-             CAST(sum(c * c) AS BIGINT) AS ss
+             CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE) AS ss
       FROM dt GROUP BY term HAVING count(*) >= {_MIN_DF}
     )
     SELECT term, df, tf,

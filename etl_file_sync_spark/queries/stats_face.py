@@ -119,12 +119,14 @@ def stat_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM g),
     dev AS (
-      SELECT v, abs(cum_a * (SELECT nb FROM tot) - cum_b * (SELECT na FROM tot)) AS dint
+      SELECT v, abs(CAST(cum_a AS HUGEINT) * (SELECT nb FROM tot)
+                    - CAST(cum_b AS HUGEINT) * (SELECT na FROM tot)) AS dint
       FROM cum
     ),
     m AS (SELECT max(dint) AS md FROM dev)
     SELECT (SELECT na FROM tot) AS n_a, (SELECT nb FROM tot) AS n_b,
-           round(md * 1.0 / ((SELECT na FROM tot) * (SELECT nb FROM tot)), 6) AS ks_d,
+           round(CAST(md AS DOUBLE)
+                 / (CAST((SELECT na FROM tot) AS DOUBLE) * (SELECT nb FROM tot)), 6) AS ks_d,
            (SELECT min(v) FROM dev WHERE dint = m.md) AS at_value
     FROM m
     """,
@@ -739,7 +741,9 @@ def stat_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cents GROUP BY 1, 2
     ),
     tot AS (
-      SELECT count(*) AS n, sum(c) AS s, sum(c * c) AS ss FROM cents
+      SELECT count(*) AS n, sum(c) AS s,
+             CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE) AS ss
+      FROM cents
     ),
     z AS (
       SELECT event_type, hr, n_g,
@@ -1032,7 +1036,9 @@ def stat_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cents GROUP BY 1, 2
     ),
     tot AS (
-      SELECT count(*) AS n, sum(c) AS s, sum(c * c) AS ss FROM cents
+      SELECT count(*) AS n, sum(c) AS s,
+             CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE) AS ss
+      FROM cents
     ),
     z AS (
       SELECT event_type, hr, n_g,

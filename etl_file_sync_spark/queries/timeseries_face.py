@@ -259,8 +259,9 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS total FROM daily),
     dev AS (
       SELECT day,
-             sum(cents * (SELECT n FROM tot)) OVER (ORDER BY day)
-               - row_number() OVER (ORDER BY day) * (SELECT total FROM tot) AS d
+             sum(CAST(cents AS HUGEINT) * (SELECT n FROM tot)) OVER (ORDER BY day)
+               - CAST(row_number() OVER (ORDER BY day) AS HUGEINT)
+                 * (SELECT total FROM tot) AS d
       FROM daily
     ),
     m AS (SELECT max(abs(d)) AS md FROM dev)
