@@ -562,9 +562,11 @@ def embed_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, n, s,
            round(s * 1.0 / n, 6) AS p_hat,
-           round((s + 1.9208 - 1.96 * sqrt((s * (n - s)) * 1.0 / n + 0.9604))
+           round((s + 1.9208 - 1.96 * sqrt(
+                    CAST(CAST(s AS HUGEINT) * (n - s) AS DOUBLE) / n + 0.9604))
                  / (n + 3.8416), 6) AS wilson_lo,
-           round((s + 1.9208 + 1.96 * sqrt((s * (n - s)) * 1.0 / n + 0.9604))
+           round((s + 1.9208 + 1.96 * sqrt(
+                    CAST(CAST(s AS HUGEINT) * (n - s) AS DOUBLE) / n + 0.9604))
                  / (n + 3.8416), 6) AS wilson_hi
     FROM g ORDER BY event_type
     """,
@@ -575,8 +577,8 @@ def stat_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wilson score 95% confidence interval for the per-event-type
     proportion of high-value events (value > 100). Bit-exact across
     engines with NO accepted risk: s and n are exact integers,
-    s*(n-s) is exact BIGINT (safe to n ~ 6e9 trials per group; beyond
-    that promote to double), the z constants (1.96, z²=3.8416,
+    s*(n-s) is an exact DECIMAL/HUGEINT product (BIGINT wraps past
+    ~6e9 trials per group — real at 100 TB), the z constants (1.96, z²=3.8416,
     z²/2=1.9208, z²/4=0.9604) are identical decimal literals, and
     every remaining op — one division, sqrt (IEEE correctly-rounded),
     add, divide — is exact-rounded with an identical expression tree
@@ -585,7 +587,16 @@ def stat_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.when(F.col("value") > 100, 1).otherwise(0)).cast("bigint").alias("s"),
     )
-    rad = F.sqrt((F.col("s") * (F.col("n") - F.col("s"))) * F.lit(1.0) / F.col("n") + F.lit(0.9604))
+    # s*(n-s) wraps BIGINT past ~6e9 trials per group — real at 100 TB
+    # event counts: exact DECIMAL product, one double conversion
+    rad = F.sqrt(
+        (
+            F.col("s").cast("decimal(18,0)")
+            * (F.col("n") - F.col("s")).cast("decimal(18,0)")
+        ).cast("double")
+        / F.col("n")
+        + F.lit(0.9604)
+    )
     den = F.col("n") + F.lit(3.8416)
     return g.select(
         "event_type",

@@ -338,7 +338,9 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(dow AS BIGINT) AS dow, n_days, sum_cents,
            round(sum_cents * 1.0 / n_days, 2) AS mean_cents,
-           round(sum_cents * total_days * 1.0 / (n_days * total_cents), 6) AS seasonal_index
+           round(CAST(CAST(sum_cents AS HUGEINT) * total_days AS DOUBLE)
+                 / CAST(CAST(n_days AS HUGEINT) * total_cents AS DOUBLE), 6)
+             AS seasonal_index
     FROM dow, tot ORDER BY dow
     """,
     "timeseries",
@@ -351,9 +353,10 @@ def ts_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     day → dow) plus a 1-row broadcast totals dimension. The index is
     exact-integer cross-multiplication with ONE division before the
     round — sum_cents·total_days / (n_days·total_cents) — so both
-    engines divide bit-identical integers (products stay inside bigint
-    up to ~sf1; use DECIMAL(38) beyond). dow is 0=Sunday in both
-    spellings (DuckDB dayofweek; Spark dayofweek−1)."""
+    engines divide bit-identical integers; the cross-products run in
+    exact DECIMAL/HUGEINT because they wrap BIGINT at 100 TB revenue.
+    dow is 0=Sunday in both spellings (DuckDB dayofweek; Spark
+    dayofweek−1)."""
     o = t(spark, sf_dir, "orders")
     daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("bigint").alias("cents")
@@ -371,9 +374,18 @@ def ts_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "dow", "n_days", "sum_cents",
             F.round(F.col("sum_cents") * 1.0 / F.col("n_days"), 2).alias("mean_cents"),
+            # sum_cents*total_days ~ corpus-cents x calendar-days wraps
+            # BIGINT at 100 TB revenue: exact DECIMAL cross-multiply,
+            # one double conversion per side of the single division
             F.round(
-                F.col("sum_cents") * F.col("total_days") * 1.0
-                / (F.col("n_days") * F.col("total_cents")),
+                (
+                    F.col("sum_cents").cast("decimal(18,0)")
+                    * F.col("total_days").cast("decimal(18,0)")
+                ).cast("double")
+                / (
+                    F.col("n_days").cast("decimal(18,0)")
+                    * F.col("total_cents").cast("decimal(18,0)")
+                ).cast("double"),
                 6,
             ).alias("seasonal_index"),
         )
