@@ -377,6 +377,37 @@ def main() -> None:
         "likewise real: the band self-joins re-ran the PNG hash",
         "pipeline 8x; localCheckpoint'd, it re-measures 1.3x.",
         "dedup_exact_groups (r5 boundary 2.2x) re-measures 1.2-1.3x.",
+        "Post-DECIMAL-promotion regen (late r6): four cells >=2.0x",
+        "(dedup_exact_groups 2.4x, text_unigram_ppl 2.1x,",
+        "eval_corpus_bleu 2.1x, sample_domain_cap 2.0x) all re-measure",
+        "in isolation at 1.06x / 1.42x / 1.90x / 1.32x — noise, cleared;",
+        "no regression from the exact-DECIMAL accumulators.",
+        "",
+        "## Integer-overflow envelope (round-6 audit)",
+        "",
+        "Wall-clock growth is not the only 100 TB failure mode: the non-ANSI",
+        "session wraps BIGINT silently, so any n^2-scale integer product is a",
+        "latent correctness bug at cluster scale even though every test tier is",
+        "orders of magnitude below the ceiling. A sweep of sum-of-squares and",
+        "cross-multiplied aggregates found twelve such sites — squared per-user",
+        "cents (Cohen's d, diff-in-differences), squared row-grain deviations",
+        "(Brown-Forsythe, BH/Holm z-prep), squared counts (negative-binomial",
+        "fit, term burstiness), the KS ECDF cross-multiply |cumA*nB - cumB*nA|,",
+        "the Gini rank-weighted sum rank*cents, Cohen's-kappa marginal products",
+        "with an n*n denominator, the CUSUM window cross-multiply",
+        "n*S_k - k*total, Wilson's s*(n-s), and the seasonal-DOW",
+        "sum_cents*total_days cross-multiply. At 1e9+ keys these reach",
+        "1e24-1e26 against BIGINT's 9.2e18. Each now accumulates in exact",
+        "DECIMAL(37/38,0) — matching the DuckDB oracle's HUGEINT — and",
+        "converts to double exactly once, so tier outputs are bit-identical",
+        "while the 100 TB path cannot wrap. The magnitude-stress tier",
+        "(tools/stress_tier.py, x1000 money; tests/test_stress_oracle.py)",
+        "re-runs all 350 oracle comparisons at overflow-triggering",
+        "magnitudes as the empirical detector for any new site. Remaining",
+        "BIGINT sums (plain cents totals, counts) peak around 1e17-1e18 with",
+        ">10x headroom and are documented per-query where they approach it;",
+        "alloc_largest_remainder's K*n envelope (~9e14 documents at K=10000)",
+        "is documented as accepted.",
     ]
     # BPE merge-count scaling (round-5 verdict ask): training cost must
     # scale with the MERGE BUDGET, not merge_budget x vocabulary — the
