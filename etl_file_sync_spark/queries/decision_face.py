@@ -46,9 +46,11 @@ _SEATS = 10_000  # sampling budget allocated across sources
     tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t FROM c),
     q AS (
       SELECT source, n_docs,
-             CAST(({_SEATS} * n_docs) // (SELECT t FROM tot) AS BIGINT) AS base_seats,
-             CAST({_SEATS} * n_docs
-                  - (({_SEATS} * n_docs) // (SELECT t FROM tot)) * (SELECT t FROM tot)
+             CAST((CAST({_SEATS} AS HUGEINT) * n_docs) // (SELECT t FROM tot)
+               AS BIGINT) AS base_seats,
+             CAST(CAST({_SEATS} AS HUGEINT) * n_docs
+                  - ((CAST({_SEATS} AS HUGEINT) * n_docs) // (SELECT t FROM tot))
+                    * (SELECT t FROM tot)
                AS BIGINT) AS remainder
       FROM c
     ),
@@ -69,26 +71,33 @@ _SEATS = 10_000  # sampling budget allocated across sources
 def alloc_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Largest-remainder (Hamilton) apportionment of a 10k-document
     sampling budget across sources, proportional to corpus counts.
-    Base seats are the floored integer quota ((K*n) div T — exact
-    BIGINT, no doubles anywhere), the K - sum(base) leftover seats go
-    to the largest remainders (source ascending breaks ties). The only
+    Base seats are the floored integer quota ((K*n) div T — exact, no
+    doubles anywhere), the K - sum(base) leftover seats go to the
+    largest remainders (source ascending breaks ties). The only
     windows run on the per-source frame — enum-bounded (<= 10 rows at
     ANY corpus scale), so the plan is one groupBy plus driver-trivial
-    arithmetic; K*n fits BIGINT to n ~ 9e14 docs."""
+    arithmetic. The K*n product accumulates in exact DECIMAL(38,0)
+    (HUGEINT oracle-side) — BIGINT would wrap at n ~ 9e14 docs, inside
+    a 100 TB corpus's reach — and the quotient/remainder (each < K or
+    < T) convert back to BIGINT."""
     c = (
         t(spark, sf_dir, "documents")
         .groupBy("source")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
     tot = c.agg(F.sum("n_docs").cast("bigint").alias("t"))
+    # K*n in exact DECIMAL(38,0): at 100 TB a source can hold ~1e15+
+    # docs, so the BIGINT product wraps silently in the non-ANSI
+    # session; `div` on decimal operands returns the exact LONG
+    # quotient (< K), and the remainder (< T) re-enters BIGINT.
+    kn = f"CAST({_SEATS} AS DECIMAL(38,0)) * n_docs"
     q = c.crossJoin(F.broadcast(tot)).select(  # 1-row totals dimension
         "source",
         "n_docs",
-        F.expr(f"({_SEATS} * n_docs) div t").cast("bigint").alias("base_seats"),
-        (
-            F.lit(_SEATS) * F.col("n_docs")
-            - F.expr(f"({_SEATS} * n_docs) div t") * F.col("t")
-        ).cast("bigint").alias("remainder"),
+        F.expr(f"({kn}) div t").cast("bigint").alias("base_seats"),
+        F.expr(
+            f"CAST(({kn}) - (({kn}) div t) * CAST(t AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("remainder"),
     )
     lo = q.agg((F.lit(_SEATS) - F.sum("base_seats")).cast("bigint").alias("leftover"))
     # window over the enum-bounded source frame (<= 10 rows) — not data

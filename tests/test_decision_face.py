@@ -267,3 +267,39 @@ def test_period_growth_hand_case(spark, toy_dir):
     assert rows["1996-02"].yoy_pct == pytest.approx(10.0)
     assert rows["1996-02"].mom_pct is None
     assert rows["1995-02"].rev_cents == 11000
+
+
+def test_largest_remainder_100tb_envelope(spark):
+    """The K*n quota product at 100 TB corpus counts: n_docs ~ 4e15 per
+    source pushes 10000*n to ~4e19, past BIGINT's 9.2e18 — the non-ANSI
+    session would wrap it silently. The query's DECIMAL(38,0) spelling
+    (queries/decision_face.py kn) must match Python's arbitrary-precision
+    integers exactly; the old BIGINT spelling provably diverges on the
+    same frame, so this test is load-bearing."""
+    counts = [4_100_000_000_000_000, 3_300_000_000_000_007, 1_900_000_000_000_003]
+    t = sum(counts)
+    k = 10_000
+    df = spark.createDataFrame(
+        [(f"src{i}", n, t) for i, n in enumerate(counts)],
+        "source string, n_docs bigint, t bigint",
+    )
+    kn = "CAST(10000 AS DECIMAL(38,0)) * n_docs"
+    got = {
+        r.source: r
+        for r in df.selectExpr(
+            "source",
+            f"CAST(({kn}) div t AS BIGINT) AS base_seats",
+            f"CAST(({kn}) - (({kn}) div t) * CAST(t AS DECIMAL(38,0)) AS BIGINT)"
+            " AS remainder",
+            "CAST((10000 * n_docs) div t AS BIGINT) AS wrapped_base",
+        ).collect()
+    }
+    wrapped_diverged = False
+    for i, n in enumerate(counts):
+        r = got[f"src{i}"]
+        assert r.base_seats == (k * n) // t, r
+        assert r.remainder == k * n - ((k * n) // t) * t, r
+        wrapped_diverged |= r.wrapped_base != r.base_seats
+    assert wrapped_diverged, "BIGINT no longer wraps here — test is stale"
+    # floored quotas still sum within K of the budget (leftover < #sources)
+    assert 0 <= k - sum(r.base_seats for r in got.values()) < len(counts)

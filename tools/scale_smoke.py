@@ -406,8 +406,11 @@ def main() -> None:
         "magnitudes as the empirical detector for any new site. Remaining",
         "BIGINT sums (plain cents totals, counts) peak around 1e17-1e18 with",
         ">10x headroom and are documented per-query where they approach it;",
-        "alloc_largest_remainder's K*n envelope (~9e14 documents at K=10000)",
-        "is documented as accepted.",
+        "alloc_largest_remainder's K*n quota product (the last documented",
+        "envelope, wrapping at ~9e14 documents) was promoted late in r6 and",
+        "is pinned exact at n~4e15 where the BIGINT spelling provably wraps",
+        "(tests/test_decision_face.py envelope test) — zero known",
+        "envelopes remain.",
     ]
     # BPE merge-count scaling (round-5 verdict ask): training cost must
     # scale with the MERGE BUDGET, not merge_budget x vocabulary — the
