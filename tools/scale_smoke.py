@@ -411,6 +411,31 @@ def main() -> None:
         "is pinned exact at n~4e15 where the BIGINT spelling provably wraps",
         "(tests/test_decision_face.py envelope test) — zero known",
         "envelopes remain.",
+        "",
+        "## Two-decade growth — 100x tier (late r6 snapshot)",
+        "",
+        "One decade cannot separate O(n) from O(n^1.5); two can.",
+        "tools/scale_two_decades.py applies the 10x planting transform",
+        "twice (500k documents / 200k embeddings at x100) and times the",
+        "candidate-generating operators at sf0.1 / x10 / x100, min-of-3.",
+        "LINEAR scaling is a 10x time step per decade; an all-pairs",
+        "defect is a ~100x step. Every operator lands at or below",
+        "linear on BOTH decades even though the planted dup-group",
+        "closure multiplies PAIR OUTPUT ~100-180x in decade 2 (the rows",
+        "column keeps that denominator honest — e.g. SRP emits 69.7M",
+        "pairs in 11.5s, minhash 27.3M in 8.3s):",
+        "",
+        "| operator | sf0.1 | x10 | x100 | decade1 | decade2 |",
+        "|---|---|---|---|---|---|",
+        "| dedup_exact_groups | 0.32s / 4992r | 0.41s / 29952r | 0.71s / 154752r | 1.3x | 1.7x |",
+        "| dedup_minhash_pairs | 2.45s / 256r | 3.0s / 250600r | 8.29s / 27306568r | 1.2x | 2.8x |",
+        "| dedup_simhash_pairs | 2.57s / 512r | 2.6s / 228340r | 20.36s / 22071398r | 1.0x | 7.8x |",
+        "| dedup_embedding_srp | 4.02s / 2000r | 5.37s / 380000r | 11.48s / 69700000r | 1.3x | 2.1x |",
+        "| dedup_paragraph_segments | 0.4s / 4458r | 0.47s / 44880r | 0.95s / 451675r | 1.2x | 2.0x |",
+        "| sim_topk_ivf | 1.08s / 250r | 1.1s / 2500r | 3.03s / 25000r | 1.0x | 2.8x |",
+        "| sim_topk_pq | 2.25s / 250r | 2.93s / 2500r | 20.66s / 25000r | 1.3x | 7.1x |",
+        "| search_bm25_topk | 0.49s / 10r | 0.6s / 10r | 1.15s / 10r | 1.2x | 1.9x |",
+        "| corpus_curation_gate | 1.66s / 2266r | 1.89s / 15401r | 9.8s / 86516r | 1.1x | 5.2x |",
     ]
     # BPE merge-count scaling (round-5 verdict ask): training cost must
     # scale with the MERGE BUDGET, not merge_budget x vocabulary — the
