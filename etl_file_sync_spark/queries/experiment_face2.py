@@ -406,16 +406,19 @@ def stat_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pairs p, m GROUP BY p.lag, m.denom
     ),
     q AS (
-      SELECT m.n, sum(ac.rk * ac.rk / (m.n - ac.lag)) AS srk
+      SELECT m.n, sum(ac.rk * ac.rk / (m.n - ac.lag)) AS srk,
+             count(*) AS n_lags
       FROM ac, m GROUP BY m.n
     )
     SELECT CAST(n AS BIGINT) AS n_days,
-           CAST(6 AS BIGINT) AS n_lags,
+           CAST(n_lags AS BIGINT) AS n_lags,
            round(n * (n + 2.0) * srk, 6) AS q_stat,
-           round(exp(-(n * (n + 2.0) * srk) / 2)
-                 * (1 + (n * (n + 2.0) * srk) / 2
-                      + (n * (n + 2.0) * srk) * (n * (n + 2.0) * srk) / 8),
-                 6) AS p_value
+           CASE WHEN n_lags = 6 THEN
+             round(exp(-(n * (n + 2.0) * srk) / 2)
+                   * (1 + (n * (n + 2.0) * srk) / 2
+                        + (n * (n + 2.0) * srk) * (n * (n + 2.0) * srk) / 8),
+                   6)
+           END AS p_value
     FROM q
     """,
     "timeseries",
@@ -429,7 +432,11 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     denominator — unlike ts_autocorrelation's per-lag Pearson), and the
     df=6 chi-square p-value in closed form
     exp(-Q/2)*(1 + Q/2 + (Q/2)^2/2) — even df needs no erf, so the
-    oracle computes the identical expression. The raw table reduces to
+    oracle computes the identical expression. n_lags reports the lags
+    that actually contributed pairs, and the df=6 tail is NULL-gated
+    on n_lags = 6 (a <=6-day series sums a shorter Q; pricing it
+    against df=6 would overstate p) — same convention as
+    stat_bowker_symmetry's pair gate. The raw table reduces to
     the calendar-bounded daily frame before any window or lag join
     runs; revenue is integer cents so mu and the centered products are
     the same doubles in both engines (bounded fold under round(6))."""
@@ -475,14 +482,21 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lag", "n", (F.col("num") / F.col("denom")).alias("rk"))
     )
     q = ac.groupBy("n").agg(
-        F.sum(F.col("rk") * F.col("rk") / (F.col("n") - F.col("lag"))).alias("srk")
+        F.sum(F.col("rk") * F.col("rk") / (F.col("n") - F.col("lag"))).alias("srk"),
+        F.count(F.lit(1)).alias("n_lags"),
     )
     qs = F.col("n") * (F.col("n") + 2.0) * F.col("srk")
     return q.select(
         F.col("n").cast("bigint").alias("n_days"),
-        F.lit(6).cast("bigint").alias("n_lags"),
+        F.col("n_lags").cast("bigint").alias("n_lags"),
         F.round(qs, 6).alias("q_stat"),
-        F.round(F.exp(-qs / 2) * (1 + qs / 2 + qs * qs / 8), 6).alias("p_value"),
+        # the df=6 even-df closed form prices the tail only when all 6
+        # lags contribute; a <=6-day series produces fewer pairs, and
+        # pricing its shorter Q sum against df=6 would overstate p
+        F.when(
+            F.col("n_lags") == 6,
+            F.round(F.exp(-qs / 2) * (1 + qs / 2 + qs * qs / 8), 6),
+        ).alias("p_value"),
     )
 
 

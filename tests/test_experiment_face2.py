@@ -8,6 +8,7 @@ mistranslated identically into both engines still fails here."""
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import pandas as pd
@@ -138,6 +139,39 @@ def test_ljung_box_matches_numpy(spark, sf_dir):
     assert got["n_lags"] == 6
     assert got["q_stat"] == pytest.approx(q, rel=1e-6)
     assert got["p_value"] == pytest.approx(p, abs=1e-6)
+
+
+def test_ljung_box_short_series_gates_df6_tail(spark, tmp_path):
+    """A 4-day series produces pairs only at lags 1-3: n_lags must
+    report 3 (not the nominal 6) and the df=6 closed-form tail must be
+    NULL — pricing a 3-term Q against df=6 would overstate p. Same
+    convention as stat_bowker_symmetry's n_pairs gate; q_stat itself
+    is still the (shorter) Ljung-Box sum, checked against the direct
+    numpy fold."""
+    d = str(tmp_path)
+    vals = [100.0, 107.0, 110.0, 121.0]
+    spark.createDataFrame(
+        [
+            (i, 1, "O", vals[i], f"1995-01-0{i + 1}", "1-URGENT")
+            for i in range(4)
+        ],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "CAST(o_orderdate AS TIMESTAMP) AS o_orderdate", "o_orderpriority",
+    ).coalesce(1).write.parquet(os.path.join(d, "orders.parquet"))
+    got = REGISTRY["ts_ljung_box"].build(spark, d).collect()[0]
+    daily = np.array([v * 100 for v in vals])
+    dd = daily - daily.mean()
+    denom = (dd * dd).sum()
+    srk = sum(
+        ((dd[k:] * dd[:-k]).sum() / denom) ** 2 / (4 - k) for k in (1, 2, 3)
+    )
+    assert got["n_days"] == 4
+    assert got["n_lags"] == 3
+    assert got["q_stat"] == pytest.approx(4 * 6 * srk, rel=1e-6)
+    assert got["p_value"] is None
 
 
 def test_hhi_matches_pandas(spark, sf_dir):
