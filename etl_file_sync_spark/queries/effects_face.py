@@ -1218,7 +1218,9 @@ def stat_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT k AS n_groups, nt AS n_rows, at AS n_at_or_below,
            round(x2, 4) AS chi2_stat,
-           round(exp(-round(x2, 4) / 2) * (1 + round(x2, 4) / 2), 6) AS p_value
+           CASE WHEN k = 5 THEN
+             round(exp(-round(x2, 4) / 2) * (1 + round(x2, 4) / 2), 6)
+           END AS p_value
     FROM fold
     """,
     "stats",
@@ -1232,7 +1234,9 @@ def stat_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     each group's at-or-below count folds into the k x 2 chi-square
     X^2 = sum (a_j - n_j p)^2 / (n_j p (1-p)) with p the pooled
     at-or-below rate, and the df=4 even-df closed form prices the tail
-    (on the 4-decimal-rounded statistic) — the medians-only sibling of
+    (on the 4-decimal-rounded statistic), NULL-gated on n_groups = 5 —
+    a tier missing a priority folds k<5 groups where df = k-1 != 4
+    (Bowker/Ljung-Box convention) — the medians-only sibling of
     stat_kruskal_wallis for when ranks themselves are suspect. The
     distinct-value cumsum rides the bucketed two-phase plan."""
     from etl_file_sync_spark.operators.pvalues import chi2_sf_df4
@@ -1281,7 +1285,10 @@ def stat_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nt").alias("n_rows"),
         F.col("at").alias("n_at_or_below"),
         x2r.alias("chi2_stat"),
-        F.round(chi2_sf_df4(x2r), 6).alias("p_value"),
+        # the df=4 closed form prices a 5-group fold; a tier missing a
+        # priority yields k<5 groups and df=k-1 != 4, so p is NULL-gated
+        # on the observed group count (Bowker/Ljung-Box convention)
+        F.when(F.col("k") == 5, F.round(chi2_sf_df4(x2r), 6)).alias("p_value"),
     )
 
 
@@ -1307,11 +1314,15 @@ def stat_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     g AS (
       SELECT CAST(max(n) AS BIGINT) AS n,
+             CAST(count(DISTINCT region) AS BIGINT) AS n_regions,
+             CAST(count(DISTINCT arm) AS BIGINT) AS n_arms,
              round(2 * sum(o * ln(o / (row_t * 1.0 * col_t / n))), 4) AS g_stat
       FROM m
     )
-    SELECT n AS n_orders, g_stat,
-           round(exp(-g_stat / 2) * (1 + g_stat / 2), 6) AS p_value
+    SELECT n AS n_orders, n_regions, n_arms, g_stat,
+           CASE WHEN n_regions = 5 AND n_arms = 2 THEN
+             round(exp(-g_stat / 2) * (1 + g_stat / 2), 6)
+           END AS p_value
     FROM g
     """,
     "stats",
@@ -1324,9 +1335,12 @@ def stat_g_test_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the information-theoretic twin of stat_chi_square_independence
     (G is additive across partitions of the table, chi-square is not).
     df = (5-1)(2-1) = 4, even, so the tail is the closed form
-    exp(-G/2)(1+G/2) on the 4-decimal-rounded statistic. Cell counts
-    and margins are exact integers folded over the enum-bounded
-    contingency frame."""
+    exp(-G/2)(1+G/2) on the 4-decimal-rounded statistic — NULL-gated
+    on the observed margins (n_regions = 5, n_arms = 2): a tier whose
+    order/customer slice misses a whole region shrinks the table to
+    r x c with df = (r-1)(c-1) != 4 (Bowker/Ljung-Box convention).
+    Cell counts and margins are exact integers folded over the
+    enum-bounded contingency frame."""
     o = t(spark, sf_dir, "orders")
     x = (
         o.join(t(spark, sf_dir, "customer"), o.o_custkey == F.col("c_custkey"))
@@ -1358,6 +1372,8 @@ def stat_g_test_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = m.agg(
         F.max("n").cast("bigint").alias("n"),
+        F.countDistinct("region").cast("bigint").alias("n_regions"),
+        F.countDistinct("arm").cast("bigint").alias("n_arms"),
         F.round(
             2
             * F.sum(
@@ -1373,8 +1389,15 @@ def stat_g_test_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return g.select(
         F.col("n").alias("n_orders"),
+        "n_regions",
+        "n_arms",
         "g_stat",
-        F.round(chi2_sf_df4(F.col("g_stat")), 6).alias("p_value"),
+        # df=4 prices the full 5x2 table; a missing margin shrinks df,
+        # so p is NULL-gated on the observed dimensions
+        F.when(
+            (F.col("n_regions") == 5) & (F.col("n_arms") == 2),
+            F.round(chi2_sf_df4(F.col("g_stat")), 6),
+        ).alias("p_value"),
     )
 
 

@@ -174,3 +174,70 @@ def test_dunn_posthoc_matches_numpy(spark, sf_dir):
         assert r["p_value"] == pytest.approx(p_ref, abs=5e-6)
         assert r["p_bonferroni"] == pytest.approx(min(1.0, p_ref * 10), abs=5e-5)
         assert r["grp_a"] < r["grp_b"]
+
+
+def _write_orders(spark, d, rows):
+    import os
+
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "CAST(o_orderdate AS TIMESTAMP) AS o_orderdate", "o_orderpriority",
+    ).coalesce(1).write.parquet(os.path.join(d, "orders.parquet"))
+
+
+def test_mood_median_missing_priority_gates_df4_tail(spark, tmp_path):
+    """A tier whose orders carry only 3 of the 5 priorities folds k=3
+    groups, where df = k-1 = 2 != 4 — the df=4 closed form must be
+    NULL-gated on n_groups = 5 (Bowker/Ljung-Box convention); the
+    chi-square statistic itself still folds the observed groups."""
+    d = str(tmp_path)
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM"]
+    _write_orders(
+        spark,
+        d,
+        [
+            (i, 1, "O", 100.0 + 13.0 * (i % 7), "1995-01-01", pris[i % 3])
+            for i in range(30)
+        ],
+    )
+    got = REGISTRY["stat_mood_median_test"].build(spark, d).collect()[0]
+    assert got["n_groups"] == 3
+    assert got["chi2_stat"] is not None
+    assert got["p_value"] is None
+
+
+def test_g_test_missing_region_gates_df4_tail(spark, tmp_path):
+    """Customers concentrated in 2 of the 5 regions shrink the
+    contingency table to 2x2 (df=1): the df=4 tail must be NULL while
+    n_regions/n_arms report the observed margins and G still folds."""
+    import os
+
+    d = str(tmp_path)
+    # region/nation slice: 2 regions, one nation each
+    spark.createDataFrame(
+        [(0, "AMERICA"), (1, "ASIA")], "r_regionkey bigint, r_name string"
+    ).coalesce(1).write.parquet(os.path.join(d, "region.parquet"))
+    spark.createDataFrame(
+        [(0, "BRAZIL", 0), (1, "JAPAN", 1)],
+        "n_nationkey bigint, n_name string, n_regionkey bigint",
+    ).coalesce(1).write.parquet(os.path.join(d, "nation.parquet"))
+    spark.createDataFrame(
+        [(c, f"c{c}", c % 2) for c in range(8)],
+        "c_custkey bigint, c_name string, c_nationkey bigint",
+    ).coalesce(1).write.parquet(os.path.join(d, "customer.parquet"))
+    _write_orders(
+        spark,
+        d,
+        [
+            (i, i % 8, "O", 50.0 + i, "1995-01-01", "1-URGENT")
+            for i in range(40)
+        ],
+    )
+    got = REGISTRY["stat_g_test_independence"].build(spark, d).collect()[0]
+    assert (got["n_regions"], got["n_arms"]) == (2, 2)
+    assert got["g_stat"] is not None
+    assert got["p_value"] is None
