@@ -1070,6 +1070,10 @@ def semantic_dedup_buckets(
     bucket = F.concat_ws(
         "", *[(F.col(vec_col)[i] > 0).cast("int").cast("string") for i in range(sign_bits)]
     )
+    # NULL vectors carry no semantics to compare — dropped up front,
+    # matching the engine-wide embedding-op posture (and the oracle's
+    # embedding IS NOT NULL guard)
+    df = df.where(F.col(vec_col).isNotNull())
     # Norm is computed ONCE per vector here — recomputing it per pair
     # would re-run a 64-element aggregate 2× for every candidate pair.
     v = df.select(

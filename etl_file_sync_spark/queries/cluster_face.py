@@ -32,6 +32,7 @@ from etl_file_sync_spark.queries.registry import register, t
     """
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE embedding IS NOT NULL
     ),
     c AS (
       SELECT CAST(vec_id / 50 AS BIGINT) AS centroid_id, v AS cv
@@ -89,6 +90,7 @@ def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE embedding IS NOT NULL
     ),
     c AS (
       SELECT CAST(vec_id / 50 AS BIGINT) AS centroid_id, v AS cv

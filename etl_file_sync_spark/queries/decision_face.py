@@ -481,7 +481,8 @@ def ops_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embed_int8_quant",
     """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE embedding IS NOT NULL),
     m AS (
       SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e
     ),
@@ -523,7 +524,13 @@ def embed_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     embarrassingly parallel at any scale (this is the compression pass
     an ANN index build runs over 100 TB of vectors)."""
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    e = t(spark, sf_dir, "embeddings").select("vec_id", v.alias("v"))
+    e = (
+        t(spark, sf_dir, "embeddings")
+        # NULL vectors have nothing to quantize — dropped, matching the
+        # engine-wide embedding-op posture and the oracle's guard
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", v.alias("v"))
+    )
     amax = F.array_max(F.transform(F.col("v"), F.abs))
     m = e.select("vec_id", "v", amax.alias("amax"))
     scale = F.col("amax") / F.lit(127.0)

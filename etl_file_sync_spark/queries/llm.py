@@ -179,7 +179,7 @@ def dedup_embedding_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_embedding_srp",
     """
     SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS cosine
-    FROM embeddings ORDER BY id_a
+    FROM embeddings WHERE embedding IS NOT NULL ORDER BY id_a
     """,
     "dedup",
     "embedding",
@@ -212,7 +212,8 @@ def dedup_embedding_srp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_topk_bruteforce",
     """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE embedding IS NOT NULL),
     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 40 = 0),
     scored AS (
       SELECT query_id, e.vec_id AS neighbor_id,

@@ -276,7 +276,7 @@ def agg_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(embedding[2] > 0 AS INTEGER)::VARCHAR ||
              CAST(embedding[3] > 0 AS INTEGER)::VARCHAR ||
              CAST(embedding[4] > 0 AS INTEGER)::VARCHAR AS bucket
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ),
     dominated AS (
       SELECT DISTINCT b.id

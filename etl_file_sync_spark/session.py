@@ -59,6 +59,12 @@ def get_spark(app_name: str = "etl_file_sync_spark", cpus: int | None = None) ->
         # to ANSI=raise; every division-by-zero in a degenerate-input
         # sweep then aborts the query where the oracle returns NULL).
         .config("spark.sql.ansi.enabled", "false")
+        # ansi=false silently flips legacy.sizeOfNull to true (its
+        # default is !ansi.enabled), making size(NULL) return -1 — a
+        # NULL-text doc would report -1 tokens and shard plans would
+        # accumulate NEGATIVE token totals. Pin the modern semantics:
+        # size(NULL) = NULL, like DuckDB's len(NULL).
+        .config("spark.sql.legacy.sizeOfNull", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
@@ -82,5 +88,7 @@ def prep(spark: SparkSession) -> SparkSession:
     # get_spark — ansi.enabled is runtime-mutable so it applies to the
     # driver's externally-built session too
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    # see get_spark: ansi=false would otherwise flip size(NULL) to -1
+    spark.conf.set("spark.sql.legacy.sizeOfNull", "false")
     _ship_package(spark)
     return spark
