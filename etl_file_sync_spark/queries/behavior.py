@@ -592,7 +592,7 @@ def win_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
       FROM events
     ),
     p AS (
-      SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      SELECT user_id, coalesce(string_agg(event_type, '>' ORDER BY rn), '') AS path
       FROM e WHERE rn <= 3 GROUP BY user_id
     )
     SELECT path, CAST(count(*) AS BIGINT) AS n_users

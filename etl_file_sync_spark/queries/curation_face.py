@@ -424,7 +424,12 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         return texts.map(h)
 
     docs = t(spark, sf_dir, "documents")
-    h = docs.select("source", char_entropy("text").alias("ent"))
+    # a NULL text has no character distribution: out of the profile in
+    # both engines (the oracle's unnest drops it implicitly); the
+    # UDF's falsy guard still covers the empty string
+    h = docs.where(F.col("text").isNotNull()).select(
+        "source", char_entropy("text").alias("ent")
+    )
     return (
         h.groupBy("source")
         .agg(

@@ -427,10 +427,14 @@ def eval_corpus_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ops_skyline_pareto",
     """
     WITH p AS (
+      -- a part with a NULL metric cannot be dominance-compared: it
+      -- leaves the skyline frame in both engines (NULL comparisons
+      -- would otherwise make NOT EXISTS vacuously keep every row)
       SELECT p_partkey,
              CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
              CAST(p_size AS BIGINT) AS p_size
       FROM part
+      WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
     )
     SELECT p_partkey, price_cents, p_size
     FROM p a
@@ -458,10 +462,16 @@ def ops_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly-cheaper part's best size AND ties its own price's best.
     O(n log n)-ish shuffle work vs the oracle's O(n^2) — the 100 TB
     plan."""
-    p = t(spark, sf_dir, "part").select(
-        "p_partkey",
-        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("price_cents"),
-        F.col("p_size").cast("bigint").alias("p_size"),
+    p = (
+        t(spark, sf_dir, "part")
+        # NULL metrics can't be dominance-compared — dropped (matching
+        # the oracle guard; rankstats would refuse the NULL order key)
+        .where(F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull())
+        .select(
+            "p_partkey",
+            F.round(F.col("p_retailprice") * 100).cast("bigint").alias("price_cents"),
+            F.col("p_size").cast("bigint").alias("p_size"),
+        )
     )
     per_price = p.groupBy("price_cents").agg(F.max("p_size").alias("ms"))
     m = bucketed_cummax(

@@ -28,7 +28,11 @@ _STOPLIST_SQL = "['the','a','and','of','to','in','is','that']"
 # grain, identical to text_quality_logistic) + the lang=en label
 _SCORED_SQL = f"""
     f AS (
+      -- a NULL-text document has no quality score: it leaves the
+      -- evaluation frame entirely (both engines), rather than leaking
+      -- a NULL score into confusion counts / calibration bins
       SELECT doc_id, lang, string_split(text, ' ') AS raw FROM documents
+      WHERE text IS NOT NULL
     ),
     x AS (
       SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
@@ -47,8 +51,11 @@ _SCORED_SQL = f"""
 
 def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, label, score): engine logistic quality at the 4-decimal
-    grain, labeled by lang=en."""
-    return X.with_logistic_quality(t(spark, sf_dir, "documents")).select(
+    grain, labeled by lang=en. NULL-text documents are excluded — they
+    have no score to evaluate (mirrored in _SCORED_SQL)."""
+    return X.with_logistic_quality(
+        t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    ).select(
         "doc_id",
         (F.col("lang") == "en").cast("int").alias("label"),
         F.round("quality_prob", 4).alias("score"),

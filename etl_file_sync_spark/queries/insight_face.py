@@ -142,10 +142,12 @@ _ROUGE_CAP = 40
     "eval_rouge_l",
     f"""
     WITH RECURSIVE toks AS (
+      -- a NULL-text document has nothing to evaluate: out of the
+      -- pairing frame in both engines (eval-face convention)
       SELECT doc_id,
              list_slice(list_filter(string_split(text, ' '), x -> length(x) > 0),
                         1, {_ROUGE_CAP}) AS tk
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     pair AS (
       SELECT c.doc_id, c.tk AS ct, r.tk AS rt
@@ -198,7 +200,10 @@ def eval_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
     lengths are exact integers; P/R/F divide once per reported column.
     The 40-token cap bounds the DP at 1600 cells/pair, keeping per-row
     cost constant — the corpus-scale cost is linear in pairs."""
-    toks = t(spark, sf_dir, "documents").select(
+    # NULL-text documents leave the pairing frame (eval-face
+    # convention, mirrored in the oracle); the coalesce below still
+    # guards the Arrow kernel against any residual None
+    toks = t(spark, sf_dir, "documents").where(F.col("text").isNotNull()).select(
         "doc_id",
         # NULL text tokenizes to the empty list (the Python DP's zero
         # case) instead of a None the Arrow batch can't take len() of

@@ -379,7 +379,9 @@ def text_repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id, lang, source
     FROM documents
-    WHERE ('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+    -- concat_ws skips a NULL stratum exactly like the Spark side, so a
+    -- NULL-lang doc hashes its id alone and samples at the default rate
+    WHERE ('0x' || substr(md5(concat_ws(':', lang, CAST(doc_id AS VARCHAR))), 1, 8))::UBIGINT
           < CAST((CASE lang WHEN 'en' THEN 0.2 ELSE 0.6 END) * 4294967296 AS UBIGINT)
     ORDER BY doc_id
     """,
@@ -499,7 +501,13 @@ def corpus_curation_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lang_hits_sql(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in X.LANG_PROFILES[lang])
-    return f"len(list_intersect(list_distinct(string_split(text, ' ')), [{words}]))"
+    # coalesce: a NULL text scores 0 hits in every profile, so the
+    # argmax's greatest()=0 branch classifies it 'und' like the engine
+    # (unguarded, NULL hits fall through every WHEN to the 'de' ELSE)
+    return (
+        "coalesce(len(list_intersect(list_distinct(string_split(text, ' ')), "
+        f"[{words}])), 0)"
+    )
 
 
 @register(

@@ -180,7 +180,8 @@ def dedup_fuzzy_jw_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_fuzzy_jw_nearest",
     """
-    WITH c AS (SELECT c_custkey AS id, c_name AS name FROM customer WHERE c_custkey <= 300),
+    WITH c AS (SELECT c_custkey AS id, c_name AS name FROM customer
+               WHERE c_custkey <= 300 AND c_name IS NOT NULL),
     scored AS (
       SELECT a.id AS id, b.id AS match_id,
              round(jaro_winkler_similarity(a.name, b.name), 6) AS jw,
@@ -211,7 +212,10 @@ def dedup_fuzzy_jw_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = (
         t(spark, sf_dir, "customer")
-        .filter(F.col("c_custkey") <= 300)
+        # an entity with a NULL name has nothing to fuzzy-match: out of
+        # the frame in both engines (the Python scorer would otherwise
+        # report jw=0.0 where DuckDB propagates NULL)
+        .filter((F.col("c_custkey") <= 300) & F.col("c_name").isNotNull())
         .select(F.col("c_custkey").alias("id"), F.col("c_name").alias("name"))
     )
     a = c.select(F.col("id"), F.col("name").alias("name_a"))

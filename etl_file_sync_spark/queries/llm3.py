@@ -156,7 +156,7 @@ def dedup_cross_source_leak(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, source,
              CAST(row_number() OVER (
                PARTITION BY source
-               ORDER BY md5(source || ':' || CAST(doc_id AS VARCHAR)), doc_id
+               ORDER BY md5(concat_ws(':', source, CAST(doc_id AS VARCHAR))), doc_id
              ) AS BIGINT) AS rk
       FROM documents
     )

@@ -197,7 +197,9 @@ def text_quality_train_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
       SELECT doc_id,
              count(*) OVER (PARTITION BY sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS group_size
-      FROM documents
+      -- NULL text has no content fingerprint: excluded from dup
+      -- weighting in both engines (engine-wide dedup posture)
+      FROM documents WHERE text IS NOT NULL
     )
     SELECT doc_id, CAST(group_size AS BIGINT) AS group_size,
            round(1.0 / group_size, 6) AS sample_weight
@@ -218,7 +220,12 @@ def sample_dup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     combiner-friendly; at 100 TB the planted mega-cluster case stays one
     reducer row (count), never a materialized member array."""
     docs = t(spark, sf_dir, "documents")
-    keyed = docs.select("doc_id", F.sha2(X.normalize_text("text"), 256).alias("_k"))
+    # NULL text has no content fingerprint: excluded explicitly (the
+    # NULL digest would silently drop at the equi-join anyway — this
+    # states the dedup-posture intent and matches the oracle guard)
+    keyed = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", F.sha2(X.normalize_text("text"), 256).alias("_k")
+    )
     sizes = keyed.groupBy("_k").agg(F.count(F.lit(1)).alias("group_size"))
     return (
         keyed.join(sizes, "_k")

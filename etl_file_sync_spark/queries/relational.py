@@ -530,7 +530,7 @@ def set_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
            lower(c_mktsegment) AS seg_lower,
            substring(c_name, 1, 8) AS name_prefix,
            CAST(length(c_name) AS INTEGER) AS name_len,
-           c_name || '/' || c_mktsegment AS name_seg,
+           concat_ws('/', c_name, c_mktsegment) AS name_seg,
            replace(c_name, 'Customer', 'Cust') AS name_short,
            trim('  ' || c_name || ' ') AS name_trim,
            CAST(strpos(c_name, '#') AS INTEGER) AS hash_pos

@@ -139,8 +139,9 @@ def agg_argmin_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_ordered_strings",
     """
     SELECT c_nationkey,
-           string_agg(c_name, ',' ORDER BY c_name) AS names_csv,
-           array_to_string(list_sort(list(DISTINCT c_mktsegment)), '|') AS segments
+           coalesce(string_agg(c_name, ',' ORDER BY c_name), '') AS names_csv,
+           coalesce(array_to_string(list_sort(list(DISTINCT c_mktsegment)
+             FILTER (c_mktsegment IS NOT NULL)), '|'), '') AS segments
     FROM customer WHERE c_custkey <= 60
     GROUP BY c_nationkey ORDER BY c_nationkey
     """,

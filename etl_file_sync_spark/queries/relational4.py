@@ -38,7 +38,12 @@ def nested_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(
                 F.col("o_orderstatus").alias("status"), F.col("o_orderpriority").alias("priority")
             ).alias("meta"),
-        )
+        ),
+        # keep NULL fields in the serialization (Spark's default DROPS
+        # them, so a NULL status vanished from the payload while
+        # DuckDB's to_json kept "status": null — a round-trip should
+        # preserve the field)
+        {"ignoreNullFields": "false"},
     )
     return o.select(
         "o_orderkey",
@@ -180,7 +185,8 @@ def scalar_month_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stat_crosstab",
     """
-    SELECT o_orderstatus,
+    -- df.stat.crosstab stringifies a NULL group key as 'null'
+    SELECT coalesce(o_orderstatus, 'null') AS o_orderstatus,
            CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
            CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low
     FROM orders GROUP BY o_orderstatus

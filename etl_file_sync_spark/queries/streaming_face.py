@@ -23,6 +23,9 @@ from etl_file_sync_spark.queries.registry import register, t
     SELECT CAST(to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / 300) * 300) AS TIMESTAMP) AS window_start,
            event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
     FROM events
+    -- the streaming engine drops rows with a NULL event time (no
+    -- watermark/window assignment is possible) -- mirror that here
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
     "streaming",
@@ -55,6 +58,7 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / 300) * 300 - i * 300) AS TIMESTAMP) AS window_start,
              event_type, value
       FROM events, UNNEST([0, 1]) AS u(i)
+      WHERE ts IS NOT NULL
     )
     SELECT window_start, event_type, count(*) AS n_events
     FROM slid GROUP BY 1, 2
@@ -224,6 +228,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / 900) * 900) AS TIMESTAMP) AS window_start,
            event_type, count(*) AS n_events
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "streaming",
@@ -397,7 +402,8 @@ def stream_outer_attribution_dedup(spark: SparkSession, sf_dir: str) -> DataFram
 @register(
     "stream_session_windows",
     """
-    WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+                WHERE ts IS NOT NULL),
     flags AS (
       SELECT user_id, ts,
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL

@@ -1,9 +1,11 @@
 """Oracle PARITY on degenerate tiers (round-6 depth beyond the
 no-crash sweep): every oracled query must agree with DuckDB not just on
-real data (tests/test_queries_oracle.py) but on the empty and 1-row
-tiers, where empty-aggregate semantics (NULL sums, collapsed unnest
-ranges, grand-total grouping sets) diverge between engines unless the
-query was written carefully.
+real data (tests/test_queries_oracle.py) but on the empty, 1-row, and
+all-NULL-optional-columns tiers, where empty-aggregate semantics (NULL
+sums, collapsed unnest ranges, grand-total grouping sets) and NULL
+conventions (size/len of NULL, concat_ws vs string_agg, NULL ordering,
+NULL-input drops) diverge between engines unless the query was written
+carefully.
 
 Comparator: the standard row/column/value comparison, with ONE
 degenerate-specific relaxation — a column that is entirely NULL on BOTH
@@ -33,7 +35,13 @@ from tools.degenerate_tiers import synthesize
 pytestmark = pytest.mark.slow
 
 ORACLE_QUERIES = sorted(name for name, q in REGISTRY.items() if q.oracle is not None)
-TIERS = ("empty", "one_row")
+# null_opt (every optional column NULL, keys preserved) joined the
+# PARITY sweep late in round 6 — its first run exposed 45 silent
+# NULL-convention divergences (size(NULL)=-1 via the legacy.sizeOfNull
+# flip, unmirrored NULL-text/vector drops, concat_ws-vs-string_agg,
+# to_json null-field dropping, NULL-label eval rows, NULL-ts streaming
+# rows), each since made deliberate and identical in both engines.
+TIERS = ("empty", "one_row", "null_opt")
 
 # Engine-level divergences on degenerate input, each verified by hand:
 KNOWN_DIVERGENT = {
