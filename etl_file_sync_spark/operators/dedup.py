@@ -19,6 +19,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_file_sync_spark.operators.similarity import vec_ok
+
 from etl_file_sync_spark.operators.text import normalize_text
 
 
@@ -736,7 +738,7 @@ def embedding_dup_pairs(
     import numpy as np
     import pandas as pd
 
-    v = df.where(F.col(vec_col).isNotNull()).select(
+    v = df.where(vec_ok(F.col(vec_col))).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(blocks)).alias("blk"),
@@ -806,7 +808,7 @@ def srp_signatures(
     import numpy as np
     import pandas as pd
 
-    df = df.where(F.col(vec_col).isNotNull())  # NULL vectors carry no geometry
+    df = df.where(vec_ok(F.col(vec_col)))  # NULL vectors carry no geometry
     probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
     if probe is None:  # empty corpus
         return df.sparkSession.createDataFrame([], "id long, sig array<bigint>")
@@ -1073,7 +1075,7 @@ def semantic_dedup_buckets(
     # NULL vectors carry no semantics to compare — dropped up front,
     # matching the engine-wide embedding-op posture (and the oracle's
     # embedding IS NOT NULL guard)
-    df = df.where(F.col(vec_col).isNotNull())
+    df = df.where(vec_ok(F.col(vec_col)))
     # Norm is computed ONCE per vector here — recomputing it per pair
     # would re-run a 64-element aggregate 2× for every candidate pair.
     v = df.select(

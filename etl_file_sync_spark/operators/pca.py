@@ -23,11 +23,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_file_sync_spark.operators.similarity import vec_ok
+
 
 def covariance_moments(df: DataFrame, vec_col: str = "embedding") -> tuple[int, np.ndarray, np.ndarray]:
     """Exact (n, mean, sample covariance) of the vector column in one
     distributed pass. Returns driver-side numpy arrays (d,) and (d, d)."""
-    v = df.where(F.col(vec_col).isNotNull()).select(
+    v = df.where(vec_ok(F.col(vec_col))).select(
         F.spark_partition_id().alias("pid"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
@@ -92,7 +94,7 @@ def pca_project(
     bM = spark.sparkContext.broadcast((mean, components))
     cols = df.columns
 
-    df = df.where(F.col(vec_col).isNotNull())  # aggregate-style NULL drop
+    df = df.where(vec_ok(F.col(vec_col)))  # aggregate-style NULL drop
 
     def project(batches):
         m, C = bM.value

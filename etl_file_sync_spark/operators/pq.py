@@ -33,12 +33,14 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from etl_file_sync_spark.operators.similarity import vec_ok
 from pyspark.sql import Window as W
 
 
 def _normalized_matrix_stream(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     # NULL vectors carry no geometry: dropped, like SQL aggregates drop NULLs
-    return df.where(F.col(vec_col).isNotNull()).select(
+    return df.where(vec_ok(F.col(vec_col))).select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
 
@@ -52,8 +54,8 @@ def _degenerate_ann_input(corpus: DataFrame, queries: DataFrame, vec_col: str) -
     frame instead of crashing codebook/centroid training. Two 1-row
     limit-probes; negligible next to training."""
     return (
-        corpus.where(F.col(vec_col).isNotNull()).limit(1).count() == 0
-        or queries.where(F.col(vec_col).isNotNull()).limit(1).count() == 0
+        corpus.where(vec_ok(F.col(vec_col))).limit(1).count() == 0
+        or queries.where(vec_ok(F.col(vec_col))).limit(1).count() == 0
     )
 
 

@@ -17,6 +17,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 
+def vec_ok(col: Column) -> Column:
+    """Usable-vector predicate: NOT NULL and no NULL elements. A vector
+    with a NULL coordinate is as uncomparable as a NULL vector (its
+    dot/norm would be NULL; DuckDB's list_cosine_similarity aborts on
+    it) — embedding operators drop both up front, and the oracles
+    carry the matching len(list_filter(v, x -> x IS NULL)) = 0 guard."""
+    return col.isNotNull() & ~F.exists(col, lambda x: x.isNull())
+
+
 def dot_expr(a: Column, b: Column) -> Column:
     """Dot product of two array<double> columns (sequential left fold —
     deterministic order, matches a scalar loop bit-for-bit)."""
@@ -71,7 +80,7 @@ def cosine_topk(
     # caller hands us a huge frame — the failure mode is an exception,
     # not a driver OOM.
     qrows = (
-        queries.where(F.col(vec_col).isNotNull())  # NULL vectors have no neighbors
+        queries.where(vec_ok(F.col(vec_col)))  # NULL vectors have no neighbors
         .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
         .limit(max_queries + 1)
         .collect()
@@ -108,7 +117,7 @@ def cosine_topk(
             )
             yield out[out.query_id != out.neighbor_id]
 
-    c = corpus.where(F.col(vec_col).isNotNull()).select(
+    c = corpus.where(vec_ok(F.col(vec_col))).select(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("v")
     )
     scored = c.mapInPandas(score, "query_id long, neighbor_id long, cosine double")
@@ -189,7 +198,7 @@ def ivf_assign(
                 cols["cos"] = S[np.arange(len(best)), best]
             yield pd.DataFrame(cols)
 
-    v = df.where(F.col(vec_col).isNotNull()).select(
+    v = df.where(vec_ok(F.col(vec_col))).select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
     schema = "id bigint, v array<double>, centroid_id bigint"
@@ -251,7 +260,7 @@ def assign_top2(
                 }
             )
 
-    v = df.where(F.col(vec_col).isNotNull()).select(
+    v = df.where(vec_ok(F.col(vec_col))).select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
     out = v.mapInPandas(
@@ -269,7 +278,7 @@ def make_centroids(df: DataFrame, every: int = 50, id_col: str = "vec_id", vec_c
     the correctness harness (no iteration, no float-order sensitivity).
     """
     return (
-        df.filter((F.col(id_col) % every == 0) & F.col(vec_col).isNotNull())
+        df.filter((F.col(id_col) % every == 0) & vec_ok(F.col(vec_col)))
         .select((F.col(id_col) / every).cast("bigint").alias("centroid_id"), F.col(vec_col).cast("array<double>").alias("cv"))
     )
 
@@ -307,7 +316,7 @@ def kmeans_centroids(
     C = np.array([list(r.cv) for r in seed], dtype=np.float64)[order]
     C = C / np.linalg.norm(C, axis=1, keepdims=True)
 
-    v = df.where(F.col(vec_col).isNotNull()).select(
+    v = df.where(vec_ok(F.col(vec_col))).select(
         F.spark_partition_id().alias("pid"), F.col(vec_col).cast("array<double>").alias("v")
     )
 
@@ -407,7 +416,7 @@ def ivf_topk(
                 }
             )
 
-    q = queries.where(F.col(vec_col).isNotNull()).select(
+    q = queries.where(vec_ok(F.col(vec_col))).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
     )
     probes = q.mapInPandas(probe, "query_id bigint, qv array<double>, centroid_id bigint")

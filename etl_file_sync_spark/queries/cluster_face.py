@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_file_sync_spark.operators.similarity import ivf_assign, make_centroids
+from etl_file_sync_spark.operators.similarity import vec_ok
 from etl_file_sync_spark.queries.registry import register, t
 
 
@@ -33,6 +34,7 @@ from etl_file_sync_spark.queries.registry import register, t
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
       WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
     ),
     c AS (
       SELECT CAST(vec_id / 50 AS BIGINT) AS centroid_id, v AS cv
@@ -91,6 +93,7 @@ def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
       WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
     ),
     c AS (
       SELECT CAST(vec_id / 50 AS BIGINT) AS centroid_id, v AS cv
@@ -250,7 +253,7 @@ def embed_pca_label_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         " evr_4 double"
     )
     # a sample covariance needs >= 2 non-null vectors; cheap limit-probe
-    if emb.where(F.col("embedding").isNotNull()).limit(2).count() < 2:
+    if emb.where(vec_ok(F.col("embedding"))).limit(2).count() < 2:
         return spark.createDataFrame([], _pca_schema)
     mean, comps, evals, total_var = pca_fit(emb, k=4)
     proj = pca_project(emb.select("label", "embedding"), mean, comps)

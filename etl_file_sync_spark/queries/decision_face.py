@@ -32,6 +32,7 @@ from etl_file_sync_spark.operators.rankstats import (
     bucketed_cumsums,
     grouped_bucketed_cumsum,
 )
+from etl_file_sync_spark.operators.similarity import vec_ok
 from etl_file_sync_spark.queries.registry import register, t
 
 _SEATS = 10_000  # sampling budget allocated across sources
@@ -492,7 +493,8 @@ def ops_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embed_int8_quant",
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-               WHERE embedding IS NOT NULL),
+               WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0),
     m AS (
       SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e
     ),
@@ -538,7 +540,7 @@ def embed_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "embeddings")
         # NULL vectors have nothing to quantize — dropped, matching the
         # engine-wide embedding-op posture and the oracle's guard
-        .where(F.col("embedding").isNotNull())
+        .where(vec_ok(F.col("embedding")))
         .select("vec_id", v.alias("v"))
     )
     amax = F.array_max(F.transform(F.col("v"), F.abs))

@@ -160,7 +160,9 @@ def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embedding_pairs",
     """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE embedding IS NOT NULL
+                 AND len(list_filter(embedding, x -> x IS NULL)) = 0)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(a.v, b.v), 4) AS cosine
     FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -179,7 +181,8 @@ def dedup_embedding_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_embedding_srp",
     """
     SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS cosine
-    FROM embeddings WHERE embedding IS NOT NULL ORDER BY id_a
+    FROM embeddings WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0 ORDER BY id_a
     """,
     "dedup",
     "embedding",
@@ -213,7 +216,8 @@ def dedup_embedding_srp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_topk_bruteforce",
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-               WHERE embedding IS NOT NULL),
+               WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0),
     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 40 = 0),
     scored AS (
       SELECT query_id, e.vec_id AS neighbor_id,

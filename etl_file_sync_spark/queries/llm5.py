@@ -284,6 +284,7 @@ def agg_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(embedding[3] > 0 AS INTEGER)::VARCHAR ||
              CAST(embedding[4] > 0 AS INTEGER)::VARCHAR AS bucket
       FROM embeddings WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
     ),
     dominated AS (
       SELECT DISTINCT b.id

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_file_sync_spark.operators import search as S
+from etl_file_sync_spark.operators.similarity import vec_ok
 from etl_file_sync_spark.queries.registry import register, t
 
 _QUERY_TERMS = ["spark", "window", "merge"]
@@ -169,7 +170,9 @@ def search_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _mmr_oracle() -> str:
     """Unrolled greedy MMR as chained CTEs (4 picks, lambda=0.7)."""
     head = """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE embedding IS NOT NULL
+                 AND len(list_filter(embedding, x -> x IS NULL)) = 0),
     q AS (SELECT v FROM e WHERE vec_id = 0),
     cand AS (
       SELECT e.vec_id, e.v, round(list_cosine_similarity(e.v, q.v), 4) AS rel
@@ -237,8 +240,12 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the 1e-4 grain before every comparison and ties break on vec_id,
     so both engines walk the identical greedy trajectory (same
     accepted-risk posture as operators/similarity.py ivf_assign)."""
-    emb = t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    emb = (
+        t(spark, sf_dir, "embeddings")
+        # unusable vectors (NULL or NULL-element) leave the frame in
+        # both engines (engine-wide embedding posture; oracle guard)
+        .where(vec_ok(F.col("embedding")))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
 
     def cos(a, b):
