@@ -32,8 +32,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        return _load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return _sanitize_doubles(_load_events(spark, sf_dir))
+    return _sanitize_doubles(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
+def _sanitize_doubles(df: DataFrame) -> DataFrame:
+    """Ingest contract: non-finite floating values are NULL.
+
+    The non-ANSI session casts NaN -> 0 and Infinity -> Long.MaxValue
+    (9.2e18) SILENTLY, so one corrupt upstream double in a money column
+    would inject 9.2 quintillion cents into every revenue aggregate at
+    100 TB — strictly worse than DuckDB, which at least aborts the
+    cast. Mapping NaN/±Inf to NULL at the scan chokepoint makes every
+    downstream cents cast, aggregate, and rank treat corrupt values
+    like the missing values they are (the pipeline's
+    don't-kill-the-job posture). A cheap whole-stage-codegen
+    projection on top-level FLOAT/DOUBLE columns only; array columns
+    (embeddings) are guarded by similarity.vec_ok instead.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType, FloatType
+
+    cols = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, (DoubleType, FloatType))
+    ]
+    for c in cols:
+        col = F.col(c)
+        df = df.withColumn(
+            c, F.when(~F.isnan(col) & (F.abs(col) != float("inf")), col)
+        )
+    return df
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

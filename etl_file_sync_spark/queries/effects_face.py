@@ -227,7 +227,7 @@ def stat_cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT CASE WHEN o_custkey % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
              o_totalprice AS v
-      FROM orders
+      FROM orders WHERE o_totalprice IS NOT NULL
     ),
     g AS (
       SELECT v,
@@ -281,7 +281,9 @@ def stat_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     both do. Also emits the Szekely-Rizzo test statistic
     nm/(n+m) * E and E|X-Y| itself. Doubles fold in the documented
     summation-order ulp class under the emitted roundings."""
-    s = t(spark, sf_dir, "orders").select(
+    s = t(spark, sf_dir, "orders").where(
+        F.col("o_totalprice").isNotNull()  # observed values only
+    ).select(
         F.when(F.col("o_custkey") % 2 == 0, "A").otherwise("B").alias("variant"),
         F.col("o_totalprice").alias("v"),
     )
@@ -563,6 +565,7 @@ def stat_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH s AS (
       SELECT o_orderpriority AS grp, o_totalprice AS v FROM orders
+      WHERE o_totalprice IS NOT NULL
     ),
     g AS (SELECT grp, v, count(*) AS c FROM s GROUP BY grp, v),
     vals AS (SELECT v, CAST(sum(c) AS BIGINT) AS cnt FROM g GROUP BY v),
@@ -617,6 +620,7 @@ def stat_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = t(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("grp"), F.col("o_totalprice").alias("v")
     )
+    s = s.where(F.col("v").isNotNull())  # observed values only
     # distinct-value-bounded but consumed by the value vocabulary AND the
     # per-group rank join: cache so the orders scan runs once
     g = s.groupBy("grp", "v").agg(F.count(F.lit(1)).alias("c")).cache()
@@ -1187,7 +1191,7 @@ def stat_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT o_orderpriority AS grp,
              CAST(round(o_totalprice * 100) AS BIGINT) AS v
-      FROM orders
+      FROM orders WHERE o_totalprice IS NOT NULL
     ),
     vals AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM s GROUP BY v),
     tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM vals),
@@ -1242,7 +1246,9 @@ def stat_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_file_sync_spark.operators.pvalues import chi2_sf_df4
     from etl_file_sync_spark.operators.rankstats import bucketed_cumsums
 
-    s = t(spark, sf_dir, "orders").select(
+    s = t(spark, sf_dir, "orders").where(
+        F.col("o_totalprice").isNotNull()  # observed values only
+    ).select(
         F.col("o_orderpriority").alias("grp"),
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
     )

@@ -1284,7 +1284,7 @@ def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH o AS (
       SELECT o_orderpriority AS pri,
              CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-      FROM orders
+      FROM orders WHERE o_totalprice IS NOT NULL
     ),
     g AS (
       SELECT pri, cents, CAST(count(*) AS BIGINT) AS w FROM o GROUP BY pri, cents

@@ -30,7 +30,7 @@ from etl_file_sync_spark.queries.registry import register, t
     WITH s AS (
       SELECT CASE WHEN o_custkey % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
              o_totalprice AS v
-      FROM orders
+      FROM orders WHERE o_totalprice IS NOT NULL
     ),
     g AS (
       SELECT v,
@@ -78,7 +78,9 @@ def stat_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     predecessor-value (lag) pass is needed at all; no single-partition
     window ever touches the 150k-distinct-price frame. The oracle
     restates the same algebra with a naive global window."""
-    s = t(spark, sf_dir, "orders").select(
+    s = t(spark, sf_dir, "orders").where(
+        F.col("o_totalprice").isNotNull()  # observed values only
+    ).select(
         F.when(F.col("o_custkey") % 2 == 0, "A").otherwise("B").alias("variant"),
         F.col("o_totalprice").alias("v"),
     )

@@ -608,7 +608,7 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH o AS (
       SELECT o_orderpriority AS pri,
              CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-      FROM orders
+      FROM orders WHERE o_totalprice IS NOT NULL
     ),
     g AS (
       SELECT pri, cents, CAST(count(*) AS BIGINT) AS w FROM o GROUP BY pri, cents
@@ -805,7 +805,7 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_orderkey, o_orderpriority AS pri,
              CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
              o_orderkey % 4 AS fold
-      FROM orders
+      FROM orders WHERE o_totalprice IS NOT NULL
     ),
     model AS (
       SELECT pri, sum(cents) * 1.0 / count(*) AS yhat,
@@ -856,7 +856,10 @@ def eval_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucketed two-phase row_number plan; residuals are
     identically-computed doubles (one division inside the model mean),
     so the rank and quantile agree bit-exactly across engines."""
-    o = t(spark, sf_dir, "orders").select(
+    o = t(spark, sf_dir, "orders").where(
+        # observed targets only: a NULL price has no residual to rank
+        F.col("o_totalprice").isNotNull()
+    ).select(
         "o_orderkey",
         F.col("o_orderpriority").alias("pri"),
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),

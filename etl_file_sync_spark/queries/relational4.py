@@ -331,7 +331,7 @@ def win_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
              ntile(10) OVER (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey)
                AS bucket
-      FROM orders
+      FROM orders WHERE o_totalprice IS NOT NULL
     )
     SELECT CAST(bucket AS INTEGER) AS bucket,
            CAST(count(*) AS BIGINT) AS n,
@@ -351,7 +351,8 @@ def dq_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     path)."""
     from pyspark.sql import Window as W
 
-    o = t(spark, sf_dir, "orders")
+    # observed values only: NULL prices carry no histogram mass
+    o = t(spark, sf_dir, "orders").where(F.col("o_totalprice").isNotNull())
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     b = o.select(
         cents.alias("cents"),

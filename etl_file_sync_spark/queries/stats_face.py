@@ -27,7 +27,7 @@ from etl_file_sync_spark.queries.registry import register, t
     WITH s AS (
       SELECT CASE WHEN o_custkey % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
              o_totalprice AS v
-      FROM orders
+      FROM orders WHERE o_totalprice IS NOT NULL
     ),
     g AS (SELECT variant, v, count(*) AS c FROM s GROUP BY variant, v),
     vals AS (SELECT v, CAST(sum(c) AS BIGINT) AS cnt FROM g GROUP BY v),
@@ -63,7 +63,9 @@ def stat_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a global single-partition window. Midranks are halves, so
     rank sums are binary-exact in any summation order and the oracle's
     naive global-window spelling matches bit-for-bit."""
-    s = t(spark, sf_dir, "orders").select(
+    s = t(spark, sf_dir, "orders").where(
+        F.col("o_totalprice").isNotNull()  # observed values only
+    ).select(
         F.when(F.col("o_custkey") % 2 == 0, "A").otherwise("B").alias("variant"),
         F.col("o_totalprice").alias("v"),
     )
@@ -103,7 +105,7 @@ def stat_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT CASE WHEN o_custkey % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
              o_totalprice AS v
-      FROM orders
+      FROM orders WHERE o_totalprice IS NOT NULL
     ),
     g AS (
       SELECT v,
@@ -143,7 +145,9 @@ def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     happens once at the end. The cumulative counts use the bucketed
     two-phase plan over the distinct values — no single-partition
     window over data."""
-    s = t(spark, sf_dir, "orders").select(
+    s = t(spark, sf_dir, "orders").where(
+        F.col("o_totalprice").isNotNull()  # observed values only
+    ).select(
         F.when(F.col("o_custkey") % 2 == 0, "A").otherwise("B").alias("variant"),
         F.col("o_totalprice").alias("v"),
     )
@@ -492,7 +496,7 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH c AS (
       SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
-      FROM orders
+      FROM orders WHERE o_totalprice IS NOT NULL
     ),
     r AS (
       SELECT cents, row_number() OVER (ORDER BY cents, o_orderkey) AS rn FROM c
@@ -522,7 +526,9 @@ def stat_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     means are outlier-poisoned; the trim bounds come back as evidence."""
     from etl_file_sync_spark.operators.rankstats import bucketed_row_number
 
-    c = t(spark, sf_dir, "orders").select(
+    c = t(spark, sf_dir, "orders").where(
+        F.col("o_totalprice").isNotNull()  # observed values only
+    ).select(
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
         "o_orderkey",
     )
@@ -554,6 +560,7 @@ def stat_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH s AS (
       SELECT o_orderpriority AS grp, o_totalprice AS v FROM orders
+      WHERE o_totalprice IS NOT NULL
     ),
     g AS (SELECT grp, v, count(*) AS c FROM s GROUP BY grp, v),
     vals AS (SELECT v, CAST(sum(c) AS BIGINT) AS cnt FROM g GROUP BY v),
@@ -599,7 +606,9 @@ def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the final 6-decimal rounding. Tie correction
     C = 1 - sum(t^3 - t)/(N^3 - N) comes from the same (value, count)
     frame the ranks do — no extra pass."""
-    s = t(spark, sf_dir, "orders").select(
+    s = t(spark, sf_dir, "orders").where(
+        F.col("o_totalprice").isNotNull()  # observed values only
+    ).select(
         F.col("o_orderpriority").alias("grp"), F.col("o_totalprice").alias("v")
     )
     g = s.groupBy("grp", "v").agg(F.count(F.lit(1)).alias("c")).cache()  # 2 consumers: one orders scan

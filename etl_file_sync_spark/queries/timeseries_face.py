@@ -173,9 +173,12 @@ def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DAILY_REV = """
     daily AS (
+      -- a day whose every price is NULL has no observed revenue: it
+      -- leaves the series in both engines (sum over all-NULL -> NULL)
       SELECT CAST(o_orderdate AS DATE) AS day,
              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
       FROM orders GROUP BY CAST(o_orderdate AS DATE)
+      HAVING sum(CAST(round(o_totalprice * 100) AS BIGINT)) IS NOT NULL
     )
 """
 
@@ -218,6 +221,7 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "orders")
         .groupBy(F.col("o_orderdate").cast("date").alias("day"))
         .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("bigint").alias("cents"))
+        .where(F.col("cents").isNotNull())  # unobserved days leave the series
     )
     r = daily.withColumn("rn", F.row_number().over(W.orderBy("day")))
     lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
@@ -285,6 +289,7 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "orders")
         .groupBy(F.col("o_orderdate").cast("date").alias("day"))
         .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("bigint").alias("cents"))
+        .where(F.col("cents").isNotNull())  # unobserved days leave the series
         .cache()  # 2 consumers (totals + cumulative branch): one orders scan
     )
     tot = daily.agg(
@@ -326,6 +331,7 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_orderdate AS day,
              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
       FROM orders GROUP BY 1
+      HAVING sum(CAST(round(o_totalprice * 100) AS BIGINT)) IS NOT NULL
     ),
     tot AS (
       SELECT CAST(count(*) AS BIGINT) AS total_days, CAST(sum(cents) AS BIGINT) AS total_cents
@@ -360,7 +366,7 @@ def ts_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
     daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("bigint").alias("cents")
-    ).cache()  # 2 consumers (totals + day-of-week branch): one orders scan
+    ).where(F.col("cents").isNotNull()).cache()  # 2 consumers (totals + day-of-week branch): one orders scan
     tot = daily.agg(
         F.count(F.lit(1)).cast("bigint").alias("total_days"),
         F.sum("cents").cast("bigint").alias("total_cents"),
@@ -404,6 +410,7 @@ _HOLT_H = 3  # forecast horizon (months)
       SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
       FROM orders GROUP BY 1
+      HAVING sum(CAST(round(o_totalprice * 100) AS BIGINT)) IS NOT NULL
     ),
     r AS (
       SELECT month, y, CAST(row_number() OVER (ORDER BY month) AS BIGINT) AS rn
@@ -475,6 +482,7 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("y")
         )
+        .where(F.col("y").isNotNull())  # unobserved months leave the series
     )
     rows = sorted(m.collect(), key=lambda r: r["month"])  # calendar-bounded pull
     a, bcoef = _HOLT_A, _HOLT_B
@@ -588,6 +596,7 @@ def ts_stl_decompose_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("cents")
         )
+        .where(F.col("cents").isNotNull())  # unobserved days leave the series
     )
     r = daily.withColumn("rn", F.row_number().over(W.orderBy("day"))).withColumn(
         "n", F.count(F.lit(1)).over(W.partitionBy())
@@ -702,6 +711,7 @@ def ts_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("cents")
         )
+        .where(F.col("cents").isNotNull())  # unobserved days leave the series
     )
     w = W.orderBy("day")
     r = daily.withColumn("rn", F.row_number().over(w).cast("bigint")).withColumn(
@@ -833,6 +843,7 @@ def ts_holt_winters_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("y")
         )
+        .where(F.col("y").isNotNull())  # unobserved days leave the series
     )
     rows = sorted(daily.collect(), key=lambda r: r["day"])  # calendar-bounded
     a, bb, g, p = _HW_A, _HW_B, _HW_G, _HW_P
@@ -939,6 +950,7 @@ def ts_pacf_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("cents")
         )
+        .where(F.col("cents").isNotNull())  # unobserved days leave the series
     )
     r = daily.withColumn(
         "rn", F.row_number().over(W.orderBy("day")).cast("bigint")
@@ -1060,6 +1072,7 @@ def ts_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("cents")
         )
+        .where(F.col("cents").isNotNull())  # unobserved days leave the series
         # calendar-bounded but consumed by two branches (count dim +
         # rank frame): cache so the orders scan runs once
         .cache()
@@ -1173,6 +1186,7 @@ def ts_backtest_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("cents")
         )
+        .where(F.col("cents").isNotNull())  # unobserved days leave the series
         # calendar-bounded (~2.4k rows) but consumed THREE times below
         # (actual branch, lag branch, max-day dimension) — cache so the
         # corpus-scale orders groupBy scan runs once, not 3x
@@ -1266,6 +1280,7 @@ def ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("cents")
         )
+        .where(F.col("cents").isNotNull())  # unobserved days leave the series
     )
     r = daily.select(
         "cents", F.row_number().over(W.orderBy("day")).cast("bigint").alias("rn")

@@ -25,6 +25,46 @@ Q1_CUTOFF = "1998-09-02"
 Q3_DATE = "1998-03-15"
 Q6_LO, Q6_HI = "1996-01-01", "1997-01-01"
 
+# Exact-integer discounted revenue (the repo's summation-order-proof
+# money convention): cents and basis-point factors are exact integers,
+# so the per-row product l_extendedprice*(1-l_discount) is an exact
+# DECIMAL(38,0) in 1e-4 dollars (1e-6 with the tax factor) and the sum
+# is order-independent — a raw double sum rounds differently across
+# engines/layouts whenever a group lands on a .xx5 boundary (caught by
+# the shuffled-layout sweep on q09). DECIMAL(38,0), not BIGINT: at
+# 100 TB row counts the basis-point sums pass BIGINT's 9.2e18 ceiling.
+# The oracles accumulate the same integers in HUGEINT; both engines
+# then cast the exact sum to double ONCE, divide by the same power of
+# ten, and round — identical IEEE ops, identical output.
+_D38 = "decimal(38,0)"
+
+
+def rev_bp():
+    """l_extendedprice*(1-l_discount) as an exact DECIMAL(38,0) in
+    1e-4 dollars (cents x (100 - discount-in-hundredths))."""
+    return F.round(F.col("l_extendedprice") * 100).cast(_D38) * (
+        F.lit(100).cast(_D38) - F.round(F.col("l_discount") * 100).cast(_D38)
+    )
+
+
+def charge_mbp():
+    """...*(1+l_tax): exact DECIMAL(38,0) in 1e-6 dollars."""
+    return rev_bp() * (
+        F.lit(100).cast(_D38) + F.round(F.col("l_tax") * 100).cast(_D38)
+    )
+
+
+REV_SQL = (
+    "CAST(round(l_extendedprice * 100) AS HUGEINT)"
+    " * (100 - CAST(round(l_discount * 100) AS HUGEINT))"
+)
+CHARGE_SQL = f"({REV_SQL}) * (100 + CAST(round(l_tax * 100) AS HUGEINT))"
+
+
+def rev_sum(alias: str):
+    return F.round(F.sum(rev_bp()).cast("double") / F.lit(10000.0), 2).alias(alias)
+
+
 
 @register(
     "q01_pricing_summary",
@@ -32,8 +72,8 @@ Q6_LO, Q6_HI = "1996-01-01", "1997-01-01"
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                          AS sum_qty,
            round(sum(l_extendedprice), 2)                                     AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
+           round(CAST(sum({REV_SQL}) AS DOUBLE) / 10000, 2)                   AS sum_disc_price,
+           round(CAST(sum({CHARGE_SQL}) AS DOUBLE) / 1000000, 2)              AS sum_charge,
            round(avg(l_quantity), 4)                                          AS avg_qty,
            round(avg(l_extendedprice), 4)                                     AS avg_price,
            round(avg(l_discount), 4)                                          AS avg_disc,
@@ -52,12 +92,11 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical partial+final hash-agg exercise. Filter pushes to parquet.
     """
     l = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return l.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        rev_sum("sum_disc_price"),
+        F.round(F.sum(charge_mbp()).cast("double") / F.lit(1e6), 2).alias("sum_charge"),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
         F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
         F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -69,7 +108,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q03_shipping_priority",
     f"""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(CAST(sum({REV_SQL}) AS DOUBLE) / 10000, 2) AS revenue,
            o_orderdate, o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -92,7 +131,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(rev_sum("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
@@ -101,8 +140,8 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q05_local_supplier_volume",
-    """
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    f"""
+    SELECT n_name, round(CAST(sum({REV_SQL}) AS DOUBLE) / 10000, 2) AS revenue
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -142,14 +181,16 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(rev_sum("revenue"))
     )
 
 
 @register(
     "q06_forecast_revenue",
     f"""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                        * CAST(round(l_discount * 100) AS HUGEINT)) AS DOUBLE)
+                 / 1000000, 2) AS revenue,
            count(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '{Q6_LO}' AND l_shipdate < TIMESTAMP '{Q6_HI}'
@@ -168,16 +209,23 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount").between(0.05, 0.07))
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.round(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast(_D38)
+                * F.round(F.col("l_discount") * 100).cast(_D38)
+            ).cast("double")
+            / F.lit(1e6),
+            2,
+        ).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
 
 @register(
     "q09_nation_year_profit",
-    """
+    f"""
     SELECT n_name, CAST(extract(year FROM o_orderdate) AS INTEGER) AS o_year,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit
+           round(CAST(sum({REV_SQL}) AS DOUBLE) / 10000, 2) AS profit
     FROM lineitem
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN orders   ON l_orderkey = o_orderkey
@@ -202,15 +250,15 @@ def q09_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("n_name"), F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("profit"))
+        .agg(rev_sum("profit"))
     )
 
 
 @register(
     "q10_returned_items",
-    """
+    f"""
     SELECT c_custkey, c_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(CAST(sum({REV_SQL}) AS DOUBLE) / 10000, 2) AS revenue,
            round(any_value(c_acctbal), 2) AS c_acctbal,
            any_value(n_name) AS n_name
     FROM customer
@@ -237,7 +285,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            rev_sum("revenue"),
             F.round(F.any_value(F.col("c_acctbal")), 2).alias("c_acctbal"),
             F.any_value(F.col("n_name")).alias("n_name"),
         )

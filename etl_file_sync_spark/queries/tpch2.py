@@ -12,6 +12,7 @@ from pyspark.sql import Window as W
 
 from etl_file_sync_spark.catalog import register_views
 from etl_file_sync_spark.queries.registry import register, t
+from etl_file_sync_spark.queries.tpch import REV_SQL, rev_bp, rev_sum
 
 
 def _sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
@@ -56,12 +57,13 @@ def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q07_volume_shipping",
-    """
-    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           round(CAST(sum(volume_bp) AS DOUBLE) / 10000, 2) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(extract(year FROM l_shipdate) AS INTEGER) AS l_year,
-             l_extendedprice * (1 - l_discount) AS volume
+             {REV_SQL} AS volume_bp
       FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
                     JOIN orders   ON o_orderkey = l_orderkey
                     JOIN customer ON c_custkey = o_custkey
@@ -91,7 +93,7 @@ def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(rev_sum("revenue"))
     )
 
 
@@ -128,9 +130,9 @@ def q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q14_promo_revenue_share",
-    """
-    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) END)
-                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+    f"""
+    SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN {REV_SQL} END) AS DOUBLE)
+                 / CAST(sum({REV_SQL}) AS DOUBLE), 4) AS promo_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'
     """,
@@ -144,12 +146,15 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     p = t(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = rev_bp()
     return (
         l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
-                100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev)) / F.sum(rev), 4
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev)).cast("double")
+                / F.sum(rev).cast("double"),
+                4,
             ).alias("promo_pct")
         )
     )
@@ -157,10 +162,10 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q15_top_supplier",
-    """
+    f"""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+             round(CAST(sum({REV_SQL}) AS DOUBLE) / 10000, 2) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
       GROUP BY l_suppkey)
@@ -179,7 +184,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue")
+        rev_sum("total_revenue")
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("m"))
     s = t(spark, sf_dir, "supplier")
@@ -369,8 +374,8 @@ def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q19_disjunctive_revenue",
-    """
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    f"""
+    SELECT round(CAST(sum({REV_SQL}) AS DOUBLE) / 10000, 2) AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#10' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
        OR (p_brand = 'Brand#20' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
@@ -391,9 +396,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#20") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 30))
         | ((F.col("p_brand") == "Brand#30") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 40))
     )
-    return joined.filter(bracket).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
-    )
+    return joined.filter(bracket).agg(rev_sum("revenue"))
 
 
 @register(
