@@ -382,6 +382,14 @@ def main() -> None:
         "eval_corpus_bleu 2.1x, sample_domain_cap 2.0x) all re-measure",
         "in isolation at 1.06x / 1.42x / 1.90x / 1.32x — noise, cleared;",
         "no regression from the exact-DECIMAL accumulators.",
+        "Post-ingest-contract regen (late r6, after the non-finite",
+        "sanitization + exact-revenue rewrite): boundary cells either",
+        "carry a same-round isolated clearance (dedup_exact_groups,",
+        "sample_domain_cap, dq_snapshot_diff, sample_dsir_weights,",
+        "eval_corpus_bleu) or re-measure in isolation now:",
+        "text_vocab_coverage 1.38x, eval_rouge_l 1.78x — noise,",
+        "cleared; the contract projection costs nothing measurable",
+        "(bench 180-query total 152.1s vs 152.6s pre-change).",
         "",
         "## Integer-overflow envelope (round-6 audit)",
         "",
