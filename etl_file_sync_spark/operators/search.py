@@ -99,11 +99,19 @@ def bm25_topk(
     def _tf(term: str):  # single-arg lambda: a 2-arg lambda would receive the array index
         return F.size(F.filter(arr, lambda x: x == F.lit(term)))
 
-    per_doc = df.select(
-        F.col(id_col).alias("id"),
-        F.size(arr).alias("dl"),
-        *[_tf(t).alias(f"tf_{i}") for i, t in enumerate(terms)],
-    ).cache()
+    # the collection is token-BEARING docs: a zero-token document can
+    # match nothing and must not dilute n_docs/avgdl (the oracle's dl
+    # frame only ever held docs with >= 1 token; invisible until the
+    # unicode-poked tier introduced empty/whitespace-only documents)
+    per_doc = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.size(arr).alias("dl"),
+            *[_tf(t).alias(f"tf_{i}") for i, t in enumerate(terms)],
+        )
+        .where(F.col("dl") > 0)
+        .cache()
+    )
     stats = per_doc.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),

@@ -29,10 +29,49 @@ def tokens(col: Column | str) -> Column:
     return F.split(col if isinstance(col, Column) else F.col(col), " ")
 
 
-def normalize_text(col: Column | str) -> Column:
-    """Canonical form for fingerprinting: lowercase, collapsed whitespace."""
+# --- ASCII case-fold contract -------------------------------------------
+# Full-Unicode case mapping is RUNTIME-DEPENDENT: the JVM implements
+# SpecialCasing.txt (one-to-many upper('ß') = 'SS', context-sensitive
+# Greek final sigma in lower()) while utf8proc/DuckDB applies simple
+# one-to-one maps (upper('ß') = 'ẞ' U+1E9E, every Σ -> 'σ') and the two
+# also disagree on Turkish İ (U+0130: JVM 'i'+U+0307 vs utf8proc 'i').
+# A fingerprint, dedup key, or token count built on engine-native
+# lower() is therefore NOT reproducible across runtimes — which defeats
+# the point. The analysis path folds case for ASCII A-Z only (the
+# deterministic subset every runtime agrees on); pipelines needing full
+# Unicode casefold do it at ingest with a pinned ICU build. The
+# unicode-poked tier sweep (tests/test_unicode_text.py) pins this
+# contract engine-vs-oracle.
+_A_UP = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_A_LO = "abcdefghijklmnopqrstuvwxyz"
+
+#: DuckDB spelling of the same fold, for oracle SQL: ASCII_LOWER_SQL.format(x=...)
+ASCII_LOWER_SQL = f"translate({{x}}, '{_A_UP}', '{_A_LO}')"
+ASCII_UPPER_SQL = f"translate({{x}}, '{_A_LO}', '{_A_UP}')"
+
+
+def ascii_lower(col: Column | str) -> Column:
+    """Fold ASCII A-Z to a-z; every other codepoint passes through."""
     c = col if isinstance(col, Column) else F.col(col)
-    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+    return F.translate(c, _A_UP, _A_LO)
+
+
+def ascii_upper(col: Column | str) -> Column:
+    """Fold ASCII a-z to A-Z; every other codepoint passes through."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.translate(c, _A_LO, _A_UP)
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for fingerprinting: ASCII-folded lowercase,
+    collapsed whitespace. ASCII fold (not engine lower()) so the sha256
+    is bit-identical on every runtime — see the contract note above."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return ascii_lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+#: the oracle spelling of normalize_text, shared by every dedup oracle
+NORM_SQL = ASCII_LOWER_SQL.format(x="trim(regexp_replace(text, '\\s+', ' ', 'g'))")
 
 
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -467,8 +506,13 @@ def bigram_doc_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     second corpus pass), two joins on the bigram/left keys — all
     partial-aggregated groupBys; docs shorter than 2 tokens are absent
     by contract.
+
+    Tokens here are NON-EMPTY split segments (a whitespace-only doc has
+    zero bigram-able tokens, matching the oracle's list_filter) — the
+    unicode-poked tier caught the unfiltered spelling emitting
+    empty-string bigrams for space-only documents.
     """
-    toks = tokens(text_col)
+    toks = F.filter(tokens(text_col), lambda x: F.length(x) > 0)
     big = F.transform(
         F.sequence(F.lit(0), F.size(toks) - 2),
         lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),

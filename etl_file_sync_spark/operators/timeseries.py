@@ -29,6 +29,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+# The testdata events domain (TESTDATA.md: one month of 2024-01 events
+# at every SF). Spine-building registry queries declare this reporting
+# window explicitly so a corrupt timestamp can never inflate their
+# calendar — the bounded-gapfill contract (see gapfill_interpolate).
+EVENTS_REPORT_START = "2024-01-01"
+EVENTS_REPORT_END = "2024-01-31"
+
 
 def daily_cents(
     df: DataFrame,
@@ -88,9 +95,23 @@ def rolling_zscore(series: DataFrame, window_days: int = 7, z_thresh: float = 2.
     )
 
 
-def gapfill_interpolate(series: DataFrame) -> DataFrame:
-    """Densify (key, day, cents) onto the full per-corpus calendar and
-    linearly interpolate missing days; edges fall back to nearest value.
+def gapfill_interpolate(
+    series: DataFrame, start: str | None = None, end: str | None = None
+) -> DataFrame:
+    """Densify (key, day, cents) onto the calendar and linearly
+    interpolate missing days; edges fall back to nearest value.
+
+    ``start``/``end`` ('YYYY-MM-DD', inclusive) bound the reporting
+    window: the series is filtered to it and the spine generated from
+    it. Pass them in production — the same contract as TimescaleDB's
+    time_bucket_gapfill, whose start/end arguments exist for exactly
+    this reason: an UNBOUNDED spine is O(keys x observed-span), so one
+    corrupt row with a default-initialized (1970) or far-future
+    timestamp inflates the calendar 4,000x and turns a 31-day gapfill
+    into a 130k-day blowup (the time-edge-poked tier measured exactly
+    that; the oracle's quadratic IGNORE NULLS window never finished).
+    Omitting both falls back to the observed min/max span — acceptable
+    only when the input's time domain is already trusted/bounded.
 
     Returns (key, day, cents, filled_cents, is_interpolated) where
     `cents` keeps nulls for absent days and filled_cents is
@@ -98,12 +119,23 @@ def gapfill_interpolate(series: DataFrame) -> DataFrame:
       interior  →  prev + (next-prev)·(day-prev_day)/(next_day-prev_day)
       edge      →  nearest observed value (ffill/bfill)
 
-    Shape: the spine is sequence(min_day, max_day) exploded against the
-    distinct key set (a broadcast of two tiny aggregate frames), then one
-    left join back to the series and two IGNORE NULLS windows per key —
-    no driver collect, no calendar table.
+    Shape: the spine is sequence(d0, d1) exploded against the distinct
+    key set (a broadcast of two tiny aggregate frames), then one left
+    join back to the series and two IGNORE NULLS windows per key — no
+    driver collect, no calendar table.
     """
-    span = series.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    if (start is None) != (end is None):
+        raise ValueError("pass both start and end, or neither")
+    if start is not None:
+        series = series.where(
+            (F.col("day") >= F.lit(start).cast("date"))
+            & (F.col("day") <= F.lit(end).cast("date"))
+        )
+        span = series.sparkSession.range(1).select(
+            F.lit(start).cast("date").alias("d0"), F.lit(end).cast("date").alias("d1")
+        )
+    else:
+        span = series.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
     keys = series.select("key").distinct()
     spine = keys.crossJoin(F.broadcast(span)).select(
         "key", F.explode(F.sequence("d0", "d1")).alias("day")

@@ -136,9 +136,15 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_resample_interpolate",
     """
     WITH daily AS (
+      -- bounded reporting window (the gapfill contract shared with
+      -- ts_gapfill_interpolate): a corrupt timestamp outside it cannot
+      -- inflate any user's personal spine
       SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
              CAST(count(*) AS BIGINT) AS cnt
-      FROM events WHERE user_id % 10 = 0 GROUP BY 1, 2
+      FROM events WHERE user_id % 10 = 0
+        AND CAST(CAST(ts AS TIMESTAMP) AS DATE)
+            BETWEEN DATE '2024-01-01' AND DATE '2024-01-31'
+      GROUP BY 1, 2
     ),
     bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
     grid AS (
@@ -179,11 +185,26 @@ def ts_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     direction. The interpolation arithmetic is integer-exact until a
     single double division, so the oracle matches bit-for-bit.
     Filtered to user_id % 10 = 0 to keep the oracle frame small while
-    exercising every code path.
+    exercising every code path. Each user's grid spans their own
+    observed min/max day WITHIN the declared reporting window — the
+    bounded-gapfill contract (operators/timeseries.py): one corrupt
+    1970/2262 timestamp otherwise inflates that user's personal spine
+    by 4,000x.
     """
+    from etl_file_sync_spark.operators.timeseries import (
+        EVENTS_REPORT_END,
+        EVENTS_REPORT_START,
+    )
+
     e = t(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
     daily = (
         e.select("user_id", F.col("ts").cast("date").alias("day"))
+        .where(
+            F.col("day").between(
+                F.lit(EVENTS_REPORT_START).cast("date"),
+                F.lit(EVENTS_REPORT_END).cast("date"),
+            )
+        )
         .groupBy("user_id", "day")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .cache()  # 2 consumers (bounds + grid left-join): one events scan

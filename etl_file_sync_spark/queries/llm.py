@@ -20,7 +20,11 @@ from etl_file_sync_spark.queries.registry import register, t
 # Deduplication
 # ---------------------------------------------------------------------------
 
-_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+# ASCII fold, not lower(): full-Unicode case mapping is runtime-dependent
+# (JVM SpecialCasing vs utf8proc simple maps — upper('ß') is 'SS' vs 'ẞ'),
+# so a cross-engine-reproducible fingerprint folds A-Z only. See
+# operators/text.py ascii_lower / tests/test_unicode_text.py.
+_NORM = "translate(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' '), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')"
 
 
 @register(
@@ -443,7 +447,7 @@ def text_pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH survivors AS (
       SELECT min(doc_id) AS doc_id
       FROM documents
-      GROUP BY sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+      GROUP BY sha256(translate(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' '), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'))
     ),
     q AS (
       SELECT doc_id, lang,

@@ -18,7 +18,9 @@ PHONE_RE = "[0-9]{3}-[0-9]{4}"
     f"""
     WITH synth AS (
       SELECT c_custkey,
-             'contact ' || lower(replace(c_name, '#', '')) || '@example.com call 555-' ||
+             'contact ' || translate(replace(c_name, '#', ''),
+               'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')
+               || '@example.com call 555-' ||
              lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') || ' re ' || c_mktsegment AS msg
       FROM customer WHERE c_custkey <= 100)
     SELECT c_custkey,
@@ -35,11 +37,14 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing: regex redaction of emails/phones with match counts —
     the standard pre-training privacy pass. Input PII is synthesized
     deterministically from the customer table so the oracle can restate
-    the whole flow."""
+    the whole flow. Case folding is the ASCII contract (not lower():
+    JVM vs utf8proc disagree on İ/Σ — operators/text.py ascii_lower)."""
+    from etl_file_sync_spark.operators.text import ascii_lower
+
     c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
     msg = F.concat(
         F.lit("contact "),
-        F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit(""))),
+        ascii_lower(F.replace(F.col("c_name"), F.lit("#"), F.lit(""))),
         F.lit("@example.com call 555-"),
         F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
         F.lit(" re "),

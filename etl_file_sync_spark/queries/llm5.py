@@ -196,7 +196,7 @@ def text_quality_train_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH g AS (
       SELECT doc_id,
-             count(*) OVER (PARTITION BY sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS group_size
+             count(*) OVER (PARTITION BY sha256(translate(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' '), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'))) AS group_size
       -- NULL text has no content fingerprint: excluded from dup
       -- weighting in both engines (engine-wide dedup posture)
       FROM documents WHERE text IS NOT NULL
@@ -442,7 +442,7 @@ def mix_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH q AS (
       SELECT doc_id,
-             sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS k,
+             sha256(translate(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' '), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS k,
              len(string_split(text, ' ')) AS n,
              len(list_distinct(string_split(text, ' '))) * 1.0
                / len(string_split(text, ' ')) AS ttr,
@@ -646,7 +646,7 @@ def dedup_nearest_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_incremental_ingest",
     """
     WITH keyed AS (
-      SELECT doc_id, sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS k
+      SELECT doc_id, sha256(translate(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' '), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS k
       FROM documents
     ),
     corpus AS (SELECT min(doc_id) AS corpus_id, k FROM keyed WHERE doc_id < 400 GROUP BY k),
@@ -695,7 +695,7 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH q AS (
       SELECT doc_id, source, lang, n_chars,
-             sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS k,
+             sha256(translate(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' '), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS k,
              len(string_split(text, ' ')) AS n,
              len(list_distinct(string_split(text, ' '))) * 1.0
                / len(string_split(text, ' ')) AS ttr,

@@ -526,7 +526,11 @@ def set_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_string_funcs",
     """
     SELECT c_custkey,
-           upper(c_name) AS name_upper,
+           -- ASCII fold: native upper() is runtime-dependent on
+           -- arbitrary text (JVM upper('ß')='SS' vs utf8proc 'ẞ');
+           -- the enum seg column keeps the native lower() demo
+           translate(c_name, 'abcdefghijklmnopqrstuvwxyz',
+                     'ABCDEFGHIJKLMNOPQRSTUVWXYZ') AS name_upper,
            lower(c_mktsegment) AS seg_lower,
            substring(c_name, 1, 8) AS name_prefix,
            CAST(length(c_name) AS INTEGER) AS name_len,
@@ -540,11 +544,17 @@ def set_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     "string",
 )
 def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String function parity: upper/lower/substr/length/concat/replace/trim/instr."""
+    """String function parity: case-fold/substr/length/concat/replace/
+    trim/instr. name_upper is the ASCII fold (operators/text.py
+    ascii_upper) — native upper() on arbitrary text is runtime-dependent
+    (SpecialCasing vs simple maps); the enum c_mktsegment keeps the
+    native lower() demo where every runtime agrees."""
+    from etl_file_sync_spark.operators.text import ascii_upper
+
     c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 50)
     return c.select(
         "c_custkey",
-        F.upper("c_name").alias("name_upper"),
+        ascii_upper("c_name").alias("name_upper"),
         F.lower("c_mktsegment").alias("seg_lower"),
         F.substring("c_name", 1, 8).alias("name_prefix"),
         F.length("c_name").alias("name_len"),

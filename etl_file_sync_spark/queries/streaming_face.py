@@ -23,9 +23,11 @@ from etl_file_sync_spark.queries.registry import register, t
     SELECT CAST(to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / 300) * 300) AS TIMESTAMP) AS window_start,
            event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
     FROM events
-    -- the streaming engine drops rows with a NULL event time (no
-    -- watermark/window assignment is possible) -- mirror that here
-    WHERE ts IS NOT NULL
+    -- the streaming admission window (streaming/replay.py ADMIT_*):
+    -- NULL event times and out-of-window timestamps never reach the
+    -- watermark -- mirror that here
+    WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1990-01-01'
+      AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2035-01-01'
     GROUP BY 1, 2
     """,
     "streaming",
@@ -181,7 +183,9 @@ def asof_purchase_prev_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_stream_join",
     """
-    WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+    WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+                WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1990-01-01'
+      AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2035-01-01'),
     p AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'),
     v AS (SELECT event_id AS view_id, user_id, ts AS view_ts FROM ev WHERE event_type = 'view')
     SELECT p.event_id, v.view_id, p.user_id
@@ -228,7 +232,8 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / 900) * 900) AS TIMESTAMP) AS window_start,
            event_type, count(*) AS n_events
     FROM events
-    WHERE ts IS NOT NULL
+    WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1990-01-01'
+      AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2035-01-01'
     GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "streaming",
@@ -311,6 +316,8 @@ def rollup_reaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id, user_id, event_type
     FROM events
+    WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1990-01-01'
+      AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2035-01-01'
     ORDER BY event_id
     """,
     "streaming",
@@ -342,7 +349,9 @@ def stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_outer_attribution_dedup",
     """
-    WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+    WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+                WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1990-01-01'
+      AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2035-01-01'),
     p AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'),
     v AS (SELECT event_id AS view_id, user_id, ts AS view_ts FROM ev WHERE event_type = 'view')
     SELECT p.event_id, p.user_id, v.view_id
@@ -403,7 +412,8 @@ def stream_outer_attribution_dedup(spark: SparkSession, sf_dir: str) -> DataFram
     "stream_session_windows",
     """
     WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
-                WHERE ts IS NOT NULL),
+                WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1990-01-01'
+      AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2035-01-01'),
     flags AS (
       SELECT user_id, ts,
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
@@ -458,6 +468,8 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number()
                OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
       FROM events
+      WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1990-01-01'
+      AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2035-01-01'
     )
     SELECT user_id,
            CAST(min(ts) AS TIMESTAMP) AS cross_ts,
@@ -533,7 +545,9 @@ def stream_stateful_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_full_outer_join",
     """
-    WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+    WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+                WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1990-01-01'
+      AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2035-01-01'),
     p AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'),
     v AS (SELECT event_id AS view_id, user_id AS v_user, ts AS view_ts FROM ev WHERE event_type = 'view')
     SELECT p.event_id, v.view_id, coalesce(p.user_id, v.v_user) AS user_id
@@ -634,6 +648,9 @@ def stream_pyds_replay_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS window_start,
              e.event_type, d.type_rank, e.value
       FROM events e JOIN dim d USING (event_type)
+      -- dim is batch-side (unfiltered); the STREAM side admits
+      WHERE CAST(e.ts AS TIMESTAMP) >= TIMESTAMP '1990-01-01'
+        AND CAST(e.ts AS TIMESTAMP) < TIMESTAMP '2035-01-01'
     )
     SELECT window_start, event_type, type_rank,
            count(*) AS n_events, round(sum(value), 2) AS total_value
@@ -761,6 +778,8 @@ def stream_upsert_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS TIMESTAMP) AS window_start,
              CAST(count(*) AS BIGINT) AS n_errors
       FROM events WHERE event_type = 'error'
+        AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '1990-01-01'
+      AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2035-01-01'
       GROUP BY 1
     )
     SELECT window_start, n_errors FROM w WHERE n_errors >= 2

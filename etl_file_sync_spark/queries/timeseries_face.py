@@ -112,11 +112,15 @@ def ts_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_gapfill_interpolate",
     """
     WITH daily AS (
+      -- bounded reporting window (the gapfill contract): a corrupt
+      -- timestamp outside it cannot inflate the spine
       SELECT user_id AS key, CAST(ts AS DATE) AS day,
              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-      FROM events WHERE user_id < 30 GROUP BY user_id, CAST(ts AS DATE)
+      FROM events WHERE user_id < 30
+        AND CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-31'
+      GROUP BY user_id, CAST(ts AS DATE)
     ),
-    span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+    span AS (SELECT DATE '2024-01-01' AS d0, DATE '2024-01-31' AS d1),
     spine AS (
       SELECT k.key, CAST(unnest(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) AS DATE) AS day
       FROM (SELECT DISTINCT key FROM daily) k CROSS JOIN span s
@@ -151,15 +155,19 @@ def ts_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "interpolation",
 )
 def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Densify per-user daily revenue onto the full calendar (generated
-    sequence spine — no calendar table) and linearly interpolate interior
-    gaps; edges fall back to nearest observed value. ~45% of the
-    (user, day) cells are absent at this SF, so the interpolation path
-    is genuinely exercised."""
+    """Densify per-user daily revenue onto the declared reporting window
+    (generated sequence spine — no calendar table) and linearly
+    interpolate interior gaps; edges fall back to nearest observed
+    value. ~45% of the (user, day) cells are absent at this SF, so the
+    interpolation path is genuinely exercised. The window is explicit
+    (TimescaleDB-style gapfill contract): one corrupt 1970/2262
+    timestamp must not inflate the spine 4,000x (time-edge tier)."""
     ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
     series = TS.daily_cents(ev, "user_id")
     return (
-        TS.gapfill_interpolate(series)
+        TS.gapfill_interpolate(
+            series, start=TS.EVENTS_REPORT_START, end=TS.EVENTS_REPORT_END
+        )
         .select(
             F.col("key").alias("user_id"),
             F.col("day").cast("timestamp").alias("day"),

@@ -24,7 +24,10 @@ TOKEN_RE = r"[a-z]+|[0-9]+"
     "udf_pandas_token_count",
     f"""
     SELECT doc_id,
-           CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS INTEGER) AS n_re_tokens,
+           CAST(len(regexp_extract_all(
+             translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                             'abcdefghijklmnopqrstuvwxyz'),
+             '{TOKEN_RE}')) AS INTEGER) AS n_re_tokens,
            CAST(length(text) AS INTEGER) AS n_chars
     FROM documents ORDER BY doc_id
     """,
@@ -37,20 +40,23 @@ def udf_pandas_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The built-in regexp functions would beat this in production — the
     point is validating the Python-worker path end-to-end against the
-    same computation stated in SQL."""
+    same computation stated in SQL. Case folding is the ASCII contract
+    (Python str.lower() maps 'İ' to 'i'+U+0307, splitting a token that
+    utf8proc's 'i' keeps whole — operators/text.py ascii_lower)."""
     import re
 
     pat = re.compile(TOKEN_RE)
+    fold = str.maketrans(
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+    )
 
     @F.pandas_udf("int")
     def n_tokens(s: pd.Series) -> pd.Series:
         # NULL text -> NULL count (regexp_extract_all(NULL) is NULL in
         # the oracle); nullable Int32 keeps the Arrow type integral
-        return (
-            s.str.lower()
-            .map(lambda x: len(pat.findall(x)) if isinstance(x, str) else None)
-            .astype("Int32")
-        )
+        return s.map(
+            lambda x: len(pat.findall(x.translate(fold))) if isinstance(x, str) else None
+        ).astype("Int32")
 
     d = t(spark, sf_dir, "documents")
     return d.select(

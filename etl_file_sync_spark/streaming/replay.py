@@ -19,6 +19,34 @@ EVENTS_RAW_SCHEMA = (
     "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
 )
 
+# Event-time ADMISSION WINDOW for stateful streaming. The watermark is a
+# global monotone high-water mark: ONE event with a far-future timestamp
+# (clock skew, a corrupt field, a 2262 default) advances it past every
+# real window and the engine then silently drops the entire remaining
+# stream as "late" — strictly worse than the row being wrong on its own.
+# Pre-epoch/zeroed timestamps are the mirror hazard (they pin state that
+# can never be evicted). Production streaming jobs therefore bound
+# admissible event time at ingest (the don't-poison-the-watermark
+# posture, same family as catalog._sanitize_doubles); rows outside the
+# window belong in a DLQ, not in the watermark domain. The time-edge
+# poked tier (tests/test_timeedge.py) pins this: without the window,
+# five watermarked queries lost 2-15 rows each to a single poked 2262
+# event. Replay-harness flush sentinels (user_id < 0) are exempt —
+# advancing the watermark is their job.
+ADMIT_MIN_TS = "1990-01-01 00:00:00"
+ADMIT_MAX_TS = "2035-01-01 00:00:00"
+
+
+def _admit(df: DataFrame) -> DataFrame:
+    """Apply the event-time admission window (NULL ts fails it too)."""
+    return df.where(
+        (
+            (F.col("ts") >= F.lit(ADMIT_MIN_TS).cast("timestamp"))
+            & (F.col("ts") < F.lit(ADMIT_MAX_TS).cast("timestamp"))
+        )
+        | (F.col("user_id") < 0)
+    )
+
 
 def _stage_many(sf_dir: str, stage: str, prefix: str = "events") -> None:
     """Symlink the events table into ``stage`` as plain parquet FILES.
@@ -82,14 +110,14 @@ def events_stream(spark: SparkSession, sf_dir: str, stage_dir: str | None = None
     # testdata this is: int64 nanos (legacy) or a real timestamp column.
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     if isinstance(batch_schema["ts"].dataType, LongType):
-        return (
+        return _admit(
             spark.readStream.schema(EVENTS_RAW_SCHEMA)
             .parquet(stage)
             .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         )
     # TIMESTAMP_NTZ → TIMESTAMP: watermarks require the latter; with a
     # UTC session TZ the cast is instant-preserving (see catalog.py).
-    return (
+    return _admit(
         spark.readStream.schema(batch_schema)
         .parquet(stage)
         .withColumn("ts", F.col("ts").cast("timestamp"))
@@ -148,12 +176,14 @@ def events_stream_with_flush(
     sent.to_parquet(os.path.join(stage, "01_flush.parquet"))
     reader = spark.readStream.option("maxFilesPerTrigger", 1)
     if is_nanos:
-        return (
+        return _admit(
             reader.schema(EVENTS_RAW_SCHEMA)
             .parquet(stage)
             .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         )
-    return reader.schema(batch.schema).parquet(stage).withColumn("ts", F.col("ts").cast("timestamp"))
+    return _admit(
+        reader.schema(batch.schema).parquet(stage).withColumn("ts", F.col("ts").cast("timestamp"))
+    )
 
 
 def events_stream_with_late_replay(
@@ -237,9 +267,11 @@ def events_stream_with_late_replay(
     late.to_parquet(os.path.join(stage, "02_late.parquet"), schema=src_schema)
     reader = spark.readStream.option("maxFilesPerTrigger", 1)
     if is_nanos:
-        return (
+        return _admit(
             reader.schema(EVENTS_RAW_SCHEMA)
             .parquet(stage)
             .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         )
-    return reader.schema(batch.schema).parquet(stage).withColumn("ts", F.col("ts").cast("timestamp"))
+    return _admit(
+        reader.schema(batch.schema).parquet(stage).withColumn("ts", F.col("ts").cast("timestamp"))
+    )

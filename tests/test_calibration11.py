@@ -363,10 +363,19 @@ class TestTierAgreement11:
         got = _q(spark, sf_dir, "ts_gapfill_interpolate")
         e = ev_pd[ev_pd["user_id"] < 30].copy()
         e["day"] = e["ts"].dt.normalize()
+        # the bounded-gapfill contract: the spine is the DECLARED
+        # reporting window, not the observed min/max span (one corrupt
+        # timestamp must not inflate the calendar — see
+        # operators/timeseries.py gapfill_interpolate)
+        from etl_file_sync_spark.operators.timeseries import (
+            EVENTS_REPORT_END,
+            EVENTS_REPORT_START,
+        )
+
+        d0, d1 = pd.Timestamp(EVENTS_REPORT_START), pd.Timestamp(EVENTS_REPORT_END)
+        e = e[(e["day"] >= d0) & (e["day"] <= d1)]
         e["c"] = _cents(e["value"].to_numpy())
         daily = e.groupby(["user_id", "day"])["c"].sum()
-        d0 = daily.index.get_level_values("day").min()
-        d1 = daily.index.get_level_values("day").max()
         span = pd.date_range(d0, d1, freq="D")
         rows = {}
         for uid in sorted(e["user_id"].unique()):
