@@ -247,31 +247,55 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "scalar_variant_ops",
     """
+    WITH x AS (
+      -- json_valid guard: DuckDB json functions ERROR on malformed
+      -- input where try_parse_json yields a NULL variant
+      SELECT event_id,
+             CASE WHEN json_valid(props) THEN props END AS p
+      FROM events WHERE event_id < 500
+    ),
+    s AS (
+      SELECT event_id,
+             json_extract_string(p, '$.k') AS ks,
+             json_extract_string(p, '$.missing') AS ms,
+             CASE WHEN json_type(p) = 'OBJECT' THEN 'OBJECT' END AS vtype
+      FROM x
+    )
     SELECT event_id,
-           CAST(json_extract(props, '$.k') AS INTEGER) AS k_val,
-           CASE WHEN json_valid(props) THEN 'OBJECT' ELSE NULL END AS vtype,
-           CAST(json_extract(props, '$.missing') AS INTEGER) AS absent_path
-    FROM events WHERE event_id < 500 ORDER BY event_id
+           -- numeric-string truncation convention (see
+           -- scalar_json_extract): Spark's non-ANSI string->int
+           -- truncates '12.7' -> 12 and NULLs 'true'/overflow; DuckDB
+           -- CAST would round to 13 and error on 20-digit values
+           TRY_CAST(trunc(TRY_CAST(ks AS DOUBLE)) AS INTEGER) AS k_val,
+           vtype,
+           TRY_CAST(trunc(TRY_CAST(ms AS DOUBLE)) AS INTEGER) AS absent_path
+    FROM s ORDER BY event_id
     """,
     "scalar",
     "variant",
     "semi-structured",
 )
 def scalar_variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """VARIANT semi-structured columns (Spark 4): parse_json once into a
-    variant, then typed variant_get path extraction — the open-format
-    answer to schema-on-read JSON that keeps a binary columnar encoding
-    instead of re-parsing strings per access. Missing paths yield NULL
-    (not an error), matching the reference's lenient JSON posture
-    (SURVEY.md §1.3). Oracle restates the paths with DuckDB JSON
-    functions over the raw string."""
+    """VARIANT semi-structured columns (Spark 4): try_parse_json once
+    into a variant, then typed variant_get path extraction — the
+    open-format answer to schema-on-read JSON that keeps a binary
+    columnar encoding instead of re-parsing strings per access. TRY
+    semantics throughout (the don't-kill-the-job posture): malformed
+    payloads parse to a NULL variant, missing paths and wrong-typed
+    values extract to NULL, never an error — plain parse_json would
+    abort the whole 100 TB job on the first truncated producer write
+    (the JSON-poked tier tests/test_json_props.py pins this). Values
+    extract as string and cast under the shared numeric-string
+    truncation convention ('12.7' -> 12; boolean/overflow -> NULL) so
+    both engines agree on every poked payload. Oracle restates the paths with json_valid-guarded DuckDB
+    JSON functions over the raw string."""
     ev = t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
-    v = ev.select("event_id", F.parse_json("props").alias("v"))
+    v = ev.select("event_id", F.expr("try_parse_json(props)").alias("v"))
     return v.select(
         "event_id",
-        F.expr("variant_get(v, '$.k', 'int')").alias("k_val"),
+        F.expr("try_variant_get(v, '$.k', 'string')").cast("int").alias("k_val"),
         F.expr("schema_of_variant(v)").startswith("OBJECT").alias("_is_obj"),
-        F.expr("variant_get(v, '$.missing', 'int')").alias("absent_path"),
+        F.expr("try_variant_get(v, '$.missing', 'string')").cast("int").alias("absent_path"),
     ).select(
         "event_id",
         "k_val",

@@ -39,13 +39,23 @@ def _user_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# json_valid guard + numeric-string truncation convention: mirrors the
+# engine's lenient get_json_object(...).cast('int') on malformed and
+# wrong-typed props (see scalar_json_extract; DuckDB json functions
+# ERROR on malformed input and CAST('12.7') would round where Spark
+# truncates)
 _USER_ITEMS_SQL = """
+    raw AS (
+      SELECT user_id,
+             CASE WHEN json_valid(props)
+                  THEN json_extract_string(props, '$.k') END AS ks
+      FROM events WHERE event_type = 'view'
+    ),
     ui AS (
       SELECT DISTINCT user_id,
-             CAST(json_extract_string(props, '$.k') AS INTEGER) AS item
-      FROM events
-      WHERE event_type = 'view'
-        AND json_extract_string(props, '$.k') IS NOT NULL
+             TRY_CAST(trunc(TRY_CAST(ks AS DOUBLE)) AS INTEGER) AS item
+      FROM raw
+      WHERE TRY_CAST(trunc(TRY_CAST(ks AS DOUBLE)) AS INTEGER) IS NOT NULL
     )
 """
 

@@ -666,11 +666,28 @@ def scalar_case_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "scalar_json_extract",
     """
+    WITH x AS (
+      -- mirror of Spark's lenient get_json_object(...).cast('int'):
+      -- malformed JSON yields NULL (json_valid guard; DuckDB's
+      -- json_extract_string ERRORS where Jackson returns NULL) and
+      -- numeric strings TRUNCATE toward zero (Spark's non-ANSI
+      -- string->int: '12.7' -> 12, 'true'/overflow -> NULL; a bare
+      -- DuckDB CAST('12.7' AS INTEGER) would ROUND to 13 and error on
+      -- 20-digit values, hence the double-parse + trunc + TRY spelling)
+      SELECT event_type,
+             CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS ks
+      FROM events
+    ),
+    k AS (
+      SELECT event_type,
+             TRY_CAST(trunc(TRY_CAST(ks AS DOUBLE)) AS INTEGER) AS k
+      FROM x
+    )
     SELECT event_type,
            count(*) AS n_events,
-           round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
-           CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
-    FROM events GROUP BY event_type
+           round(avg(k), 4) AS avg_k,
+           CAST(max(k) AS INTEGER) AS max_k
+    FROM k GROUP BY event_type
     """,
     "scalar",
     "json",
@@ -679,7 +696,11 @@ def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON field extraction from the events.props payload column.
 
     Mirrors the reference's json.loads surface (message.py:69) as a
-    vectorized JVM expression instead of per-row Python.
+    vectorized JVM expression instead of per-row Python. get_json_object
+    is LENIENT — malformed payloads, wrong-typed values, non-integral
+    number strings and out-of-range integers all yield NULL, never an
+    error (the don't-kill-the-job posture; the JSON-poked tier
+    tests/test_json_props.py pins this against the guarded oracle).
     """
     e = t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")

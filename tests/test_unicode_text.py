@@ -48,7 +48,7 @@ def tier(tmp_path_factory):
     assert DOC_POKES[17][1] != DOC_POKES[13][1]
     n_poked, n_empty = con.execute(
         f"""
-        SELECT count(*) FILTER (text ~ '[^\\x00-\\x7F]'),
+        SELECT count(*) FILTER (octet_length(encode(text)) > length(text)),
                count(*) FILTER (text = '')
         FROM read_parquet('{d}/documents.parquet')
         """
