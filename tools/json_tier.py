@@ -60,6 +60,8 @@ PROPS_POKES: dict[int, str | None] = {
     53: '﻿{"k": 9}',                 # BOM-prefixed object
     59: None,                             # NULL props
     61: "42",                             # valid JSON scalar
+    67: '{"k": 1e3}',                     # scientific-notation JSON number
+    71: '{"k": 12.0}',                    # decimal-point JSON number
 }
 
 
