@@ -44,13 +44,24 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
-    toks = F.split(F.col(text_col), " ")
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    The token array is materialized in its own projection BEFORE the
+    per-position lambda: an expression referenced inside a higher-order
+    -function lambda is re-evaluated per element, so slicing
+    ``split(text)`` directly would re-split the whole text once per
+    position — O(len^2) chars per document, 2.2 GB of splitting for one
+    112 KB document (the monster-doc tier measured 27 s/doc; a
+    million-token web page would take days). CollapseProject keeps the
+    boundary because the alias is non-cheap and multiply referenced.
+    """
+    base = df.select(F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("_toks"))
+    toks = F.col("_toks")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
-    return df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle")).where(
+    return base.select("id", F.explode(F.array_distinct(grams)).alias("shingle")).where(
         F.length("shingle") > 0
     )
 
@@ -891,17 +902,17 @@ def paragraph_segments(
     (id, seg_idx, seg). Only complete segments are emitted — the ragged
     tail is never dedup material. Built with slice() over the token
     array (no per-token explode; one array op per row, then one explode
-    per segment)."""
-    toks = F.split(F.col(text_col), " ")
+    per segment). The token array is materialized before the per-segment
+    lambda — slicing split(text) inside it would re-split the whole text
+    per segment, O(len^2/seg) chars per document (see shingles)."""
+    base = df.select(F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("_toks"))
+    toks = F.col("_toks")
     n_segs = F.floor(F.size(toks) / seg_tokens).cast("int")
     segs = F.transform(
         F.sequence(F.lit(0), n_segs - 1),
         lambda i: F.concat_ws(" ", F.slice(toks, i * seg_tokens + 1, seg_tokens)),
     )
-    return (
-        df.where(n_segs > 0)
-        .select(F.col(id_col).alias("id"), F.posexplode(segs).alias("seg_idx", "seg"))
-    )
+    return base.where(n_segs > 0).select("id", F.posexplode(segs).alias("seg_idx", "seg"))
 
 
 def paragraph_dup_stats(
@@ -958,15 +969,20 @@ def ngram_span_stats(
     back. The span string is the join key in both engines, so the result
     is value-exact oracle-checkable; a 100 TB run would hash spans to
     bigints first (see jaccard_pairs) and accept the ~1e-11 collision.
+
+    The token array is materialized before the per-span lambda —
+    slicing split(text) inside it would re-split the whole text per
+    position, O(len^2) chars per document (see shingles).
     """
-    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("_toks"))
+    toks = F.col("_toks")
     spans = F.transform(
         F.sequence(F.lit(0), F.size(toks) - window),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, window)),
     )
     occ = (
-        df.where(F.size(toks) >= window)
-        .select(F.col(id_col).alias("id"), F.explode(spans).alias("span"))
+        base.where(F.size(toks) >= window)
+        .select("id", F.explode(spans).alias("span"))
         # three consumers (shared-set, dup counts, totals) — one explode
         # pass. Cache lifecycle is the CALLER's (same contract as
         # jaccard_pairs): the returned frame is lazy, so this operator

@@ -104,7 +104,11 @@ def bigram_novelty(
     join back is a plain equi-join AQE can skew-split. Docs with fewer
     than two words score (0, 0, 0) via the left join.
     """
-    words = F.split(F.col(text_col), " ")
+    # token array materialized before the per-position lambda —
+    # element_at(split(text), i) inside it would re-split the whole
+    # text per position, O(len^2) chars per doc (see dedup.shingles)
+    base = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_w"))
+    words = F.col("_w")
     bigrams = F.when(
         F.size(words) >= 2,
         F.transform(
@@ -112,7 +116,7 @@ def bigram_novelty(
             lambda i: F.concat_ws(" ", F.element_at(words, i + 1), F.element_at(words, i + 2)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    occ = df.select(F.col(id_col), F.explode(bigrams).alias("bigram"))
+    occ = base.select(F.col(id_col), F.explode(bigrams).alias("bigram"))
     # cached: the corpus-count branch and the join branch both consume
     # this frame — without it the explode + partial agg runs twice.
     # Cache lifecycle is the caller's (jaccard_pairs contract); a

@@ -333,22 +333,31 @@ def chunk_documents(
     stride = chunk_tokens - overlap
     if stride <= 0:
         raise ValueError("overlap must be smaller than chunk_tokens")
-    toks = tokens(text_col)
+    # token array materialized once per row; chunks are sliced to STRINGS
+    # inside the per-start lambda BEFORE the explode — the previous shape
+    # carried the whole token array alongside every exploded start row,
+    # duplicating an n-element array n/stride times (O(n^2/stride) bytes:
+    # a million-token doc would materialize ~50 GB of array copies)
+    base = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_toks"))
+    toks = F.col("_toks")
     n = F.size(toks)
     # window starts: 0, stride, 2*stride... while start < n
-    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
-    exploded = df.select(
-        F.col(id_col).alias("id"),
-        n.alias("_n"),
-        F.posexplode(starts).alias("chunk_idx", "start"),
-        toks.alias("_toks"),
-    ).filter(F.col("start") < F.col("_n"))
-    chunk = F.slice(F.col("_toks"), F.col("start") + 1, chunk_tokens)
-    return exploded.select(
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
+        lambda s: s < n,
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.concat_ws(" ", F.slice(toks, s + 1, chunk_tokens)).alias("chunk_text"),
+            F.least(n - s, F.lit(chunk_tokens)).cast("int").alias("n_chunk_tokens"),
+        ),
+    )
+    return base.select("id", F.posexplode(chunks).alias("chunk_idx", "c")).select(
         "id",
         "chunk_idx",
-        F.concat_ws(" ", chunk).alias("chunk_text"),
-        F.least(F.col("_n") - F.col("start"), F.lit(chunk_tokens)).cast("int").alias("n_chunk_tokens"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
     )
 
 
@@ -510,17 +519,21 @@ def bigram_doc_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     Tokens here are NON-EMPTY split segments (a whitespace-only doc has
     zero bigram-able tokens, matching the oracle's list_filter) — the
     unicode-poked tier caught the unfiltered spelling emitting
-    empty-string bigrams for space-only documents.
+    empty-string bigrams for space-only documents. The token array is
+    materialized before the per-position lambda — element_at over the
+    raw filter(split(text)) expression would re-tokenize the whole text
+    per position, O(len^2) chars per doc (see dedup.shingles).
     """
-    toks = F.filter(tokens(text_col), lambda x: F.length(x) > 0)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(tokens(text_col), lambda x: F.length(x) > 0).alias("_toks"),
+    )
+    toks = F.col("_toks")
     big = F.transform(
         F.sequence(F.lit(0), F.size(toks) - 2),
         lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
     )
-    inst = (
-        df.where(F.size(toks) >= 2)
-        .select(F.col(id_col).alias("id"), F.explode(big).alias("bg"))
-    )
+    inst = base.where(F.size(toks) >= 2).select("id", F.explode(big).alias("bg"))
     tf = inst.groupBy("id", "bg").agg(F.count(F.lit(1)).alias("tf"))
     corpus = tf.groupBy("bg").agg(F.sum("tf").alias("n_bg"))
     left = corpus.select(

@@ -50,8 +50,16 @@ def tier(tmp_path_factory):
         FROM read_parquet('{d}/orders.parquet')
         """
     ).fetchone()
+    n_lneg, n_full_disc = con.execute(
+        f"""
+        SELECT count(*) FILTER (l_extendedprice < 0),
+               count(*) FILTER (l_discount = 1.0)
+        FROM read_parquet('{d}/lineitem.parquet')
+        """
+    ).fetchone()
     con.close()
     assert n_neg > 0 and n_zero > 0 and n_sub > 0, "tier poked no refund shapes"
+    assert n_lneg > 0 and n_full_disc > 0, "tier poked no lineitem refunds"
     return d
 
 

@@ -50,6 +50,14 @@ EVENT_VALUE_POKES: dict[int, str] = {
     11: "-0.004",
 }
 
+# l_orderkey % 233 -> lineitem money transforms (returned lines with
+# negated price, 100% discounts zeroing revenue, zero-priced lines)
+LINEITEM_POKES: dict[int, tuple[str, str, str]] = {
+    3: ("-l_extendedprice", "l_discount", "l_tax"),
+    7: ("l_extendedprice", "1.0", "0.0"),
+    11: ("0.0", "l_discount", "l_tax"),
+}
+
 
 def _case(col: str, mod: int, pokes: dict[int, str], keycol: str) -> str:
     whens = " ".join(f"WHEN {keycol} % {mod} = {k} THEN {v}" for k, v in pokes.items())
@@ -62,6 +70,12 @@ REWRITE = {
     + ")",
     "events": "* REPLACE ("
     + _case("value", 239, EVENT_VALUE_POKES, "event_id")
+    + ")",
+    "lineitem": "* REPLACE ("
+    + ", ".join(
+        _case(col, 233, {k: v[i] for k, v in LINEITEM_POKES.items()}, "l_orderkey")
+        for i, col in enumerate(["l_extendedprice", "l_discount", "l_tax"])
+    )
     + ")",
 }
 
