@@ -70,8 +70,11 @@ def normalize_text(col: Column | str) -> Column:
     return ascii_lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
 
 
-#: the oracle spelling of normalize_text, shared by every dedup oracle
-NORM_SQL = ASCII_LOWER_SQL.format(x="trim(regexp_replace(text, '\\s+', ' ', 'g'))")
+#: the oracle spelling of normalize_text, shared by every dedup oracle.
+#: trim(x, ' ') NOT bare trim(): DuckDB's bare trim strips Unicode
+#: whitespace (U+3000 included) where Spark F.trim strips only ASCII
+#: space — the exact divergence the unicode tier caught.
+NORM_SQL = ASCII_LOWER_SQL.format(x="trim(regexp_replace(text, '\\s+', ' ', 'g'), ' ')")
 
 
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

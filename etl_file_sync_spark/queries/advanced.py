@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_file_sync_spark.functions.numcast import num_int_sql, num_str_int
 from etl_file_sync_spark.queries.registry import register, t
 
 # multi-source BFS over the undirected near-dup graph, bounded at 6 hops;
@@ -246,7 +247,7 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scalar_variant_ops",
-    """
+    f"""
     WITH x AS (
       -- json_valid guard: DuckDB json functions ERROR on malformed
       -- input where try_parse_json yields a NULL variant
@@ -262,13 +263,12 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM x
     )
     SELECT event_id,
-           -- numeric-string truncation convention (see
-           -- scalar_json_extract): Spark's non-ANSI string->int
-           -- truncates '12.7' -> 12 and NULLs 'true'/overflow; DuckDB
-           -- CAST would round to 13 and error on 20-digit values
-           TRY_CAST(trunc(TRY_CAST(ks AS DOUBLE)) AS INTEGER) AS k_val,
+           -- shared numeric-string grammar convention (numcast.py):
+           -- trim control chars, grammar-match, parse double, trunc;
+           -- neither engine's native cast survives the poked tier
+           {num_int_sql('ks')} AS k_val,
            vtype,
-           TRY_CAST(trunc(TRY_CAST(ms AS DOUBLE)) AS INTEGER) AS absent_path
+           {num_int_sql('ms')} AS absent_path
     FROM s ORDER BY event_id
     """,
     "scalar",
@@ -285,17 +285,19 @@ def scalar_variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     values extract to NULL, never an error — plain parse_json would
     abort the whole 100 TB job on the first truncated producer write
     (the JSON-poked tier tests/test_json_props.py pins this). Values
-    extract as string and cast under the shared numeric-string
-    truncation convention ('12.7' -> 12; boolean/overflow -> NULL) so
-    both engines agree on every poked payload. Oracle restates the paths with json_valid-guarded DuckDB
-    JSON functions over the raw string."""
+    extract as string and cast under the shared numeric-string grammar
+    convention (functions/numcast.py: '12.7' -> 12, '1e3' -> 1000;
+    boolean/junk/overflow -> NULL) so both engines agree on every
+    poked payload, including VARIANT's exact-decimal rendering where
+    Jackson would emit Java E-notation. Oracle restates the paths with
+    json_valid-guarded DuckDB JSON functions over the raw string."""
     ev = t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
     v = ev.select("event_id", F.expr("try_parse_json(props)").alias("v"))
     return v.select(
         "event_id",
-        F.expr("try_variant_get(v, '$.k', 'string')").cast("int").alias("k_val"),
+        num_str_int(F.expr("try_variant_get(v, '$.k', 'string')")).alias("k_val"),
         F.expr("schema_of_variant(v)").startswith("OBJECT").alias("_is_obj"),
-        F.expr("try_variant_get(v, '$.missing', 'string')").cast("int").alias("absent_path"),
+        num_str_int(F.expr("try_variant_get(v, '$.missing', 'string')")).alias("absent_path"),
     ).select(
         "event_id",
         "k_val",

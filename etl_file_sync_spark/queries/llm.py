@@ -24,7 +24,7 @@ from etl_file_sync_spark.queries.registry import register, t
 # (JVM SpecialCasing vs utf8proc simple maps — upper('ß') is 'SS' vs 'ẞ'),
 # so a cross-engine-reproducible fingerprint folds A-Z only. See
 # operators/text.py ascii_lower / tests/test_unicode_text.py.
-_NORM = "translate(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' '), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')"
+_NORM = X.NORM_SQL  # one spelling: operators/text.py is the source of truth
 
 
 @register(
@@ -447,7 +447,7 @@ def text_pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH survivors AS (
       SELECT min(doc_id) AS doc_id
       FROM documents
-      GROUP BY sha256(translate(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' '), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'))
+      GROUP BY sha256({X.NORM_SQL})
     ),
     q AS (
       SELECT doc_id, lang,

@@ -193,10 +193,10 @@ def text_quality_train_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sample_dup_weighted",
-    """
+    f"""
     WITH g AS (
       SELECT doc_id,
-             count(*) OVER (PARTITION BY sha256(translate(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' '), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'))) AS group_size
+             count(*) OVER (PARTITION BY sha256({X.NORM_SQL})) AS group_size
       -- NULL text has no content fingerprint: excluded from dup
       -- weighting in both engines (engine-wide dedup posture)
       FROM documents WHERE text IS NOT NULL
@@ -439,10 +439,10 @@ def mix_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_keep_best_quality",
-    """
+    f"""
     WITH q AS (
       SELECT doc_id,
-             sha256(translate(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' '), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS k,
+             sha256({X.NORM_SQL}) AS k,
              len(string_split(text, ' ')) AS n,
              len(list_distinct(string_split(text, ' '))) * 1.0
                / len(string_split(text, ' ')) AS ttr,
@@ -644,9 +644,9 @@ def dedup_nearest_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_incremental_ingest",
-    """
+    f"""
     WITH keyed AS (
-      SELECT doc_id, sha256(translate(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' '), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS k
+      SELECT doc_id, sha256({X.NORM_SQL}) AS k
       FROM documents
     ),
     corpus AS (SELECT min(doc_id) AS corpus_id, k FROM keyed WHERE doc_id < 400 GROUP BY k),
@@ -692,10 +692,10 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_source_report",
-    """
+    f"""
     WITH q AS (
       SELECT doc_id, source, lang, n_chars,
-             sha256(translate(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' '), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS k,
+             sha256({X.NORM_SQL}) AS k,
              len(string_split(text, ' ')) AS n,
              len(list_distinct(string_split(text, ' '))) * 1.0
                / len(string_split(text, ' ')) AS ttr,

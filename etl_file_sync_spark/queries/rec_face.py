@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from etl_file_sync_spark.functions.numcast import num_int_sql, num_str_int
 from etl_file_sync_spark.queries.registry import register, t
 
 _MIN_SHARED = 2  # user-user: minimum shared items to score a pair
@@ -32,19 +33,19 @@ def _user_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("event_type") == "view")
         .select(
             "user_id",
-            F.get_json_object("props", "$.k").cast("int").alias("item"),
+            num_str_int(F.get_json_object("props", "$.k")).alias("item"),
         )
         .where(F.col("item").isNotNull())
         .distinct()
     )
 
 
-# json_valid guard + numeric-string truncation convention: mirrors the
-# engine's lenient get_json_object(...).cast('int') on malformed and
-# wrong-typed props (see scalar_json_extract; DuckDB json functions
-# ERROR on malformed input and CAST('12.7') would round where Spark
-# truncates)
-_USER_ITEMS_SQL = """
+# json_valid guard + the shared numeric-string grammar convention
+# (functions/numcast.py): mirrors the engine's lenient JSON int
+# extraction on malformed and wrong-typed props (see
+# scalar_json_extract; DuckDB json functions ERROR on malformed input
+# and neither engine's native cast matches the other at the edges)
+_USER_ITEMS_SQL = f"""
     raw AS (
       SELECT user_id,
              CASE WHEN json_valid(props)
@@ -53,9 +54,9 @@ _USER_ITEMS_SQL = """
     ),
     ui AS (
       SELECT DISTINCT user_id,
-             TRY_CAST(trunc(TRY_CAST(ks AS DOUBLE)) AS INTEGER) AS item
+             {num_int_sql('ks')} AS item
       FROM raw
-      WHERE TRY_CAST(trunc(TRY_CAST(ks AS DOUBLE)) AS INTEGER) IS NOT NULL
+      WHERE {num_int_sql('ks')} IS NOT NULL
     )
 """
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from etl_file_sync_spark.functions.numcast import num_int_sql, num_str_int
 from etl_file_sync_spark.queries.registry import register, t
 
 # ---------------------------------------------------------------------------
@@ -665,22 +666,22 @@ def scalar_case_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scalar_json_extract",
-    """
+    f"""
     WITH x AS (
-      -- mirror of Spark's lenient get_json_object(...).cast('int'):
-      -- malformed JSON yields NULL (json_valid guard; DuckDB's
-      -- json_extract_string ERRORS where Jackson returns NULL) and
-      -- numeric strings TRUNCATE toward zero (Spark's non-ANSI
-      -- string->int: '12.7' -> 12, 'true'/overflow -> NULL; a bare
-      -- DuckDB CAST('12.7' AS INTEGER) would ROUND to 13 and error on
-      -- 20-digit values, hence the double-parse + trunc + TRY spelling)
+      -- mirror of the engine's lenient JSON int extraction: malformed
+      -- JSON yields NULL (json_valid guard; DuckDB's
+      -- json_extract_string ERRORS where Jackson returns NULL) and the
+      -- extracted string casts under the shared numeric-string grammar
+      -- convention (functions/numcast.py: grammar-match, double parse,
+      -- trunc toward zero; junk/boolean/overflow -> NULL — neither
+      -- engine's NATIVE cast matches the other at the edges)
       SELECT event_type,
              CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS ks
       FROM events
     ),
     k AS (
       SELECT event_type,
-             TRY_CAST(trunc(TRY_CAST(ks AS DOUBLE)) AS INTEGER) AS k
+             {num_int_sql('ks')} AS k
       FROM x
     )
     SELECT event_type,
@@ -701,9 +702,12 @@ def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     number strings and out-of-range integers all yield NULL, never an
     error (the don't-kill-the-job posture; the JSON-poked tier
     tests/test_json_props.py pins this against the guarded oracle).
+    The int coercion is the shared numeric-string grammar convention
+    (functions/numcast.py), not the engine-native cast, so both
+    engines agree at the edges ('1e3' -> 1000, '1d'/junk -> NULL).
     """
     e = t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    k = num_str_int(F.get_json_object("props", "$.k"))
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.avg(k), 4).alias("avg_k"),

@@ -15,19 +15,29 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from etl_file_sync_spark.queries.registry import register, t
+from etl_file_sync_spark.streaming.replay import ADMIT_MAX_TS, ADMIT_MIN_TS
+
+
+def _admit_sql(col: str = "ts") -> str:
+    """Oracle spelling of the streaming admission window — interpolated
+    from streaming/replay.py so engine and oracle share ONE source of
+    truth (hand-duplicated literals desynchronize silently)."""
+    return (
+        f"CAST({col} AS TIMESTAMP) >= TIMESTAMP '{ADMIT_MIN_TS}'\n"
+        f"      AND CAST({col} AS TIMESTAMP) < TIMESTAMP '{ADMIT_MAX_TS}'"
+    )
 
 
 @register(
     "stream_tumbling_counts",
-    """
+    f"""
     SELECT CAST(to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / 300) * 300) AS TIMESTAMP) AS window_start,
            event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
     FROM events
     -- the streaming admission window (streaming/replay.py ADMIT_*):
     -- NULL event times and out-of-window timestamps never reach the
     -- watermark -- mirror that here
-    WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1990-01-01'
-      AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2035-01-01'
+    WHERE {_admit_sql()}
     GROUP BY 1, 2
     """,
     "streaming",
@@ -182,10 +192,9 @@ def asof_purchase_prev_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_stream_join",
-    """
+    f"""
     WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
-                WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1990-01-01'
-      AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2035-01-01'),
+                WHERE {_admit_sql()}),
     p AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'),
     v AS (SELECT event_id AS view_id, user_id, ts AS view_ts FROM ev WHERE event_type = 'view')
     SELECT p.event_id, v.view_id, p.user_id
@@ -228,12 +237,11 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_late_data_drop",
-    """
+    f"""
     SELECT CAST(to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / 900) * 900) AS TIMESTAMP) AS window_start,
            event_type, count(*) AS n_events
     FROM events
-    WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1990-01-01'
-      AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2035-01-01'
+    WHERE {_admit_sql()}
     GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "streaming",
@@ -262,8 +270,16 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_to_memory_sink(agg, "stream_late_drop_sink", "append")
     # the sentinel's own far-future window never emits (watermark stops
-    # short of it); guard against it anyway for replay-parameter changes
-    hi = t(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    # short of it); guard against it anyway for replay-parameter changes.
+    # Max over the ADMITTED rows only: an unfiltered max(ts) would let a
+    # single poked 2262 timestamp push the bound past every window and
+    # silently void the guard (time-edge tier).
+    hi = (
+        t(spark, sf_dir, "events")
+        .where(F.col("ts") < F.lit(ADMIT_MAX_TS).cast("timestamp"))
+        .agg(F.max("ts"))
+        .collect()[0][0]
+    )
     return out.filter(F.col("window_start") <= hi).orderBy("window_start", "event_type")
 
 
@@ -313,11 +329,10 @@ def rollup_reaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_dedup_exactly_once",
-    """
+    f"""
     SELECT event_id, user_id, event_type
     FROM events
-    WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1990-01-01'
-      AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2035-01-01'
+    WHERE {_admit_sql()}
     ORDER BY event_id
     """,
     "streaming",
@@ -348,10 +363,9 @@ def stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_outer_attribution_dedup",
-    """
+    f"""
     WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
-                WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1990-01-01'
-      AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2035-01-01'),
+                WHERE {_admit_sql()}),
     p AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'),
     v AS (SELECT event_id AS view_id, user_id, ts AS view_ts FROM ev WHERE event_type = 'view')
     SELECT p.event_id, p.user_id, v.view_id
@@ -410,10 +424,9 @@ def stream_outer_attribution_dedup(spark: SparkSession, sf_dir: str) -> DataFram
 
 @register(
     "stream_session_windows",
-    """
+    f"""
     WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
-                WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1990-01-01'
-      AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2035-01-01'),
+                WHERE {_admit_sql()}),
     flags AS (
       SELECT user_id, ts,
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
@@ -459,7 +472,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_stateful_threshold",
-    """
+    f"""
     WITH c AS (
       SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
              sum(CAST(round(value * 100) AS BIGINT))
@@ -468,8 +481,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number()
                OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
       FROM events
-      WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1990-01-01'
-      AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2035-01-01'
+      WHERE {_admit_sql()}
     )
     SELECT user_id,
            CAST(min(ts) AS TIMESTAMP) AS cross_ts,
@@ -544,10 +556,9 @@ def stream_stateful_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_full_outer_join",
-    """
+    f"""
     WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
-                WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '1990-01-01'
-      AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2035-01-01'),
+                WHERE {_admit_sql()}),
     p AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'),
     v AS (SELECT event_id AS view_id, user_id AS v_user, ts AS view_ts FROM ev WHERE event_type = 'view')
     SELECT p.event_id, v.view_id, coalesce(p.user_id, v.v_user) AS user_id
@@ -636,7 +647,7 @@ def stream_pyds_replay_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_static_enrich",
-    """
+    f"""
     WITH counts AS (SELECT event_type, count(*) AS c FROM events GROUP BY event_type),
     dim AS (
       SELECT event_type,
@@ -649,8 +660,7 @@ def stream_pyds_replay_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              e.event_type, d.type_rank, e.value
       FROM events e JOIN dim d USING (event_type)
       -- dim is batch-side (unfiltered); the STREAM side admits
-      WHERE CAST(e.ts AS TIMESTAMP) >= TIMESTAMP '1990-01-01'
-        AND CAST(e.ts AS TIMESTAMP) < TIMESTAMP '2035-01-01'
+      WHERE {_admit_sql('e.ts')}
     )
     SELECT window_start, event_type, type_rank,
            count(*) AS n_events, round(sum(value), 2) AS total_value
@@ -772,14 +782,13 @@ def stream_upsert_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_alert_rate_threshold",
-    """
+    f"""
     WITH w AS (
       SELECT CAST(to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / 900) * 900)
                AS TIMESTAMP) AS window_start,
              CAST(count(*) AS BIGINT) AS n_errors
       FROM events WHERE event_type = 'error'
-        AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '1990-01-01'
-      AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2035-01-01'
+        AND {_admit_sql()}
       GROUP BY 1
     )
     SELECT window_start, n_errors FROM w WHERE n_errors >= 2

@@ -11,8 +11,6 @@ oracle-spelling half.)
 
 from __future__ import annotations
 
-import math
-
 import duckdb
 import pytest
 from hypothesis import given, settings, strategies as st
@@ -59,41 +57,44 @@ def test_ascii_trim_oracle_spelling_matches_python(duck, s):
     assert got == s.strip(" ")
 
 
-def _spark_nonansi_string_to_int(s: str) -> int | None:
-    """Pure-Python model of the numeric-string truncation convention:
-    parse as decimal number, truncate toward zero, NULL on
-    non-numeric/overflow/non-finite — the behavior the tier pinned for
-    Spark's non-ANSI string->int cast on JSON-extracted values."""
-    try:
-        f = float(s)
-    except (ValueError, OverflowError):
-        return None
-    if math.isnan(f) or math.isinf(f):
-        return None
-    t = math.trunc(f)
-    if not (-(2**31) <= t <= 2**31 - 1):
-        return None
-    return int(t)
-
+# The numeric-string grammar convention (functions/numcast.py): the
+# round-6 spelling modeled Spark's native cast with float(), but
+# Spark's non-ANSI string->int is LEXICAL (CAST('1e3' AS INT) = NULL,
+# CAST('12.99999999999999999' AS INT) = 12) and its string->double
+# accepts Java-isms ('1d', '0x1p3') DuckDB rejects, while DuckDB
+# accepts '1_000' Spark rejects — so round 7 replaced reliance on
+# either native cast with an explicit shared grammar implemented
+# identically in both engines. These properties pin the DuckDB
+# spelling to the Python model; the Spark side is pinned by the
+# battery in tests/test_json_props.py.
 
 _NUMISH = st.one_of(
     st.integers(-(10**25), 10**25).map(str),
     st.floats(allow_nan=False, allow_infinity=False).map(repr),
-    st.sampled_from(["true", "false", "12.7", "-12.7", "", "abc", "1e3",
-                     "99999999999999999999", "0.004", "-0.5", "nan", "inf"]),
+    st.sampled_from([
+        "true", "false", "12.7", "-12.7", "", "abc",
+        "1e3", "1E+3", "12.99999999999999999",  # the r6 ADVICE cases
+        "99999999999999999999", "0.004", "-0.5", "nan", "inf",
+        "Infinity", "-Infinity", "NaN", "9e999", "-9e999",
+        "1d", "1f", "1D", "0x1p3", "0x10", "1_000",  # native-cast skew
+        ".", "-.", "+.", ".5", "12.", "+", "-", "..",
+        " 12 ", "\x0b12", "\x1f12", "\t+12.9\n", "　12", " 12",
+        "007", "00.5", "12.7.3", "12abc", "12,7", "12e", "e3",
+        "2147483647", "2147483648", "-2147483648", "-2147483649",
+        "2147483647.999", "-2147483648.9",
+    ]),
+    _TEXT,
 )
 
 
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=400, deadline=None)
 @given(_NUMISH)
-def test_truncation_convention_oracle_spelling(duck, s):
-    """TRY_CAST(trunc(TRY_CAST(x AS DOUBLE)) AS INTEGER) == the Python
-    truncation model, for integral, decimal, scientific, boolean-word,
-    overflow and junk strings alike."""
-    got = duck.execute(
-        "SELECT TRY_CAST(trunc(TRY_CAST(? AS DOUBLE)) AS INTEGER)", [s]
-    ).fetchone()[0]
-    want = _spark_nonansi_string_to_int(s)
-    if want is not None and abs(want) > 2**53:
-        return  # double can't hold the exact integer; tier never produces these
+def test_num_int_oracle_spelling_matches_model(duck, s):
+    """num_int_sql(x) in DuckDB == py_num_str_int, for integral,
+    decimal, scientific, control-padded, Java-suffixed, underscored,
+    boolean-word, overflow and junk strings alike."""
+    from etl_file_sync_spark.functions.numcast import num_int_sql, py_num_str_int
+
+    got = duck.execute(f"SELECT {num_int_sql('$1')}", [s]).fetchone()[0]
+    want = py_num_str_int(s)
     assert got == want, f"{s!r}: {got} != {want}"

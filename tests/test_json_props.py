@@ -81,12 +81,57 @@ def test_try_parse_never_aborts(spark, tier):
 
 
 def test_truncation_convention(spark, tier):
-    """'12.7' at the path casts to 12 in BOTH engines (Spark non-ANSI
-    truncation; the oracle's double-parse + trunc spelling)."""
+    """'12.7' at the path casts to 12 in BOTH engines (the shared
+    grammar convention's double-parse + trunc spelling)."""
     out = REGISTRY["scalar_variant_ops"].build(spark, tier).toPandas()
     string_num = [i for i in range(500) if i % 229 == 19]
     got = out.set_index("event_id").loc[string_num, "k_val"]
     assert (got == 12).all()
+
+
+def test_grammar_convention_divergence_zones(spark, tier):
+    """The round-7 pokes sit exactly where the NATIVE casts disagree
+    (quoted '1e3', near-integer decimal strings, Java E-notation
+    rendering, '1d'/'1_000' single-engine parses): the shared grammar
+    convention must give the same defined answer through the VARIANT
+    route — the tier-wide oracle sweep pins the other two routes."""
+    out = REGISTRY["scalar_variant_ops"].build(spark, tier).toPandas()
+    idx = out.set_index("event_id")["k_val"]
+    expect = {73: 1000, 79: 13, 83: 12345678, 89: 0, 97: None,
+              101: None, 103: None, 107: 12, 109: 12}
+    for cls, want in expect.items():
+        ids = [i for i in range(500) if i % 229 == cls]
+        got = idx.loc[ids]
+        if want is None:
+            assert got.isna().all(), f"class {cls}: {got.tolist()}"
+        else:
+            assert (got == want).all(), f"class {cls}: {got.tolist()}"
+
+
+def test_num_str_int_engine_matches_model(spark):
+    """Spark side of the grammar convention == the Python model on the
+    probe battery (native-cast skew cases included); the DuckDB side
+    is pinned by tests/test_convention_properties.py on random text."""
+    from etl_file_sync_spark.functions.numcast import num_str_int, py_num_str_int
+
+    cases = [
+        "12.7", "-12.7", "12.99999999999999999", "1e3", "1E+3",
+        "+5", "-0.5", ".5", "12.", "  12  ", "　12　", "12.7.3",
+        "0.004", "99999999999999999999", "2147483648", "-2147483648",
+        "2147483647", "-2147483649", "2147483647.999", "-2147483648.9",
+        "true", "", "abc", "nan", "inf", "NaN", "Infinity", "-Infinity",
+        "9e999", "-9e999", "007", "+.5", "-.", ".", "+.", "..", "+", "-",
+        "--5", "1_000", "0x10", "0x1p3", "1d", "1f", "1D",
+        "12abc", "12.abc", " +12.9\t\n", "12,7", "\x0b12", "\x1f12",
+        "00.5", "12e", "e3", ". 5", "5 .",
+    ]
+    cases = sorted(set(cases))
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = {r.s: r.k for r in df.select("s", num_str_int(F.col("s")).alias("k")).collect()}
+    for c in cases:
+        assert got[c] == py_num_str_int(c), f"{c!r}: {got[c]} != {py_num_str_int(c)}"
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)

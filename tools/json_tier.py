@@ -62,6 +62,18 @@ PROPS_POKES: dict[int, str | None] = {
     61: "42",                             # valid JSON scalar
     67: '{"k": 1e3}',                     # scientific-notation JSON number
     71: '{"k": 12.0}',                    # decimal-point JSON number
+    # round-7 pokes: the zones where the engines' NATIVE casts diverge
+    # (caught by r6 ADVICE) — the shared grammar convention
+    # (functions/numcast.py) must keep all of these in lockstep
+    73: '{"k": "1e3"}',                   # QUOTED scientific string (Spark native cast NULLs, DuckDB 1000)
+    79: '{"k": "12.99999999999999999"}',  # near-integer decimal string (lexical 12 vs double 13)
+    83: '{"k": 12345678.0}',              # Jackson renders "1.2345678E7", VARIANT "12345678", DuckDB "12345678.0"
+    89: '{"k": 0.0009}',                  # Jackson renders "9.0E-4", VARIANT/DuckDB "0.0009"
+    97: '{"k": "1d"}',                    # Java double-suffix (Spark native parses 1.0, DuckDB NULL)
+    101: '{"k": "1_000"}',                # underscore separator (DuckDB native parses 1000, Spark NULL)
+    103: '{"k": 1e400}',                  # double overflow -> Infinity rendering in both engines
+    107: '{"k": "  +12.9  "}',            # padded signed decimal string
+    109: '{"k": "\\u000b12"}',            # control-char padding (trim class [\\x01-\\x20])
 }
 
 
