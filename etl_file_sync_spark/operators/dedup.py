@@ -66,6 +66,44 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: i
     )
 
 
+def jaccard_oracle_ctes(threshold: float, max_df_frac: float = 0.5) -> str:
+    """DuckDB CTE chain restating ``jaccard_pairs`` INCLUDING its
+    stop-shingle cut — the one oracle spelling every jaccard-derived
+    oracle composes (ends in ``jpairs(id_a, id_b, jaccard)``).
+
+    The cut is load-bearing for parity, not an optimization detail: on
+    organic tiers no shingle crosses a 0.5 document frequency so a
+    cut-less oracle happens to agree, but one corpus-wide boilerplate
+    line (or the constant-text degenerate tier) makes the engine drop
+    the hot shingles while a cut-less oracle builds a near-complete
+    pair graph — wrong AND quadratic (its recursive consumers then
+    enumerate walks over a clique). Mirrors jaccard_pairs exactly:
+    df counted per distinct (doc, shingle) against max_df_frac * ALL
+    documents (strict >), per-doc sizes counted AFTER the cut."""
+    return f"""d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh_all AS (
+      SELECT DISTINCT doc_id AS id, array_to_string(w[i+1:i+3], ' ') AS s
+      FROM d, UNNEST(range(0, greatest(len(w) - 2, 1))) AS u(i)
+      WHERE array_to_string(w[i+1:i+3], ' ') <> ''
+    ),
+    hot AS (
+      SELECT s FROM sh_all GROUP BY s
+      HAVING count(*) > {max_df_frac} * (SELECT count(*) FROM documents)
+    ),
+    sh AS (SELECT id, s FROM sh_all WHERE s NOT IN (SELECT s FROM hot)),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    jpairs AS (
+      SELECT id_a, id_b, c * 1.0 / (sa.n_sh + sb.n_sh - c) AS jaccard
+      FROM common JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+      WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= {threshold}
+    )"""
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -18,12 +18,22 @@ from pyspark.sql import Window as W
 
 
 def vec_ok(col: Column) -> Column:
-    """Usable-vector predicate: NOT NULL and no NULL elements. A vector
-    with a NULL coordinate is as uncomparable as a NULL vector (its
-    dot/norm would be NULL; DuckDB's list_cosine_similarity aborts on
-    it) — embedding operators drop both up front, and the oracles
-    carry the matching len(list_filter(v, x -> x IS NULL)) = 0 guard."""
-    return col.isNotNull() & ~F.exists(col, lambda x: x.isNull())
+    """Usable-vector predicate: NOT NULL, no NULL elements, and nonzero
+    norm. A vector with a NULL coordinate is as uncomparable as a NULL
+    vector (its dot/norm would be NULL; DuckDB's list_cosine_similarity
+    aborts on it), and a ZERO vector has no direction — its cosine is
+    0/0, where the three runtimes give three answers (Spark division
+    NULL, numpy NaN, DuckDB list_cosine_similarity -1.0 — the constant
+    tier caught all three). Embedding operators drop all of these up
+    front, and the oracles carry the matching
+    ``len(list_filter(v, x -> x IS NULL)) = 0 AND
+    len(list_filter(v, x -> x <> 0)) > 0`` guard
+    (tests/test_constant_tier.py pins the lockstep)."""
+    return (
+        col.isNotNull()
+        & ~F.exists(col, lambda x: x.isNull())
+        & F.exists(col, lambda x: x != 0)
+    )
 
 
 def dot_expr(a: Column, b: Column) -> Column:

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_file_sync_spark.functions.numcast import num_int_sql, num_str_int
+from etl_file_sync_spark.operators.dedup import jaccard_oracle_ctes
 from etl_file_sync_spark.queries.registry import register, t
 
 # multi-source BFS over the undirected near-dup graph, bounded at 6 hops;
@@ -38,23 +39,16 @@ _BFS_SQL = """
     ORDER BY src, node
 """
 
-_EDGES_ORACLE = """
+# restates jaccard_pairs INCLUDING the stop-shingle cut (shared oracle
+# spelling, operators/dedup.py jaccard_oracle_ctes). The cut is doubly
+# load-bearing here: a cut-less oracle on a boilerplate-heavy corpus
+# builds a near-complete edge graph and the UNION ALL walk below then
+# enumerates ~n^6 paths — the constant-text degenerate tier hung exactly
+# this way before the mirror.
+_EDGES_ORACLE = f"""
     nd_edges AS (
-      WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      sh AS (
-        SELECT DISTINCT doc_id AS id, array_to_string(w[i+1:i+3], ' ') AS s
-        FROM d, UNNEST(range(0, greatest(len(w) - 2, 1))) AS u(i)
-        WHERE array_to_string(w[i+1:i+3], ' ') <> ''
-      ),
-      sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
-      common AS (
-        SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
-        FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
-        GROUP BY 1, 2
-      )
-      SELECT id_a, id_b
-      FROM common JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
-      WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.5
+      WITH {jaccard_oracle_ctes(0.5)}
+      SELECT id_a, id_b FROM jpairs
     )
 """
 

@@ -35,6 +35,7 @@ from etl_file_sync_spark.queries.registry import register, t
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
       WHERE embedding IS NOT NULL
         AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        AND len(list_filter(embedding, x -> x <> 0)) > 0
     ),
     c AS (
       SELECT CAST(vec_id / 50 AS BIGINT) AS centroid_id, v AS cv
@@ -94,6 +95,7 @@ def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
       WHERE embedding IS NOT NULL
         AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        AND len(list_filter(embedding, x -> x <> 0)) > 0
     ),
     c AS (
       SELECT CAST(vec_id / 50 AS BIGINT) AS centroid_id, v AS cv

@@ -494,7 +494,8 @@ def ops_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
                WHERE embedding IS NOT NULL
-        AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        AND len(list_filter(embedding, x -> x <> 0)) > 0),
     m AS (
       SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e
     ),

@@ -45,22 +45,9 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_jaccard_pairs",
-    """
-    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    sh AS (
-      SELECT DISTINCT doc_id AS id, array_to_string(w[i+1:i+3], ' ') AS s
-      FROM d, UNNEST(range(0, greatest(len(w) - 2, 1))) AS u(i)
-      WHERE array_to_string(w[i+1:i+3], ' ') <> ''
-    ),
-    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
-    common AS (
-      SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
-      FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
-      GROUP BY 1, 2
-    )
-    SELECT id_a, id_b, round(c * 1.0 / (sa.n_sh + sb.n_sh - c), 4) AS jaccard
-    FROM common JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
-    WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.5
+    f"""
+    WITH {D.jaccard_oracle_ctes(0.5)}
+    SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM jpairs
     ORDER BY id_a, id_b
     """,
     "dedup",
@@ -166,7 +153,8 @@ def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
                WHERE embedding IS NOT NULL
-                 AND len(list_filter(embedding, x -> x IS NULL)) = 0)
+                 AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        AND len(list_filter(embedding, x -> x <> 0)) > 0)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(a.v, b.v), 4) AS cosine
     FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -186,7 +174,8 @@ def dedup_embedding_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS cosine
     FROM embeddings WHERE embedding IS NOT NULL
-        AND len(list_filter(embedding, x -> x IS NULL)) = 0 ORDER BY id_a
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        AND len(list_filter(embedding, x -> x <> 0)) > 0 ORDER BY id_a
     """,
     "dedup",
     "embedding",
@@ -221,7 +210,8 @@ def dedup_embedding_srp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
                WHERE embedding IS NOT NULL
-        AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        AND len(list_filter(embedding, x -> x <> 0)) > 0),
     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 40 = 0),
     scored AS (
       SELECT query_id, e.vec_id AS neighbor_id,
@@ -738,22 +728,12 @@ def sim_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(e, q, k=5).orderBy("query_id", "nn_rank")
 
 
-_NEARDUP_EDGES_SQL = """
-      WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      sh AS (
-        SELECT DISTINCT doc_id AS id, array_to_string(w[i+1:i+3], ' ') AS s
-        FROM d, UNNEST(range(0, greatest(len(w) - 2, 1))) AS u(i)
-        WHERE array_to_string(w[i+1:i+3], ' ') <> ''
-      ),
-      sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
-      common AS (
-        SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
-        FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
-        GROUP BY 1, 2
-      )
+# restates jaccard_pairs INCLUDING the stop-shingle cut (the shared
+# oracle spelling — see operators/dedup.py jaccard_oracle_ctes)
+_NEARDUP_EDGES_SQL = f"""
+      WITH {D.jaccard_oracle_ctes(0.5)}
       SELECT CAST(id_a AS BIGINT) AS src, CAST(id_b AS BIGINT) AS dst
-      FROM common JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
-      WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.5
+      FROM jpairs
 """
 
 

@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_file_sync_spark.operators.dedup import jaccard_oracle_ctes
 from etl_file_sync_spark.queries.registry import register, t
 
 # Simple, dialect-shared PII patterns (character classes + quantifiers).
@@ -241,24 +242,9 @@ def dedup_fuzzy_jw_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_cluster_collapse",
-    """
-    WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    sh AS (
-      SELECT DISTINCT doc_id AS id, array_to_string(w[i+1:i+3], ' ') AS s
-      FROM d, UNNEST(range(0, greatest(len(w) - 2, 1))) AS u(i)
-      WHERE array_to_string(w[i+1:i+3], ' ') <> ''
-    ),
-    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
-    common AS (
-      SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
-      FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
-      GROUP BY 1, 2
-    ),
-    pairs AS (
-      SELECT id_a, id_b
-      FROM common JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
-      WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.5
-    ),
+    f"""
+    WITH RECURSIVE {jaccard_oracle_ctes(0.5)},
+    pairs AS (SELECT id_a, id_b FROM jpairs),
     edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
               UNION SELECT id_b, id_a FROM pairs),
     nodes AS (SELECT DISTINCT src AS id FROM edges),

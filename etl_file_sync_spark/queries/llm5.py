@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_file_sync_spark.operators import text as X
+from etl_file_sync_spark.operators.dedup import jaccard_oracle_ctes
 from etl_file_sync_spark.queries.registry import register, t
 
 _STOPLIST_SQL = "['the','a','and','of','to','in','is','that']"
@@ -285,6 +286,7 @@ def agg_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(embedding[4] > 0 AS INTEGER)::VARCHAR AS bucket
       FROM embeddings WHERE embedding IS NOT NULL
         AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        AND len(list_filter(embedding, x -> x <> 0)) > 0
     ),
     dominated AS (
       SELECT DISTINCT b.id
@@ -573,24 +575,9 @@ def dq_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_nearest_jaccard",
-    """
-    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    sh AS (
-      SELECT DISTINCT doc_id AS id, array_to_string(w[i+1:i+3], ' ') AS s
-      FROM d, UNNEST(range(0, greatest(len(w) - 2, 1))) AS u(i)
-      WHERE array_to_string(w[i+1:i+3], ' ') <> ''
-    ),
-    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
-    common AS (
-      SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
-      FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
-      GROUP BY 1, 2
-    ),
-    pairs AS (
-      SELECT id_a, id_b, round(c * 1.0 / (sa.n_sh + sb.n_sh - c), 4) AS jaccard
-      FROM common JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
-      WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.3
-    ),
+    f"""
+    WITH {jaccard_oracle_ctes(0.3)},
+    pairs AS (SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM jpairs),
     directed AS (
       SELECT id_a AS id, id_b AS neighbor_id, jaccard FROM pairs
       UNION ALL

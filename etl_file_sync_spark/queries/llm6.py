@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_file_sync_spark.operators.dedup import jaccard_oracle_ctes
 from etl_file_sync_spark.queries.registry import register, t
 
 
@@ -145,33 +146,9 @@ def text_bpe_apply_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_dedup_pipeline",
-    """
-    WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    sh_all AS (
-      SELECT DISTINCT doc_id AS id, array_to_string(w[i+1:i+3], ' ') AS s
-      FROM d, UNNEST(range(0, greatest(len(w) - 2, 1))) AS u(i)
-      WHERE array_to_string(w[i+1:i+3], ' ') <> ''
-    ),
-    -- stop-shingle cut (max_df_frac=0.5), restating the Spark side's
-    -- default: shingles present in more than half of all docs are
-    -- dropped BEFORE the self-join, and per-doc set sizes are counted
-    -- AFTER the cut (standard stopword-removal semantics)
-    hot AS (
-      SELECT s FROM sh_all GROUP BY s
-      HAVING count(*) > 0.5 * (SELECT count(*) FROM documents)
-    ),
-    sh AS (SELECT id, s FROM sh_all WHERE s NOT IN (SELECT s FROM hot)),
-    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
-    common AS (
-      SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
-      FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
-      GROUP BY 1, 2
-    ),
-    pairs AS (
-      SELECT id_a, id_b
-      FROM common JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
-      WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.5
-    ),
+    f"""
+    WITH RECURSIVE {jaccard_oracle_ctes(0.5)},
+    pairs AS (SELECT id_a, id_b FROM jpairs),
     edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
               UNION SELECT id_b, id_a FROM pairs),
     nodes AS (SELECT DISTINCT src AS id FROM edges),

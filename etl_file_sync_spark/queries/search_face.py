@@ -172,7 +172,8 @@ def _mmr_oracle() -> str:
     head = """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
                WHERE embedding IS NOT NULL
-                 AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+                 AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        AND len(list_filter(embedding, x -> x <> 0)) > 0),
     q AS (SELECT v FROM e WHERE vec_id = 0),
     cand AS (
       SELECT e.vec_id, e.v, round(list_cosine_similarity(e.v, q.v), 4) AS rel
