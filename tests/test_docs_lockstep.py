@@ -91,3 +91,29 @@ def test_bench_compact_summary_is_bounded_and_parseable():
     assert back["pipeline_files_per_sec"] == 474.01
     # the 20 kept entries are the slowest ones
     assert min(back["queries"].values()) >= sorted(times.values())[-20] - 1e-3
+
+
+def test_embedding_oracle_guards_carry_zero_norm_clause():
+    """vec_ok lockstep (round 7): every oracle that guards embeddings
+    against NULL elements must also carry the zero-norm clause, and
+    vice versa — vec_ok requires NOT NULL + no NULL elements + a
+    nonzero element, so a one-sided guard silently diverges the two
+    engines the moment a zero or element-NULL vector appears."""
+    from etl_file_sync_spark.queries import REGISTRY
+
+    null_clause = "list_filter(embedding, x -> x IS NULL)) = 0"
+    norm_clause = "list_filter(embedding, x -> x <> 0)) > 0"
+    guarded = []
+    for name, q in sorted(REGISTRY.items()):
+        if q.oracle is None:
+            continue
+        has_null, has_norm = null_clause in q.oracle, norm_clause in q.oracle
+        assert has_null == has_norm, (
+            f"{name}: embedding guard is one-sided "
+            f"(null-elements={has_null}, zero-norm={has_norm})"
+        )
+        if has_null:
+            guarded.append(name)
+    # the set of guarded oracles is the vec_ok consumer surface — if an
+    # operator gains/loses vec_ok, this pin forces the oracle audit
+    assert len(guarded) == 8, guarded
