@@ -169,6 +169,42 @@ def domain_cap(
     return df.withColumn("_rn", rn).filter(F.col("_rn") <= cap).drop("_rn")
 
 
+def entity_event_cap(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    cap: int = 100,
+) -> DataFrame:
+    """Per-entity event admission cap — the bot/hot-entity guard run
+    BEFORE per-entity sequence analytics. Keeps each entity's FIRST
+    `cap` events in event-time order (ties broken by the event id, so
+    the kept set is deterministic and engine-independent); events
+    without an event time cannot participate in time-ordered admission
+    and are dropped in both engines (the streaming admission posture).
+
+    Why first-N-by-time and not a sample: sequence analytics (funnels,
+    sessions, Markov paths) need contiguous prefixes, and per-entity
+    ORDER is inherently one task per entity — salting cannot preserve
+    it. The skew snapshot in SCALE.md shows per-user ordered windows
+    as the only rows elevated under an 80%-one-user distribution; this
+    cap bounds that task at `cap` rows per entity no matter how hot
+    the entity, which is why it must run before, not after, the
+    sequence operators. One shuffle: row_number over (entity, ts, id).
+    """
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy(entity_col).orderBy(F.col(ts_col), F.col(id_col))
+    )
+    return (
+        df.where(F.col(ts_col).isNotNull())
+        .withColumn("_rn", rn)
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
 def weighted_priority_sample(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -259,6 +259,52 @@ def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_user_event_cap",
+    """
+    WITH r AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ) AS rn
+      FROM events WHERE ts IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (rn <= 100) AS BIGINT) AS n_kept,
+           max(ts) FILTER (rn <= 100) AS last_kept_ts
+    FROM r GROUP BY user_id ORDER BY user_id
+    """,
+    "sampling",
+    "curation",
+    "skew",
+)
+def sample_user_event_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity admission cap audit (operators/mix.py::
+    entity_event_cap): each user's first 100 events by (ts, event_id)
+    survive; the report shows per user the organic volume, the kept
+    count, and the cap boundary timestamp. This is the bot-account
+    mitigation the SCALE.md skew snapshot calls for — per-entity
+    ordered windows are inherently one task per entity, so the cap
+    (not a salt, which cannot preserve per-entity order) bounds what
+    any downstream sequence operator sees from a hot entity."""
+    from etl_file_sync_spark.operators.mix import entity_event_cap
+
+    ev = t(spark, sf_dir, "events")
+    capped = entity_event_cap(ev, cap=100)
+    totals = (
+        ev.where(F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    kept = capped.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.max("ts").alias("last_kept_ts"),
+    )
+    return totals.join(kept, "user_id").orderBy("user_id")
+
+
+@register(
     "sample_weighted_priority",
     """
     SELECT doc_id, source, n_chars, priority FROM (

@@ -444,6 +444,47 @@ def main() -> None:
         "| sim_topk_pq | 2.25s / 250r | 2.93s / 2500r | 20.66s / 25000r | 1.3x | 7.1x |",
         "| search_bm25_topk | 0.49s / 10r | 0.6s / 10r | 1.15s / 10r | 1.2x | 1.9x |",
         "| corpus_curation_gate | 1.66s / 2266r | 1.89s / 15401r | 9.8s / 86516r | 1.1x | 5.2x |",
+        "",
+        "## Hot-key skew sensitivity (round-7 snapshot)",
+        "",
+        "Uniform vs Zipfian key distribution at IDENTICAL row count",
+        "(tools/skew_growth.py on sf0.01; skew rules from",
+        "tools/skew_tier.py — 80% of events on one user, half the orders",
+        "on one customer, 30% of lineitems on one part, 80% of documents",
+        "on one source; warm-up pass first, run alone). Ratio isolates",
+        "hot-key cost at fixed volume: ~1x = shuffles don't concentrate",
+        "on the hot key or AQE re-splits it; >>1x = straggler/state",
+        "blowup candidate. Every measured operator lands 0.56-1.56x —",
+        "inside this box's documented 2x noise band, no blowup. Oracle",
+        "parity on the skewed tier is 350/350 green",
+        "(tests/test_skew_oracle.py). The mildly-elevated rows are the",
+        "per-user ordered windows (inter-event gaps 1.56x, retention",
+        "1.54x, running windows 1.28x): per-entity ORDER is inherently",
+        "one task per entity, so a bot account holding 80% of a 100 TB",
+        "corpus WOULD straggle there — the mitigation is the standard",
+        "per-entity admission cap (sample_user_event_cap: deterministic",
+        "first-N-per-user, run BEFORE sequence analytics), not a salt,",
+        "because salting cannot preserve per-entity order.",
+        "",
+        "| query | uniform s | skewed s | ratio |",
+        "|---|---|---|---|",
+        "| sessionize_events | 2.07 | 1.76 | 0.85x |",
+        "| funnel_user_conversion | 2.20 | 2.05 | 0.93x |",
+        "| funnel_time_to_convert | 3.32 | 1.84 | 0.56x |",
+        "| behavior_top_paths | 1.40 | 0.96 | 0.69x |",
+        "| behavior_transition_matrix | 1.23 | 1.03 | 0.83x |",
+        "| behavior_streak_islands | 0.96 | 1.17 | 1.21x |",
+        "| behavior_inter_event_gaps | 1.34 | 2.10 | 1.56x |",
+        "| behavior_last_touch_attribution | 2.53 | 2.01 | 0.80x |",
+        "| behavior_dau_stickiness | 1.75 | 1.55 | 0.89x |",
+        "| retention_cohorts | 1.50 | 2.31 | 1.54x |",
+        "| rec_item_cosine | 4.78 | 2.69 | 0.56x |",
+        "| rec_user_jaccard_topk | 3.90 | 2.28 | 0.58x |",
+        "| sample_domain_cap | 0.51 | 0.70 | 1.37x |",
+        "| q03_shipping_priority | 2.24 | 1.96 | 0.88x |",
+        "| q09_nation_year_profit | 2.38 | 2.95 | 1.24x |",
+        "| q18_large_volume_customer | 0.78 | 1.10 | 1.42x |",
+        "| win_running_sum | 2.98 | 3.83 | 1.28x |",
     ]
     # BPE merge-count scaling (round-5 verdict ask): training cost must
     # scale with the MERGE BUDGET, not merge_budget x vocabulary — the
