@@ -172,23 +172,38 @@ def dedup_embedding_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embedding_srp",
     """
-    SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS cosine
-    FROM embeddings WHERE embedding IS NOT NULL
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE embedding IS NOT NULL
         AND len(list_filter(embedding, x -> x IS NULL)) = 0
-        AND len(list_filter(embedding, x -> x <> 0)) > 0 ORDER BY id_a
+        AND len(list_filter(embedding, x -> x <> 0)) > 0),
+    u AS (SELECT vec_id, v FROM e
+          UNION ALL
+          SELECT vec_id + 100000, list_transform(v, x -> x * 2.0) FROM e)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+    FROM u a JOIN u b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+    ORDER BY id_a, id_b
     """,
     "dedup",
     "embedding",
     "lsh",
 )
 def dedup_embedding_srp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH near-dup end-to-end, oracle-checked: plant a scaled copy of
-    every vector (cosine exactly 1.0 ⇒ identical sign bits ⇒ the LSH
+    """SRP-LSH near-dup end-to-end, oracle-checked: plant a ×2-scaled copy
+    of every vector (cosine exactly 1.0 ⇒ identical sign bits ⇒ the LSH
     candidate step has recall 1.0 deterministically, making the
-    approximate path oracle-checkable). Background pairs top out at
-    cosine ~0.51 so the exact-verify step keeps only the planted pairs.
-    Scale shape: signatures → band-bucket equi-join → exact cosine on
-    candidates only; no driver collect, no cross join."""
+    approximate path oracle-checkable). The oracle restates the FULL
+    exact-verify semantics — brute-force every pair of
+    (organic ∪ planted) and keep cosine ≥ 0.9 — not the planted-pair
+    structure: on tiers where extra exactly-colinear pairs exist (the
+    boundary tier's duplicate-vector twins, the constant tier's global
+    clique) those pairs are all sign-identical too, so LSH recall stays
+    1.0 and parity holds without assuming the organic background
+    (embeddings is sketch-scale at every oracle SF, so the O(n²) oracle
+    join is cheap; the ENGINE path stays banded). Scale shape:
+    signatures → band-bucket equi-join → exact cosine on candidates
+    only; no driver collect, no cross join."""
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )

@@ -430,7 +430,7 @@ def stream_outer_attribution_dedup(spark: SparkSession, sf_dir: str) -> DataFram
     flags AS (
       SELECT user_id, ts,
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                       OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800
+                       OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
                   THEN 1 ELSE 0 END AS is_new
       FROM ev),
     sess AS (
@@ -451,9 +451,14 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     under a watermark, driven through the state store to a memory sink —
     the stateful merge-on-overlap operator itself, not the batch lag
     rewrite (that equivalent is `sessionize_events`). The oracle is the
-    gaps-and-islands rewrite with session_window's half-open semantics
-    (an event exactly gap seconds after the last one opens a NEW
-    session, hence >= in the flag).
+    gaps-and-islands rewrite with session_window's TOUCHING-MERGES
+    semantics: an event landing exactly gap seconds after the last one
+    (next window start == current window end) MERGES into the session
+    — verified empirically on Spark 4 (events at 00:00 and 00:30 with
+    a 30-minute gap form ONE session [00:00, 01:00)), matching
+    sessionize_events' strict-> convention. The boundary tier
+    (tools/boundary_tier.py) forces gaps exactly at the timeout and
+    caught the previous >= mis-model.
     """
     from etl_file_sync_spark.streaming import events_stream, run_to_memory_sink
 

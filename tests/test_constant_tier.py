@@ -68,20 +68,17 @@ def duck(tier):
     con.close()
 
 
-# dedup_embedding_srp's oracle is ASSUMPTION-based ("background pairs
-# top out at cosine ~0.51, so only the planted scaled copies survive
-# the 0.9 threshold") — a data property, not a semantics restatement.
-# The constant tier breaks the assumption by design: EVERY nonzero
-# pair has cosine exactly 1.0, so the engine correctly returns the
-# complete pair set while the planted-pair oracle cannot. The closed-
-# form truth test below replaces parity here.
-ASSUMPTION_ORACLES = {"dedup_embedding_srp"}
+# dedup_embedding_srp's oracle was ASSUMPTION-based until round 7 (it
+# restated the planted pairs, a data property); the boundary tier's
+# duplicate-vector twins broke it a second way and forced the semantic
+# respell — the oracle now brute-forces every (organic ∪ planted) pair
+# at the 0.9 threshold, so it states the exact-verify semantics and
+# parity holds on EVERY tier (here: the full C(2(n-z), 2) clique).
+# The closed-form truth test below stays as an engine-only invariant.
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_query_matches_oracle_on_constant_tier(spark, tier, duck, name):
-    if name in ASSUMPTION_ORACLES:
-        pytest.skip("oracle assumes organic background cosines; see truth test")
     q = REGISTRY[name]
     assert_frames_match(q.build(spark, tier), duck.sql(q.oracle))
     spark.catalog.clearCache()

@@ -106,7 +106,7 @@ def toy_dir(spark, tmp_path_factory):
 
     rng = np.random.RandomState(11)
     vecs = rng.randn(40, 6).astype("float32")
-    vecs[7] = 0.0  # all-zero vector: scale-0 branch must emit q = 0
+    vecs[7] = 0.0  # all-zero vector: vec_ok drops it (no direction to quantize)
     spark.createDataFrame(
         [(int(i), [float(x) for x in vecs[i]], int(i % 2)) for i in range(40)],
         "vec_id bigint, embedding array<float>, label int",
@@ -218,16 +218,18 @@ def test_int8_quant_matches_numpy(spark, toy_dir):
     rows = {r.vec_id: r for r in REGISTRY["embed_int8_quant"].build(spark, toy_dir).collect()}
     emb = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
            for r in spark.read.parquet(os.path.join(toy_dir, "embeddings.parquet")).collect()}
+    # the all-zero vector has no direction to quantize: vec_ok drops it
+    # in both engines (round-7 zero-norm leg), same as the NULL posture
+    assert 7 not in rows
+    assert set(rows) == {vid for vid, v in emb.items() if np.any(v != 0)}
     for vid, v in emb.items():
         amax = float(np.max(np.abs(v)))
         if amax == 0:
-            q = np.zeros_like(v)
-            mse = 0.0
-        else:
-            scale = amax / 127.0
-            q = np.clip(np.floor(v / scale + 0.5), -127, 127)
-            err = v - q * scale
-            mse = float(sum(e * e for e in err) / len(v))  # sequential fold
+            continue
+        scale = amax / 127.0
+        q = np.clip(np.floor(v / scale + 0.5), -127, 127)
+        err = v - q * scale
+        mse = float(sum(e * e for e in err) / len(v))  # sequential fold
         r = rows[vid]
         assert r.dim == len(v)
         assert r.q_l1 == int(np.sum(np.abs(q)))
