@@ -304,19 +304,19 @@ def stat_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(sum(y) AS BIGINT) AS ty FROM g),
     loo AS (
       SELECT gk, tx, ty,
-             (tx - x) * 1.0 / (ty - y) AS theta_g
+             (tx - x) * 1.0 / (ty - y) - tx * 1.0 / ty AS d_g
       FROM g, tot
     ),
     jk AS (
-      SELECT gk, tx, ty, avg(theta_g) AS tbar,
-             sum(theta_g * theta_g) AS tsq
+      SELECT gk, tx, ty, avg(d_g) AS m,
+             sum(d_g * d_g) AS dsq
       FROM loo GROUP BY gk, tx, ty
     )
     SELECT gk AS n_groups,
            round(tx * 1.0 / ty, 6) AS theta_cents,
-           round((gk - 1.0) / gk * (tsq - gk * tbar * tbar), 6) AS jk_var,
-           round(sqrt((gk - 1.0) / gk * (tsq - gk * tbar * tbar)), 6) AS jk_se,
-           round((gk - 1.0) * (tbar - tx * 1.0 / ty), 6) AS jk_bias
+           round((gk - 1.0) / gk * (dsq - gk * m * m), 6) AS jk_var,
+           round(sqrt((gk - 1.0) / gk * (dsq - gk * m * m)), 6) AS jk_se,
+           round((gk - 1.0) * m, 6) AS jk_bias
     FROM jk
     """,
     "stats",
@@ -330,11 +330,18 @@ def stat_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scale-honest resampling scheme for ratio estimators: leave-out
     replicates come from the 25-row nation aggregate and two broadcast
     totals, never from resampling row-grain data. All numerators and
-    denominators are exact BIGINTs, so each replicate theta_(g) is one
-    identical double division in both engines; the replicate variance
-    folds over 25 rows (bounded double sum under round(6)). Emits the
-    point estimate, jackknife variance/SE, and the Quenouille bias
-    estimate (G-1)*(theta_bar - theta_hat)."""
+    denominators are exact BIGINTs, so each replicate theta_(g) and
+    the point estimate theta are bit-identical double divisions in
+    both engines. Every downstream moment is anchored on d_g =
+    theta_(g) - theta (also bit-identical: same two doubles, one
+    subtraction): jk_var = (G-1)/G * (Σd² - G·m²) with m = avg(d_g),
+    jk_bias = (G-1)·m. The textbook spellings (Σθ² - G·θbar² and
+    θbar - θ) cancel ~15 significant digits when the measure carries
+    a large additive offset (theta ~ 1e10 cents on the conditioning
+    tier) and diverge between the engines' summation orders; the
+    d_g-anchored algebra keeps every sum at replicate-deviation
+    magnitude, so it is both numerically stable and cross-engine
+    deterministic under round(6). Caught by tools/conditioning_tier.py."""
     g = (
         t(spark, sf_dir, "orders")
         .join(
@@ -362,23 +369,24 @@ def stat_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gk",
         "tx",
         "ty",
-        ((F.col("tx") - F.col("x")) * 1.0 / (F.col("ty") - F.col("y"))).alias(
-            "theta_g"
-        ),
+        (
+            (F.col("tx") - F.col("x")) * 1.0 / (F.col("ty") - F.col("y"))
+            - F.col("tx") * 1.0 / F.col("ty")
+        ).alias("d_g"),
     )
     jk = loo.groupBy("gk", "tx", "ty").agg(
-        F.avg("theta_g").alias("tbar"),
-        F.sum(F.col("theta_g") * F.col("theta_g")).alias("tsq"),
+        F.avg("d_g").alias("m"),
+        F.sum(F.col("d_g") * F.col("d_g")).alias("dsq"),
     )
     gk = F.col("gk")
     theta = F.col("tx") * 1.0 / F.col("ty")
-    jvar = (gk - 1.0) / gk * (F.col("tsq") - gk * F.col("tbar") * F.col("tbar"))
+    jvar = (gk - 1.0) / gk * (F.col("dsq") - gk * F.col("m") * F.col("m"))
     return jk.select(
         gk.alias("n_groups"),
         F.round(theta, 6).alias("theta_cents"),
         F.round(jvar, 6).alias("jk_var"),
         F.round(F.sqrt(jvar), 6).alias("jk_se"),
-        F.round((gk - 1.0) * (F.col("tbar") - theta), 6).alias("jk_bias"),
+        F.round((gk - 1.0) * F.col("m"), 6).alias("jk_bias"),
     )
 
 

@@ -114,6 +114,43 @@ def test_jackknife_ratio_matches_python_loop(spark, sf_dir):
     assert got["jk_bias"] == pytest.approx((gk - 1) * (tbar - theta), abs=1e-4)
 
 
+def test_jackknife_ratio_accurate_under_offset(spark, tmp_path):
+    """ACCURACY (not just parity) on the conditioning tier: with
+    o_totalprice + 1e8 the point estimate sits at ~1e10 cents, where the
+    textbook replicate moments (Σθ²_g − G·θ̄², θ̄ − θ) cancel ~15
+    significant digits. The engine's d_g-anchored algebra must still
+    agree with an EXACT rational-arithmetic jackknife (python Fractions
+    over the exact BIGINT cents sums) to 1e-6 relative — pinning that
+    the respell is stable, not merely order-deterministic."""
+    from fractions import Fraction
+
+    from tools.conditioning_tier import synthesize
+
+    tier = synthesize(str(tmp_path / "cond"))
+    got = REGISTRY["stat_jackknife_ratio"].build(spark, tier).collect()[0]
+
+    o = _pq(tier, "orders")
+    c = _pq(tier, "customer")
+    n = _pq(tier, "nation")
+    df = o.merge(c, left_on="o_custkey", right_on="c_custkey").merge(
+        n, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    cents = (df.o_totalprice * 100).round().astype("int64")
+    g = pd.DataFrame({"x": cents, "grp": df.n_name}).groupby("grp").agg(
+        x=("x", "sum"), y=("x", "size")
+    )
+    tx, ty, gk = int(g.x.sum()), int(g.y.sum()), len(g)
+    theta = Fraction(tx, ty)
+    ds = [Fraction(tx - int(x), ty - int(y)) - theta for x, y in zip(g.x, g.y)]
+    m = sum(ds, Fraction(0)) / gk
+    jvar = Fraction(gk - 1, gk) * sum((d - m) ** 2 for d in ds)
+    assert got["n_groups"] == gk
+    assert got["theta_cents"] == pytest.approx(float(theta), rel=1e-9)
+    assert got["jk_var"] == pytest.approx(float(jvar), rel=1e-6)
+    assert got["jk_se"] == pytest.approx(math.sqrt(float(jvar)), rel=1e-6)
+    assert got["jk_bias"] == pytest.approx(float((gk - 1) * m), rel=1e-6)
+
+
 def test_ljung_box_matches_numpy(spark, sf_dir):
     got = REGISTRY["ts_ljung_box"].build(spark, sf_dir).collect()[0]
     o = _pq(sf_dir, "orders")
