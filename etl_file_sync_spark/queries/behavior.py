@@ -887,6 +887,29 @@ def behavior_event_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MARKOV_ITERS = 80
 
+# Admission cap for the driver-side Markov solves: the kernel is one
+# cell per OBSERVED (from, to) event-type pair, so its size is bounded
+# by the producer's alphabet, not by the engine. A healthy product
+# alphabet is tens of types (kernel <= a few hundred cells); an
+# alphabet poisoned by embedded IDs (the classic cardinality-explosion
+# incident) would push k^2 cells to the driver. Fail FAST with a clear
+# admission error instead of an unbounded collect — the cap is far
+# above any sane event taxonomy and the check rides the same job as
+# the collect (limit(cap+1), no extra pass).
+_MAX_MARKOV_CELLS = 10_000
+
+
+def _collect_kernel(df, what: str) -> list:
+    rows = df.limit(_MAX_MARKOV_CELLS + 1).collect()
+    if len(rows) > _MAX_MARKOV_CELLS:
+        raise ValueError(
+            f"{what}: observed transition kernel exceeds "
+            f"{_MAX_MARKOV_CELLS} cells — the event-type alphabet is not "
+            "a bounded taxonomy (embedded IDs?); cap or bucket event_type "
+            "upstream before Markov analytics"
+        )
+    return rows
+
 
 @register(
     "behavior_markov_absorption",
@@ -946,14 +969,18 @@ def behavior_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
     empirical per-user transition kernel (consecutive-event pairs,
     ordered by ts/event_id within user). The kernel is computed
     DISTRIBUTED (the corpus-scale groupBy); the hitting probabilities
-    solve (I-Q)h = b on the enum-BOUNDED <=5x5 matrix — collected as a
+    solve (I-Q)h = b on the observed k x k kernel — collected as a
     k-row metadata pull and iterated 80 Jacobi steps driver-side with
     float64, exactly mirroring the oracle's recursive-CTE iteration
     (same update, same iteration count; 80 steps contract the spectral
-    residual far below the round(6) grain — both engines' 5-term dot
+    residual far below the round(6) grain — both engines' k-term dot
     products may associate differently, the documented double-sum
-    envelope). The state space is the event-type enum, so driver-side
-    solve is scale-correct at ANY corpus size."""
+    envelope). The driver pull is bounded by an explicit ADMISSION cap
+    (_collect_kernel, fail-fast over 10k cells), not by trusting the
+    producer's alphabet: a healthy event taxonomy is tens of types,
+    and an ID-poisoned alphabet must error clearly, never OOM the
+    driver. Target-only sink types (possible once the alphabet is
+    open) keep h = 0.0 via the float-typed empty sum."""
     e = t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     ordered = e.withColumn("next_type", F.lead("event_type").over(w))
@@ -963,11 +990,12 @@ def behavior_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
     outs = tr.groupBy("f").agg(F.sum("c").cast("bigint").alias("tot"))
-    p_rows = (
-        tr.join(outs, "f")
-        .select("f", "t", (F.col("c") * F.lit(1.0) / F.col("tot")).alias("p"))
-        .collect()  # enum-bounded kernel: <= 25 cells — k-row metadata pull
-    )
+    p_rows = _collect_kernel(
+        tr.join(outs, "f").select(
+            "f", "t", (F.col("c") * F.lit(1.0) / F.col("tot")).alias("p")
+        ),
+        "behavior_markov_absorption",
+    )  # kernel cells = observed (from, to) pairs — admission-capped pull
     # every source AND target is a state: a target-only absorbing type
     # must keep its pinned value visible to the iteration
     states = sorted({r["f"] for r in p_rows} | {r["t"] for r in p_rows})
@@ -981,10 +1009,15 @@ def behavior_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
             elif s == "purchase":
                 nxt[s] = 0.0
             else:
-                # empty sum = 0: a sink transient stays at 0 (matches
-                # the oracle's self-loop augmentation)
+                # empty sum = 0.0: a sink transient stays at 0 (matches
+                # the oracle's self-loop augmentation). The 0.0 start
+                # matters: bare sum() of an empty generator is int 0,
+                # which survives every iteration and createDataFrame
+                # rejects for DoubleType — sink transients only exist
+                # on alphabets with target-only types (highcard tier).
                 nxt[s] = sum(
-                    kernel[(s, u)] * h[u] for u in states if (s, u) in kernel
+                    (kernel[(s, u)] * h[u] for u in states if (s, u) in kernel),
+                    0.0,
                 )
         h = nxt
     return (
@@ -1371,11 +1404,12 @@ def behavior_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
     outs = tr.groupBy("f").agg(F.sum("c").cast("bigint").alias("tot"))
-    rows = (
-        tr.join(outs, "f")
-        .select("f", "t", (F.col("c") * 1.0 / F.col("tot")).alias("p"))
-        .collect()  # enum-bounded kernel — k-row metadata pull
-    )
+    rows = _collect_kernel(
+        tr.join(outs, "f").select(
+            "f", "t", (F.col("c") * 1.0 / F.col("tot")).alias("p")
+        ),
+        "behavior_markov_attribution",
+    )  # kernel cells = observed (from, to) pairs — admission-capped pull
     kernel = {(r["f"], r["t"]): r["p"] for r in rows}
     _attr_schema = (
         "channel string, base_conversion double, conversion_without double,"

@@ -753,8 +753,9 @@ def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, url,
            regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
            regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
-           regexp_extract(url, '\\?(.*)$', 1) AS query,
-           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param
+           nullif(regexp_extract(url, '^[^#]*\\?([^#]*)', 1), '') AS query,
+           nullif(regexp_extract(url, '^[^#]*[?&]lang=([^&#]*)', 1), '')
+             AS lang_param
     FROM u ORDER BY doc_id
     """,
     "scalar",
@@ -764,8 +765,19 @@ def scalar_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL component extraction — the web-corpus provenance primitive
     (domain grouping, per-host caps, tracking-param hygiene): Spark's
     JVM parse_url(HOST/PATH/QUERY/QUERY:key) against the oracle's
-    regexp restatement over the same synthesized well-formed URLs.
-    Narrow map, zero shuffle."""
+    regexp restatement over the same synthesized URLs. The oracle
+    regexes restate URL STRUCTURE, not the synthesis happy path: the
+    fragment starts at the FIRST '#', so the query exists only when a
+    '?' precedes it (the ^[^#]*\\? anchor), stops at '#', and is NULL
+    — not '' — when absent (parse_url returns NULL; nullif mirrors
+    DuckDB's empty-string no-match). The high-cardinality tier's
+    suffixed values embed '#' in two positions and caught both
+    fragment-blind spellings: lang='zh#1' (query must stop at the
+    fragment) and source='web#7' (the fragment starts in the HOST
+    position, so there is NO query — the old '\\?(.*)$' happily
+    extracted from inside the fragment). PATH stays '' on both
+    engines when the authority is cut short (parse_url returns empty
+    string, the regex no-match is also ''). Narrow map, zero shuffle."""
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     url = F.concat(
         F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
