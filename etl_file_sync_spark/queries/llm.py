@@ -627,12 +627,12 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_image_dims",
     """
     SELECT doc_id,
-           CASE CAST(doc_id % 3 AS INTEGER)
+           CASE CAST(((doc_id % 3) + 3) % 3 AS INTEGER)
              WHEN 0 THEN 'image/png'
              WHEN 1 THEN 'image/gif'
              ELSE 'image/jpeg' END AS sniffed_type,
-           CAST(100 + doc_id % 900 AS INTEGER) AS width,
-           CAST(100 + (doc_id * 7) % 900 AS INTEGER) AS height
+           CAST(100 + ((doc_id % 900) + 900) % 900 AS INTEGER) AS width,
+           CAST(100 + (((doc_id * 7) % 900) + 900) % 900 AS INTEGER) AS height
     FROM documents WHERE doc_id < 300 ORDER BY doc_id
     """,
     "multimodal",
@@ -650,11 +650,16 @@ def multimodal_image_dims_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     images parse with the identical expressions — only the builders are
     synthetic here (no image fixtures in the testdata)."""
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    w = (F.lit(100) + F.col("doc_id") % 900).cast("int")
-    h = (F.lit(100) + (F.col("doc_id") * 7) % 900).cast("int")
+    # floor-mod (pmod) everywhere an id derives a synthesis parameter:
+    # dimensions must be POSITIVE for any id sign, matching the python
+    # attach_* helpers' floor-mod and the oracle's ((x%k)+k)%k spelling
+    # (extreme-id tier: sign-of-dividend % synthesized negative widths)
+    w = (F.lit(100) + F.pmod(F.col("doc_id"), F.lit(900))).cast("int")
+    h = (F.lit(100) + F.pmod(F.col("doc_id") * 7, F.lit(900))).cast("int")
+    fmt_sel = F.pmod(F.col("doc_id"), F.lit(3))
     payload = (
-        F.when(F.col("doc_id") % 3 == 0, M.synth_png(w, h))
-        .when(F.col("doc_id") % 3 == 1, M.synth_gif(w, h))
+        F.when(fmt_sel == 0, M.synth_png(w, h))
+        .when(fmt_sel == 1, M.synth_gif(w, h))
         .otherwise(M.synth_jpeg(w, h))
     )
     base = M.sniff_media_type(docs.select("doc_id", payload.alias("payload")))
@@ -674,11 +679,11 @@ def multimodal_image_dims_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH docs AS (
       SELECT doc_id,
-             CASE CAST(doc_id % 4 AS INTEGER)
+             CASE CAST(((doc_id % 4) + 4) % 4 AS INTEGER)
                WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' WHEN 2 THEN 'png'
                ELSE 'gif' END AS fmt,
-             CAST(5 + doc_id % 13 AS INTEGER) AS width,
-             CAST(3 + doc_id % 5 AS INTEGER) AS height
+             CAST(5 + ((doc_id % 13) + 13) % 13 AS INTEGER) AS width,
+             CAST(3 + ((doc_id % 5) + 5) % 5 AS INTEGER) AS height
       FROM documents WHERE doc_id < 200
     ),
     grid AS (
@@ -687,10 +692,11 @@ def multimodal_image_dims_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE x.g < d.width AND y.g < d.height
     )
     SELECT doc_id, fmt, width, height,
-           CAST(SUM((doc_id + 2*x + 3*y) % 256) AS BIGINT) AS sum_r,
-           CAST(SUM((3*doc_id + x + 7*y) % 256) AS BIGINT) AS sum_g,
-           CAST(SUM((5*doc_id + 4*x + y) % 256) AS BIGINT) AS sum_b,
-           CAST(SUM(CASE WHEN y = 0 THEN (doc_id + 2*x) % 256 ELSE 0 END) AS BIGINT) AS top_row_sum_r
+           CAST(SUM((((doc_id + 2*x + 3*y) % 256) + 256) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((((3*doc_id + x + 7*y) % 256) + 256) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((((5*doc_id + 4*x + y) % 256) + 256) % 256) AS BIGINT) AS sum_b,
+           CAST(SUM(CASE WHEN y = 0 THEN (((doc_id + 2*x) % 256) + 256) % 256
+                         ELSE 0 END) AS BIGINT) AS top_row_sum_r
     FROM grid GROUP BY 1, 2, 3, 4 ORDER BY doc_id
     """,
     "multimodal",
@@ -713,12 +719,16 @@ def multimodal_pixel_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     media = M.attach_pixel_payload(docs)
     stats = M.image_pixel_stats(media)
-    # fmt is a pure function of doc_id (id%4 → bmp/ppm/png/gif) — re-derive
-    # it JVM-side rather than joining back through a second mapInPandas pass.
+    # fmt is a pure function of doc_id (pmod(id,4) → bmp/ppm/png/gif) —
+    # re-derive it JVM-side rather than joining back through a second
+    # mapInPandas pass. pmod, not %: the python attach helper indexes
+    # _FMTS[i % 4] with Python's FLOOR-mod, so a negative id must pick
+    # the same format here (extreme-id tier).
+    fmt_sel = F.pmod(F.col("doc_id"), F.lit(4))
     fmt = (
-        F.when(F.col("doc_id") % 4 == 0, "bmp")
-        .when(F.col("doc_id") % 4 == 1, "ppm")
-        .when(F.col("doc_id") % 4 == 2, "png")
+        F.when(fmt_sel == 0, "bmp")
+        .when(fmt_sel == 1, "ppm")
+        .when(fmt_sel == 2, "png")
         .otherwise("gif")
         .alias("fmt")
     )
@@ -807,11 +817,11 @@ def sim_topk_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH d AS (
       SELECT doc_id,
-             8 * (1 + CAST(doc_id % 3 AS INTEGER)) AS width,
-             8 * (1 + CAST(doc_id % 2 AS INTEGER)) AS height,
-             (7 * doc_id) % 256 AS yy,
-             (11 * doc_id) % 256 AS cb,
-             (13 * doc_id) % 256 AS cr
+             8 * (1 + CAST(((doc_id % 3) + 3) % 3 AS INTEGER)) AS width,
+             8 * (1 + CAST(((doc_id % 2) + 2) % 2 AS INTEGER)) AS height,
+             (((7 * doc_id) % 256) + 256) % 256 AS yy,
+             (((11 * doc_id) % 256) + 256) % 256 AS cb,
+             (((13 * doc_id) % 256) + 256) % 256 AS cr
       FROM documents WHERE doc_id < 160
     ),
     rgb AS (
@@ -854,12 +864,13 @@ def multimodal_jpeg_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH docs AS (
       SELECT doc_id,
-             CAST(8000 + 1000 * (doc_id % 4) AS INTEGER) AS sample_rate
+             CAST(8000 + 1000 * (((doc_id % 4) + 4) % 4) AS INTEGER)
+               AS sample_rate
       FROM documents WHERE doc_id < 160
     ),
     grid AS (
       SELECT d.doc_id, d.sample_rate,
-             ((d.doc_id * 31 + s.i * 7) % 65536) - 32768 AS v
+             (((d.doc_id * 31 + s.i * 7) % 65536) + 65536) % 65536 - 32768 AS v
       FROM docs d, generate_series(0, 479) s(i)
     )
     SELECT doc_id, sample_rate, CAST(1 AS INTEGER) AS channels,
@@ -893,14 +904,14 @@ def multimodal_audio_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_video_frames",
     """
     WITH docs AS (
-      SELECT doc_id, 4 + CAST(doc_id % 3 AS INTEGER) AS n_frames
+      SELECT doc_id, 4 + CAST(((doc_id % 3) + 3) % 3 AS INTEGER) AS n_frames
       FROM documents WHERE doc_id < 120
     ),
     sampled AS (
       SELECT d.doc_id, s.k AS frame_idx,
-             (7 * d.doc_id + 17 * s.k) % 256 AS yy,
-             (11 * d.doc_id + 5 * s.k) % 256 AS cb,
-             (13 * d.doc_id + 3 * s.k) % 256 AS cr
+             (((7 * d.doc_id + 17 * s.k) % 256) + 256) % 256 AS yy,
+             (((11 * d.doc_id + 5 * s.k) % 256) + 256) % 256 AS cb,
+             (((13 * d.doc_id + 3 * s.k) % 256) + 256) % 256 AS cr
       FROM docs d, generate_series(0, 5, 2) s(k)
       WHERE s.k < d.n_frames
     ),

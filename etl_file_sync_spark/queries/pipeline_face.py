@@ -28,13 +28,17 @@ _SERVERS = [
 def job_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic job-message stream derived from orders.
 
-    o_orderkey % 13: 0 → non-JSON garbage, 1 → JSON missing destination,
-    2 → unknown source hostname, else valid (hostname SRV_{custkey%3}).
+    pmod(o_orderkey, 13): 0 → non-JSON garbage, 1 → JSON missing
+    destination, 2 → unknown source hostname, else valid (hostname
+    SRV_{pmod(custkey, 3)}). Floor-mod, not %: hash-range negative keys
+    must land in a DEFINED class and a VALID hostname bucket — with
+    sign-of-dividend % they skipped every WHEN into 'valid' while their
+    'srv_-1' hostname failed enrichment (extreme-id tier).
     """
     o = t(spark, sf_dir, "orders")
-    mod = F.col("o_orderkey") % 13
+    mod = F.pmod(F.col("o_orderkey"), F.lit(13))
     src_host = F.when(mod == 2, F.lit("NO_SUCH_SRV")).otherwise(
-        F.concat(F.lit("srv_"), (F.col("o_custkey") % 3).cast("string"))  # lowercase: exercises case-insensitive lookup
+        F.concat(F.lit("srv_"), F.pmod(F.col("o_custkey"), F.lit(3)).cast("string"))  # lowercase: exercises case-insensitive lookup
     )
     valid_json = F.to_json(
         F.struct(
@@ -61,9 +65,9 @@ def job_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_parse_validate",
     """
     WITH cls AS (
-      SELECT CASE WHEN o_orderkey % 13 = 0 THEN 'parse_error'
-                  WHEN o_orderkey % 13 = 1 THEN 'missing_field'
-                  WHEN o_orderkey % 13 = 2 THEN 'unknown_server'
+      SELECT CASE WHEN ((o_orderkey % 13) + 13) % 13 = 0 THEN 'parse_error'
+                  WHEN ((o_orderkey % 13) + 13) % 13 = 1 THEN 'missing_field'
+                  WHEN ((o_orderkey % 13) + 13) % 13 = 2 THEN 'unknown_server'
                   ELSE 'valid' END AS status
       FROM orders)
     SELECT status, count(*) AS n_jobs FROM cls GROUP BY status
@@ -106,11 +110,12 @@ def pipeline_parse_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pipeline_dlq_messages",
     """
-    SELECT CASE WHEN o_orderkey % 13 = 0
+    SELECT CASE WHEN ((o_orderkey % 13) + 13) % 13 = 0
                 THEN concat('{"raw":"garbage::', CAST(o_orderkey AS VARCHAR), '"}')
                 ELSE concat('job-', CAST(o_orderkey AS VARCHAR)) END AS original_ref,
-           CASE WHEN o_orderkey % 13 = 0 THEN 'parse_error' ELSE 'missing_field' END AS error_class
-    FROM orders WHERE o_orderkey % 13 IN (0, 1)
+           CASE WHEN ((o_orderkey % 13) + 13) % 13 = 0 THEN 'parse_error'
+                ELSE 'missing_field' END AS error_class
+    FROM orders WHERE ((o_orderkey % 13) + 13) % 13 IN (0, 1)
     ORDER BY original_ref
     """,
     "pipeline",

@@ -101,7 +101,7 @@ def map_type_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
            o_orderkey & 255 AS low_byte,
            o_orderkey | 4096 AS with_flag,
            xor(o_orderkey, 255) AS flipped,
-           o_orderkey << 2 AS shifted_l,
+           (o_orderkey & 255) << 2 AS shifted_l,
            o_orderkey >> 3 AS shifted_r,
            CAST(bit_count(o_orderkey) AS INTEGER) AS popcount
     FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey
@@ -110,7 +110,12 @@ def map_type_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bitwise",
 )
 def bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bitwise function parity (&, |, xor, shifts, popcount)."""
+    """Bitwise function parity (&, |, xor, shifts, popcount). Negative
+    keys are first-class: & | xor, arithmetic >> and two's-complement
+    bit_count agree across engines at any sign, but DuckDB REFUSES to
+    left-shift a negative (Spark wraps silently) — so the left shift is
+    DEFINED over the masked low byte, (k & 255) << 2, in both
+    spellings (extreme-id tier)."""
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
     k = F.col("o_orderkey")
     return o.select(
@@ -118,7 +123,7 @@ def bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.bitwiseAND(F.lit(255)).alias("low_byte"),
         k.bitwiseOR(F.lit(4096)).alias("with_flag"),
         k.bitwiseXOR(F.lit(255)).alias("flipped"),
-        F.shiftleft(k, 2).alias("shifted_l"),
+        F.shiftleft(k.bitwiseAND(F.lit(255)), 2).alias("shifted_l"),
         F.shiftright(k, 3).alias("shifted_r"),
         F.bit_count(k).alias("popcount"),
     ).orderBy("o_orderkey")

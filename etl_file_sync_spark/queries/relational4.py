@@ -135,8 +135,10 @@ def na_fill_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast,
            TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS prio_digit,
-           CASE WHEN o_orderkey % 10 = 0 THEN NULL
-                ELSE round(o_totalprice / (o_orderkey % 10), 2) END AS safe_div
+           CASE WHEN ((o_orderkey % 10) + 10) % 10 = 0 THEN NULL
+                ELSE floor(o_totalprice * 100
+                           / (((o_orderkey % 10) + 10) % 10)) / 100
+           END AS safe_div
     FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey
     """,
     "scalar",
@@ -144,13 +146,23 @@ def na_fill_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Error-safe expressions: try_cast yields NULL instead of failing;
-    try_divide yields NULL on division by zero (== SQL CASE guard)."""
+    try_divide yields NULL on division by zero (== the oracle's CASE
+    guard). The quotient is reported at a FLOOR grain (floor(x·100)/100),
+    not round(x, 2): the engines' round() implementations disagree at
+    .xx5 boundaries of negative quotients (Spark -67022.92 vs DuckDB
+    -67022.91 on the extreme-id tier), while floor of an identical
+    double is identical everywhere. Divisor is pmod (floor-mod) so
+    hash-range negative keys land in the same 0..9 bucket as the
+    oracle's ((x%k)+k)%k spelling."""
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 100)
+    div = F.pmod(F.col("o_orderkey"), F.lit(10))
     return o.select(
         "o_orderkey",
         F.col("o_orderpriority").try_cast("int").alias("bad_cast"),
         F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_digit"),
-        F.round(F.try_divide("o_totalprice", F.col("o_orderkey") % 10), 2).alias("safe_div"),
+        (F.floor(F.try_divide(F.col("o_totalprice") * 100, div)) / 100).alias(
+            "safe_div"
+        ),
     ).orderBy("o_orderkey")
 
 
@@ -517,7 +529,7 @@ def mba_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders WHERE o_orderkey <= 200
     )
     SELECT o_orderkey, xml,
-           CAST(regexp_extract(xml, 'id="(\\d+)"', 1) AS BIGINT) AS id_back,
+           CAST(regexp_extract(xml, 'id="(-?\\d+)"', 1) AS BIGINT) AS id_back,
            regexp_extract(xml, '<status>(.*)</status>', 1) AS status_back,
            CAST(regexp_extract(xml, '<cents>(-?\\d+)</cents>', 1) AS BIGINT) AS cents_back
     FROM x ORDER BY o_orderkey

@@ -15,7 +15,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from etl_file_sync_spark.queries.registry import register, t
-from etl_file_sync_spark.streaming.replay import ADMIT_MAX_TS, ADMIT_MIN_TS
+from etl_file_sync_spark.streaming.replay import (
+    ADMIT_MAX_TS,
+    ADMIT_MIN_TS,
+    SENTINEL_UID,
+)
 
 
 def _admit_sql(col: str = "ts") -> str:
@@ -419,7 +423,12 @@ def stream_outer_attribution_dedup(spark: SparkSession, sf_dir: str) -> DataFram
         "leftOuter",
     ).select("event_id", "user_id", "view_id")
     out = run_to_memory_sink(joined, "stream_outer_attr_sink", "append")
-    return out.filter(F.col("user_id") >= 0).orderBy("event_id", "view_id")
+    # drop the flush sentinels by their RESERVED id — "user_id >= 0" was
+    # a sign convention that silently dropped real hash-range negative
+    # users (extreme-id tier)
+    return out.filter(F.col("user_id") != SENTINEL_UID).orderBy(
+        "event_id", "view_id"
+    )
 
 
 @register(
@@ -609,8 +618,9 @@ def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "view_id", F.coalesce(F.col("user_id"), F.col("v_user")).alias("user_id")
     )
     out = run_to_memory_sink(joined, "stream_full_outer_sink", "append")
-    # drop the two sentinel rows (user -1); both are unmatched singletons
-    return out.filter(F.col("user_id") >= 0).orderBy(
+    # drop the two sentinel rows by their RESERVED id; both are unmatched
+    # singletons ("user_id >= 0" was a sign convention — extreme-id tier)
+    return out.filter(F.col("user_id") != SENTINEL_UID).orderBy(
         F.col("event_id").asc_nulls_last(), F.col("view_id").asc_nulls_last()
     )
 

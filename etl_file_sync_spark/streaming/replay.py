@@ -31,10 +31,15 @@ EVENTS_RAW_SCHEMA = (
 # window belong in a DLQ, not in the watermark domain. The time-edge
 # poked tier (tests/test_timeedge.py) pins this: without the window,
 # five watermarked queries lost 2-15 rows each to a single poked 2262
-# event. Replay-harness flush sentinels (user_id < 0) are exempt —
-# advancing the watermark is their job.
+# event. Replay-harness flush sentinels are exempt — advancing the
+# watermark is their job. Sentinels are identified by ONE reserved id
+# (Long.MIN_VALUE), never by sign: "user_id < 0 means synthetic" is a
+# data assumption, not a contract — hash-derived int64 user ids are
+# negative half the time, and the extreme-id tier showed the sign
+# convention silently dropping real users from outer-join results.
 ADMIT_MIN_TS = "1990-01-01 00:00:00"
 ADMIT_MAX_TS = "2035-01-01 00:00:00"
+SENTINEL_UID = -(2**63)  # reserved: replay-harness sentinel user id
 
 
 def _admit(df: DataFrame) -> DataFrame:
@@ -44,7 +49,7 @@ def _admit(df: DataFrame) -> DataFrame:
             (F.col("ts") >= F.lit(ADMIT_MIN_TS).cast("timestamp"))
             & (F.col("ts") < F.lit(ADMIT_MAX_TS).cast("timestamp"))
         )
-        | (F.col("user_id") < 0)
+        | (F.col("user_id") == SENTINEL_UID)
     )
 
 
@@ -141,12 +146,13 @@ def events_stream_with_flush(
 ) -> DataFrame:
     """Streaming events with a far-future sentinel batch staged AFTER the
     real data (maxFilesPerTrigger=1 ⇒ two micro-batches). The sentinel
-    rows (user_id = -1, one 'purchase' + one 'view', ts = max(ts) +
-    `flush_hours`) advance every downstream watermark past all real
-    event-time state, so outer-join null emissions and watermark-scoped
-    dedup state FLUSH deterministically inside one processAllAvailable —
-    the replay-side stand-in for a production stream's continuing flow.
-    Callers filter `user_id >= 0` from results.
+    rows (user_id = SENTINEL_UID, one 'purchase' + one 'view', ts =
+    max(ts) + `flush_hours`) advance every downstream watermark past all
+    real event-time state, so outer-join null emissions and
+    watermark-scoped dedup state FLUSH deterministically inside one
+    processAllAvailable — the replay-side stand-in for a production
+    stream's continuing flow. Callers filter
+    `user_id != SENTINEL_UID` from results.
     """
     import pandas as pd
 
@@ -162,7 +168,7 @@ def events_stream_with_flush(
         {
             "event_id": pd.Series([-1, -2], dtype="int64"),
             "ts": None,  # filled below per vintage
-            "user_id": pd.Series([-1, -1], dtype="int64"),
+            "user_id": pd.Series([SENTINEL_UID, SENTINEL_UID], dtype="int64"),
             "event_type": ["purchase", "view"],
             "value": [0.0, 0.0],
             "props": ["{}", "{}"],
@@ -196,7 +202,7 @@ def events_stream_with_late_replay(
     """Streaming events staged as THREE micro-batches (maxFilesPerTrigger=1):
 
     1. the real events,
-    2. the far-future flush sentinel (user_id = −1) — after this batch
+    2. the far-future flush sentinel (user_id = SENTINEL_UID) — after this batch
        the watermark is past every real window, so append-mode results
        emit, AND the batch gap matters: Spark ≥3.5 filters late INPUT
        with the watermark as of one batch earlier
@@ -210,7 +216,7 @@ def events_stream_with_late_replay(
 
     The late rows are the oracle's proof obligation: if the engine
     wrongly aggregates them, every touched window's count shifts and the
-    value hash mismatches. Callers filter `user_id >= 0`.
+    value hash mismatches. Callers filter `user_id != SENTINEL_UID`.
 
     Replay-harness scope: the pandas staging pass below reads the replay
     parquet on the DRIVER — correct only for the test-scale replay files
@@ -242,7 +248,7 @@ def events_stream_with_late_replay(
         {
             "event_id": pd.Series([-1], dtype="int64"),
             "ts": [flush_ts],
-            "user_id": pd.Series([-1], dtype="int64"),
+            "user_id": pd.Series([SENTINEL_UID], dtype="int64"),
             "event_type": ["purchase"],
             "value": [0.0],
             "props": ["{}"],
