@@ -295,7 +295,7 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT date_trunc('hour', ts) AS hour_start, event_type,
            count(*) AS n_events,
            round(sum(cents) / 100.0, 2) AS total_value,
-           round(sum(cents) / 100.0 / count(*), 4) AS avg_value
+           floor(sum(cents) * 100.0 / count(*)) / 10000.0 AS avg_value
     FROM ev GROUP BY 1, 2
     """,
     "streaming",
@@ -311,6 +311,12 @@ def rollup_reaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     serve any coarser grain from them.
 
     Exact-integer cents make the re-aggregated double sum order-proof.
+    total_value's round(2) is safe (cents/100 IS a 2-decimal number, so
+    no value ever sits on the rounding boundary), but avg_value is a
+    raw quotient whose 4th decimal can land exactly on .5 — where the
+    engines' round() implementations disagree (boundary tier at
+    sf0.01) — so it is reported at the FLOOR grain
+    (floor(x·10^4)/10^4), deterministic on identical doubles.
     """
     e = t(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100, 0).cast("bigint")
@@ -327,7 +333,9 @@ def rollup_reaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_events",
         F.round(F.col("total_cents") / 100.0, 2).alias("total_value"),
-        F.round(F.col("total_cents") / 100.0 / F.col("n_events"), 4).alias("avg_value"),
+        (F.floor(F.col("total_cents") * 100.0 / F.col("n_events")) / 10000.0).alias(
+            "avg_value"
+        ),
     )
 
 

@@ -82,3 +82,29 @@ def test_query_matches_oracle_on_boundary_tier(spark, tier, duck, name):
     q = REGISTRY[name]
     assert_frames_match(q.build(spark, tier), duck.sql(q.oracle))
     spark.catalog.clearCache()
+
+
+def test_rollup_avg_floor_grain_on_sf01_boundary(spark, tmp_path_factory):
+    """Rounding-boundary regression pinned at the SCALE it appeared:
+    the sf0.01-sourced boundary tier aligns one hourly group's
+    sum(cents)/count so the average's 4th decimal lands exactly on .5,
+    where Spark's BigDecimal HALF_UP (on the double's exact binary
+    expansion) and DuckDB's round disagree by 1e-4. avg_value is
+    therefore reported at the FLOOR grain (floor(x·10^4)/10^4) —
+    deterministic on identical doubles — in both spellings; this test
+    re-runs the parity on that exact tier (the sf0.001 sweep above
+    never realizes the alignment)."""
+    import duckdb as _dd
+
+    d = synthesize(
+        str(tmp_path_factory.mktemp("boundary_sf01")), src="/root/testdata/sf0.01"
+    )
+    con = _dd.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{d}/{name}.parquet')"
+        )
+    q = REGISTRY["rollup_reaggregation"]
+    assert_frames_match(q.build(spark, d), con.sql(q.oracle))
+    con.close()
+    spark.catalog.clearCache()
