@@ -28,11 +28,27 @@ def vec_ok(col: Column) -> Column:
     front, and the oracles carry the matching
     ``len(list_filter(v, x -> x IS NULL)) = 0 AND
     len(list_filter(v, x -> x <> 0)) > 0`` guard
-    (tests/test_constant_tier.py pins the lockstep)."""
-    return (
-        col.isNotNull()
-        & ~F.exists(col, lambda x: x.isNull())
-        & F.exists(col, lambda x: x != 0)
+    (tests/test_constant_tier.py pins the lockstep).
+
+    Spelled as ONE ``aggregate`` fold (track has-null and has-nonzero
+    in a struct accumulator, decide in the finish lambda) instead of
+    two ``exists`` traversals: this predicate fronts every embedding
+    operator's scan, and the single pass shaves the family's constant
+    factor (round-7 verdict). Three-valued logic: ``x != 0`` is NULL
+    for a NULL element, but then ``bad`` is true and the finish's
+    ``~bad AND nz`` collapses to FALSE regardless; a NULL array folds
+    to NULL and ``coalesce`` pins it FALSE."""
+    return F.coalesce(
+        F.aggregate(
+            col,
+            F.struct(F.lit(False).alias("bad"), F.lit(False).alias("nz")),
+            lambda acc, x: F.struct(
+                (acc["bad"] | x.isNull()).alias("bad"),
+                (acc["nz"] | (x != 0)).alias("nz"),
+            ),
+            lambda acc: ~acc["bad"] & acc["nz"],
+        ),
+        F.lit(False),
     )
 
 

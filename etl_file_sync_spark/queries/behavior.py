@@ -14,6 +14,8 @@ belong to the LLM-pipeline / analytics extension surface.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -887,25 +889,31 @@ def behavior_event_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MARKOV_ITERS = 80
 
-# Admission cap for the driver-side Markov solves: the kernel is one
-# cell per OBSERVED (from, to) event-type pair, so its size is bounded
-# by the producer's alphabet, not by the engine. A healthy product
-# alphabet is tens of types (kernel <= a few hundred cells); an
-# alphabet poisoned by embedded IDs (the classic cardinality-explosion
-# incident) would push k^2 cells to the driver. Fail FAST with a clear
-# admission error instead of an unbounded collect — the cap is far
-# above any sane event taxonomy and the check rides the same job as
-# the collect (limit(cap+1), no extra pass).
-_MAX_MARKOV_CELLS = 10_000
+# Admission cap for the driver-side Markov solves. The right quantity
+# to cap is the ALPHABET (distinct observed states k): kernel CELLS are
+# observed (from, to) pairs, which grow with corpus density at a fixed
+# alphabet, so a cell cap would reject a legitimate ~300-type taxonomy
+# on a dense corpus (round-7 ADVICE). The pull stays bounded either
+# way: collect at most k_max^2 + 1 cells (a kernel over a sane
+# alphabet can never exceed k_max^2 cells, so hitting the limit itself
+# proves the alphabet is poisoned), then derive k from the pulled rows
+# and fail FAST with a clear admission error when k > k_max — an
+# alphabet with embedded IDs (the classic cardinality-explosion
+# incident) must error clearly, never OOM the driver. The check rides
+# the same job as the collect (limit(k_max^2+1), no extra pass); the
+# worst admissible pull is 90k small rows (~ a few MB).
+_MAX_MARKOV_STATES = 300
+_MAX_MARKOV_CELLS = _MAX_MARKOV_STATES * _MAX_MARKOV_STATES
 
 
 def _collect_kernel(df, what: str) -> list:
     rows = df.limit(_MAX_MARKOV_CELLS + 1).collect()
-    if len(rows) > _MAX_MARKOV_CELLS:
+    k = len({r["f"] for r in rows} | {r["t"] for r in rows})
+    if len(rows) > _MAX_MARKOV_CELLS or k > _MAX_MARKOV_STATES:
         raise ValueError(
-            f"{what}: observed transition kernel exceeds "
-            f"{_MAX_MARKOV_CELLS} cells — the event-type alphabet is not "
-            "a bounded taxonomy (embedded IDs?); cap or bucket event_type "
+            f"{what}: observed event-type alphabet has {k} states "
+            f"(admission cap {_MAX_MARKOV_STATES}) — not a bounded "
+            "taxonomy (embedded IDs?); cap or bucket event_type "
             "upstream before Markov analytics"
         )
     return rows
@@ -957,7 +965,7 @@ def _collect_kernel(df, what: str) -> list:
       WHERE jac.it < {_MARKOV_ITERS}
       GROUP BY jac.it, p.f
     )
-    SELECT s AS state, round(h, 6) AS p_error_before_purchase
+    SELECT s AS state, floor(h * 1e6) / 1e6 AS p_error_before_purchase
     FROM jac WHERE it = {_MARKOV_ITERS} ORDER BY s
     """,
     "behavior",
@@ -976,11 +984,20 @@ def behavior_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual far below the round(6) grain — both engines' k-term dot
     products may associate differently, the documented double-sum
     envelope). The driver pull is bounded by an explicit ADMISSION cap
-    (_collect_kernel, fail-fast over 10k cells), not by trusting the
-    producer's alphabet: a healthy event taxonomy is tens of types,
-    and an ID-poisoned alphabet must error clearly, never OOM the
-    driver. Target-only sink types (possible once the alphabet is
-    open) keep h = 0.0 via the float-typed empty sum."""
+    (_collect_kernel, fail-fast over 300 distinct states — the cap is
+    on the ALPHABET k, not on kernel cells, so a dense corpus over a
+    legitimate taxonomy always passes), not by trusting the producer's
+    alphabet: a healthy event taxonomy is tens of types, and an
+    ID-poisoned alphabet must error clearly, never OOM the driver.
+    Target-only sink types (possible once the alphabet is open) keep
+    h = 0.0 via the float-typed empty sum. The hitting probabilities
+    are reported at the FLOOR grain (floor(h*1e6)/1e6) in both the
+    driver solve and the oracle's final SELECT: Python round() is
+    half-even while DuckDB round() is half-away-from-zero, so a
+    probability landing exactly on a .5 at the 6th decimal (possible
+    with dyadic kernels, e.g. p=0.5 chains) would diverge by 1e-6
+    under round — floor of an identical double is identical
+    everywhere (same convention as scalar_try_functions' safe_div)."""
     e = t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     ordered = e.withColumn("next_type", F.lead("event_type").over(w))
@@ -1022,7 +1039,7 @@ def behavior_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
         h = nxt
     return (
         e.sparkSession.createDataFrame(
-            [(s, round(h[s], 6)) for s in states],
+            [(s, math.floor(h[s] * 1e6) / 1e6) for s in states],
             "state string, p_error_before_purchase double",
         ).orderBy("state")
     )
@@ -1317,11 +1334,12 @@ def ops_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM fin, base WHERE fin.scenario <> 'base' AND fin.s = 'start'
     ),
     tot_eff AS (SELECT sum(removal_effect) AS te FROM eff)
-    SELECT eff.channel, round(eff.p_base, 6) AS base_conversion,
-           round(eff.conversion_without, 6) AS conversion_without,
-           round(eff.removal_effect, 6) AS removal_effect,
-           round(CASE WHEN tot_eff.te > 0
-                 THEN eff.removal_effect / tot_eff.te END, 6)
+    SELECT eff.channel,
+           floor(eff.p_base * 1e6) / 1e6 AS base_conversion,
+           floor(eff.conversion_without * 1e6) / 1e6 AS conversion_without,
+           floor(eff.removal_effect * 1e6) / 1e6 AS removal_effect,
+           floor(CASE WHEN tot_eff.te > 0
+                 THEN eff.removal_effect / tot_eff.te END * 1e6) / 1e6
              AS attribution_share
     FROM eff, tot_eff ORDER BY eff.channel
     """,
@@ -1343,7 +1361,11 @@ def behavior_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel with the same 80-step Jacobi update and self-loop
     augmentation as behavior_markov_absorption, which the oracle
     replays as one scenario-dimensioned recursive CTE. 5-term double
-    sums sit in the documented associativity envelope under round(6)."""
+    sums sit in the documented associativity envelope; reporting is at
+    the FLOOR grain (floor(x*1e6)/1e6) in both engines — Python round
+    is half-even, DuckDB round half-away-from-zero, so a .5 at the 6th
+    decimal would diverge under round (same convention as
+    behavior_markov_absorption / safe_div)."""
     e = t(spark, sf_dir, "events").where(
         # rows with no channel or no event time carry no path information;
         # a NULL state would otherwise poison the driver-side kernel sort
@@ -1440,13 +1462,20 @@ def behavior_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_base = solve(None)
     effects = {c: max(p_base - solve(c), 0.0) for c in chans}
     te = sum(effects.values())
+    def grain(x: float) -> float:
+        # FLOOR grain, not round(x, 6): Python round is half-even,
+        # DuckDB round is half-away-from-zero — a .5 at the 6th decimal
+        # (dyadic kernels) would diverge by 1e-6; floor of an identical
+        # nonnegative double is identical everywhere.
+        return math.floor(x * 1e6) / 1e6
+
     out = [
         (
             c,
-            round(p_base, 6),
-            round(p_base - effects[c] if effects[c] > 0 else solve(c), 6),
-            round(effects[c], 6),
-            round(effects[c] / te, 6) if te > 0 else None,
+            grain(p_base),
+            grain(p_base - effects[c] if effects[c] > 0 else solve(c)),
+            grain(effects[c]),
+            grain(effects[c] / te) if te > 0 else None,
         )
         for c in sorted(chans)
     ]

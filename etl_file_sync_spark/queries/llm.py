@@ -176,9 +176,17 @@ def dedup_embedding_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHERE embedding IS NOT NULL
         AND len(list_filter(embedding, x -> x IS NULL)) = 0
         AND len(list_filter(embedding, x -> x <> 0)) > 0),
-    u AS (SELECT vec_id, v FROM e
+    guard AS (
+      SELECT count(*) AS n_bad
+      FROM e a JOIN e b ON a.vec_id = xor(b.vec_id, -1)
+    ),
+    u AS (SELECT vec_id, v FROM e, guard
+          WHERE CASE WHEN n_bad > 0
+                     THEN error('planted-id band collision: organic ids '
+                                'occupy their own bitwise complement')
+                     ELSE TRUE END
           UNION ALL
-          SELECT vec_id + 100000, list_transform(v, x -> x * 2.0) FROM e)
+          SELECT xor(vec_id, -1), list_transform(v, x -> x * 2.0) FROM e)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(a.v, b.v), 4) AS cosine
     FROM u a JOIN u b ON a.vec_id < b.vec_id
@@ -203,15 +211,40 @@ def dedup_embedding_srp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embeddings is sketch-scale at every oracle SF, so the O(n²) oracle
     join is cheap; the ENGINE path stays banded). Scale shape:
     signatures → band-bucket equi-join → exact cosine on candidates
-    only; no driver collect, no cross join."""
+    only; no driver collect, no cross join.
+
+    Planted ids are the BITWISE COMPLEMENT (id ^ -1 == -id-1) of the
+    organic ids, not a fixed +100000 offset (round-7 ADVICE): the
+    complement is a bijection on the full int64 range with no overflow
+    at any magnitude (an offset past max(id) overflows bigint on
+    full-range id tiers), and organic/planted collision is only
+    possible if the corpus contains some pair (x, -x-1) — which a
+    1-row broadcast GUARD fails fast on in BOTH engines, because such
+    a collision would corrupt the `a.vec_id < b.vec_id` pair set
+    identically in both spellings and parity alone would never see
+    it."""
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
+    # fail-fast collision guard: rides the plan as a broadcast 1-row
+    # dimension; embeddings is sketch-scale so the semi-join is cheap
+    n_bad = e.join(
+        e.select(F.expr("vec_id ^ -1").alias("vec_id")), "vec_id", "left_semi"
+    ).agg(F.count(F.lit(1)).alias("n_bad"))
+    guarded = e.crossJoin(F.broadcast(n_bad)).where(
+        F.when(
+            F.col("n_bad") > 0,
+            F.raise_error(
+                "planted-id band collision: organic ids occupy their own "
+                "bitwise complement"
+            ),
+        ).otherwise(F.lit(True))
+    ).drop("n_bad")
     planted = e.select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr("vec_id ^ -1").alias("vec_id"),
         F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
     )
-    both = e.unionByName(planted)
+    both = guarded.unionByName(planted)
     return D.srp_near_dup_pairs(both, threshold=0.9).orderBy("id_a", "id_b")
 
 

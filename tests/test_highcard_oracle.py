@@ -14,7 +14,7 @@ First contact caught three real defects:
   once the alphabet is open) made the Jacobi update's empty sum()
   return int 0, which createDataFrame rejects for DoubleType — fixed
   with a float-typed empty sum, plus an explicit admission cap
-  (_collect_kernel, fail-fast over 10k kernel cells) replacing the
+  (_collect_kernel, fail-fast past a 300-state alphabet) replacing the
   "enum-bounded" trust in the producer's alphabet for BOTH Markov
   driver pulls;
 * scalar_url_extract's oracle regexes were fragment-blind twice over:
@@ -77,20 +77,32 @@ def test_query_matches_oracle_on_highcard_tier(spark, tier, duck, name):
 
 
 def test_markov_admission_cap_fails_fast(spark):
-    """The Markov kernel pull must REFUSE an exploded alphabet with a
-    clear admission error, never OOM the driver: _collect_kernel caps
-    at 10k cells riding the same job as the collect."""
+    """The Markov kernel pull must REFUSE an exploded ALPHABET with a
+    clear admission error, never OOM the driver — but must ADMIT a
+    dense kernel over a legitimate taxonomy: the cap is on distinct
+    observed states k (<= 300), not on kernel cells, which grow with
+    corpus density at a fixed alphabet (round-7 ADVICE). The pull
+    stays bounded either way (limit(k_max^2+1) rides the collect)."""
     from etl_file_sync_spark.queries.behavior import (
-        _MAX_MARKOV_CELLS,
+        _MAX_MARKOV_STATES,
         _collect_kernel,
     )
 
-    big = spark.range(_MAX_MARKOV_CELLS + 5).selectExpr(
+    # exploded alphabet: a chain over k_max+5 states -> admission error
+    big = spark.range(_MAX_MARKOV_STATES + 5).selectExpr(
         "CAST(id AS STRING) AS f", "CAST(id + 1 AS STRING) AS t",
         "CAST(1.0 AS DOUBLE) AS p"
     )
     with pytest.raises(ValueError, match="admission|alphabet|cells"):
         _collect_kernel(big, "test")
+    # DENSE kernel on a sane alphabet: 250 states, all 62,500 cells
+    # observed — a legitimate taxonomy on a dense corpus must pass
+    dense = spark.range(250 * 250).selectExpr(
+        "CAST(id % 250 AS STRING) AS f",
+        "CAST(CAST(id / 250 AS BIGINT) AS STRING) AS t",
+        "CAST(1.0 AS DOUBLE) AS p",
+    )
+    assert len(_collect_kernel(dense, "test")) == 250 * 250
     small = spark.range(7).selectExpr(
         "CAST(id AS STRING) AS f", "CAST(id + 1 AS STRING) AS t",
         "CAST(1.0 AS DOUBLE) AS p"
@@ -128,3 +140,59 @@ def test_markov_sink_transient_stays_zero_float(spark, tmp_path):
     assert out["purchase"] == 0.0
     # view splits 1/3 error, 1/3 purchase, 1/3 sink -> h = 1/3
     assert out["view"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_markov_on_sf001_highcard_alphabet_within_cap(spark, tier, duck):
+    """The sf0.001 highcard tier's OBSERVED event alphabet sits inside
+    the 300-state admission cap, so the Markov queries must take the
+    PARITY branch there (the module sweep above covers them); this
+    test pins that the sweep's green Markov rows are parity evidence,
+    not vacuous skips."""
+    k, = duck.execute(
+        "SELECT count(DISTINCT event_type) FROM events"
+    ).fetchone()
+    from etl_file_sync_spark.queries.behavior import _MAX_MARKOV_STATES
+
+    assert k <= _MAX_MARKOV_STATES, (
+        f"sf0.001 highcard alphabet grew past the cap ({k}) — the module "
+        "sweep's Markov rows are now admission errors, update this pin"
+    )
+
+
+def test_markov_admission_on_sf01_highcard(spark, tmp_path_factory):
+    """Highcard x scale interaction (round-7 ADVICE): the highcard
+    REWRITE suffixes ~1/3 of events with event_id % 137, so the
+    observed alphabet GROWS with row count toward 5 + 5*137 = 690
+    types — past the 300-state admission cap at sf0.01. The Markov
+    queries must behave by CONTRACT at every scale: full oracle parity
+    while the observed alphabet is admissible, a clean fail-fast
+    admission error (never an OOM or a silent wrong answer) once it is
+    not. This exercises the cap against the scaled tier the sf0.001
+    sweep cannot reach."""
+    import duckdb as _duckdb
+
+    d = synthesize(
+        str(tmp_path_factory.mktemp("highcard_sf01")),
+        src="/root/testdata/sf0.01",
+    )
+    con = _duckdb.connect()
+    k, = con.execute(
+        "SELECT count(DISTINCT event_type) FROM "
+        f"read_parquet('{d}/events.parquet')"
+    ).fetchone()
+    from etl_file_sync_spark.queries.behavior import _MAX_MARKOV_STATES
+
+    for name in ("behavior_markov_absorption", "behavior_markov_attribution"):
+        q = REGISTRY[name]
+        if k <= _MAX_MARKOV_STATES:
+            for t_name in TABLES:
+                con.execute(
+                    f"CREATE OR REPLACE VIEW {t_name} AS SELECT * FROM "
+                    f"read_parquet('{d}/{t_name}.parquet')"
+                )
+            assert_frames_match(q.build(spark, d), con.sql(q.oracle))
+        else:
+            with pytest.raises(ValueError, match="admission|alphabet"):
+                q.build(spark, d).collect()
+    con.close()
+    spark.catalog.clearCache()
