@@ -219,32 +219,37 @@ def dedup_embedding_srp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     at any magnitude (an offset past max(id) overflows bigint on
     full-range id tiers), and organic/planted collision is only
     possible if the corpus contains some pair (x, -x-1) — which a
-    1-row broadcast GUARD fails fast on in BOTH engines, because such
-    a collision would corrupt the `a.vec_id < b.vec_id` pair set
-    identically in both spellings and parity alone would never see
-    it."""
+    bounded eager GUARD probe fails fast on engine-side (and a guard
+    CTE errors on oracle-side), because such a collision would corrupt
+    the `a.vec_id < b.vec_id` pair set identically in both spellings
+    and parity alone would never see it."""
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    # fail-fast collision guard: rides the plan as a broadcast 1-row
-    # dimension; embeddings is sketch-scale so the semi-join is cheap
-    n_bad = e.join(
-        e.select(F.expr("vec_id ^ -1").alias("vec_id")), "vec_id", "left_semi"
-    ).agg(F.count(F.lit(1)).alias("n_bad"))
-    guarded = e.crossJoin(F.broadcast(n_bad)).where(
-        F.when(
-            F.col("n_bad") > 0,
-            F.raise_error(
-                "planted-id band collision: organic ids occupy their own "
-                "bitwise complement"
-            ),
-        ).otherwise(F.lit(True))
-    ).drop("n_bad")
+    # fail-fast collision guard, evaluated EAGERLY as a bounded 1-row
+    # admission probe (the _collect_kernel pattern): the semi-join scans
+    # only the pruned vec_id column (~50 ms warm). Spelled in-plan as a
+    # crossJoin(broadcast)+raise_error it cost ~1.1 s — the banded path
+    # re-executes the broadcast barrier per self-join branch.
+    n_bad = (
+        e.join(
+            e.select(F.expr("vec_id ^ -1").alias("vec_id")),
+            "vec_id",
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("n_bad"))
+        .collect()[0]["n_bad"]
+    )
+    if n_bad:
+        raise ValueError(
+            "planted-id band collision: organic ids occupy their own "
+            "bitwise complement"
+        )
     planted = e.select(
         F.expr("vec_id ^ -1").alias("vec_id"),
         F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
     )
-    both = guarded.unionByName(planted)
+    both = e.unionByName(planted)
     return D.srp_near_dup_pairs(both, threshold=0.9).orderBy("id_a", "id_b")
 
 

@@ -117,3 +117,39 @@ def test_embedding_oracle_guards_carry_zero_norm_clause():
     # the set of guarded oracles is the vec_ok consumer surface — if an
     # operator gains/loses vec_ok, this pin forces the oracle audit
     assert len(guarded) == 8, guarded
+
+
+def test_conventions_md_inventory_and_anchors():
+    """CONVENTIONS.md is the normative convention inventory (round-7
+    verdict #5). Two pins: (1) the stated count matches the number of
+    `### C<n>` entries; (2) every `Where:` anchor — each backticked
+    `path::symbol` or bare `path` reference — names a file that exists
+    and (for ::symbol forms) still contains the symbol, so the doc
+    cannot silently rot as code moves."""
+    text = (REPO / "CONVENTIONS.md").read_text()
+    m = re.search(r"Inventory: \*\*(\d+) conventions", text)
+    assert m, "CONVENTIONS.md must state its inventory count"
+    entries = re.findall(r"^### C(\d+) — ", text, flags=re.M)
+    assert len(entries) == int(m[1]), (
+        f"stated {m[1]} conventions, found {len(entries)} '### C' entries"
+    )
+    assert [int(e) for e in entries] == list(range(1, len(entries) + 1)), (
+        "convention numbering must be contiguous C1..Cn"
+    )
+    anchors = re.findall(
+        r"`((?:etl_file_sync_spark|tools|tests)/[\w/]+\.py)(?:::(\w+))?`", text
+    )
+    assert anchors, "CONVENTIONS.md must carry file anchors"
+    for path, symbol in anchors:
+        f = REPO / path
+        assert f.is_file(), f"CONVENTIONS.md anchor missing: {path}"
+        if symbol:
+            assert symbol in f.read_text(), (
+                f"CONVENTIONS.md anchor {path}::{symbol} — symbol not found"
+            )
+    # every 'Pinned by:' test module must exist
+    for mod in set(re.findall(r"tests/test_\w+", text)):
+        hits = list(REPO.glob(mod.split("/")[1] + "*.py")) or list(
+            (REPO / "tests").glob(mod.split("/")[1] + "*.py")
+        )
+        assert hits, f"CONVENTIONS.md names a missing test module: {mod}"
