@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_file_sync_spark.operators import text as T
 from etl_file_sync_spark.queries.registry import register, t
 
 
@@ -59,7 +60,9 @@ def nested_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 40)
     SELECT doc_id,
            CAST(len(list_filter(w, x -> length(x) > 4)) AS INTEGER) AS n_long_words,
-           array_to_string(list_transform(w[1:3], x -> upper(x)), ',') AS first3_upper,
+           array_to_string(list_transform(w[1:3],
+             x -> translate(x, 'abcdefghijklmnopqrstuvwxyz',
+                               'ABCDEFGHIJKLMNOPQRSTUVWXYZ')), ',') AS first3_upper,
            CAST(list_reduce(list_transform(w, x -> length(x)), (a, b) -> a + b) AS BIGINT) AS total_chars,
            CAST(list_max(list_transform(w, x -> length(x))) AS INTEGER) AS longest_word_len
     FROM d ORDER BY doc_id
@@ -74,14 +77,24 @@ def array_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle note: DuckDB 1.0's list_reduce miscomputes BRANCHING lambdas
     (CASE max-fold) on large vectorized batches — same query, different
     WHERE cardinality, different answer — so the oracle states the max
-    via list_max; the arithmetic sum fold is unaffected (verified)."""
+    via list_max; the arithmetic sum fold is unaffected (verified).
+
+    Case fold is the ASCII contract (CONVENTIONS.md C20), not upper():
+    both parent poked tiers masked the divergence (the unicode tier's
+    poked payloads never reach the first-3 words; the monster tier's
+    blob is ASCII), but the COMPOSED unicode x monster tier makes word
+    1 of doc 7 'ß数...' — JVM SpecialCasing upper('ß') = 'SS' vs
+    DuckDB/utf8proc 'ẞ', the exact C33 data-dependent-happy-path trap
+    this query previously carried."""
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
     w = F.split("text", " ")
     lens = F.transform(w, lambda x: F.length(x))
     return d.select(
         "doc_id",
         F.size(F.filter(w, lambda x: F.length(x) > 4)).alias("n_long_words"),
-        F.array_join(F.transform(F.slice(w, 1, 3), lambda x: F.upper(x)), ",").alias("first3_upper"),
+        F.array_join(
+            F.transform(F.slice(w, 1, 3), lambda x: T.ascii_upper(x)), ","
+        ).alias("first3_upper"),
         F.aggregate(lens, F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias("total_chars"),
         F.aggregate(lens, F.lit(0), lambda acc, x: F.when(x > acc, x).otherwise(acc)).alias(
             "longest_word_len"
