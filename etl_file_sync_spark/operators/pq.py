@@ -88,6 +88,11 @@ def pq_train(
     if max_train is not None and n > max_train:
         rate = -(-n // max_train)  # ceil division
         v = v.filter(F.pmod(F.xxhash64(F.col("id")), F.lit(rate)) == 0)
+    # the training sample is BOUNDED (<= ~max_train rows by the hash
+    # sample above), so caching it is scale-safe — and the seed collect
+    # plus every Lloyd round below re-reads it; uncached, each pass
+    # re-scans and re-filters the full corpus
+    v = v.cache()
     seed_rows = v.orderBy("id").limit(k).collect()  # k rows — tiny by design
     S0 = np.array([list(r.v) for r in seed_rows], dtype=np.float64)
     S0 = S0 / np.linalg.norm(S0, axis=1, keepdims=True)
@@ -302,7 +307,11 @@ def ivfpq_topk(
         cents = kmeans_centroids(corpus, every, kmeans_iters, id_col, vec_col).cache()
     else:
         cents = make_centroids(corpus, every, id_col, vec_col).cache()
-    assigned = ivf_assign(corpus, cents, id_col, vec_col)  # (id_col, v, centroid_id)
+    # (id_col, v, centroid_id); cached — both the PQ encode pass and the
+    # centroid_id join below consume it, and uncached the Arrow assign
+    # GEMM pass would run once per consumer (at 100 TB the corpus is
+    # WRITTEN partitioned by centroid_id instead, see docstring)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col).cache()
 
     C = pq_train(corpus, m, kcent, iters, id_col, vec_col)
     codes = pq_encode(assigned.select(id_col, F.col("v").alias(vec_col)), C, id_col, vec_col)

@@ -155,7 +155,11 @@ def stat_gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("bigint").alias("cents"))
     )
     r = bucketed_row_number(spend, "cents", ["o_custkey"], out_col="rn")
-    tot = r.agg(
+    # totals from `spend` (cached by the rank plan), not from `r`:
+    # row_number adds no rows, so the counts/sums are identical, and a
+    # second consumer of `r` would execute the whole rank window+join
+    # subtree again just for this 1-row aggregate
+    tot = spend.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("cents").cast("bigint").alias("total"),
     )
@@ -222,7 +226,10 @@ def stat_decile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("bigint").alias("cents"))
     )
     r = bucketed_row_number(spend, "cents", ["o_custkey"], out_col="rn")
-    tot = r.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # count from `spend` (cached by the rank plan) — see
+    # stat_gini_customer_spend: consuming `r` twice re-runs the rank
+    # subtree for a row count row_number cannot have changed
+    tot = spend.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     return (
         r.crossJoin(F.broadcast(tot))  # 1-row count dimension
         .groupBy(

@@ -422,7 +422,9 @@ def dq_key_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_missing"),
     )
-    rn = bucketed_row_number(k, "key")
+    rn = bucketed_row_number(k, "key").cache()  # both successor-join
+    # sides read this frame — uncached, the rank window+offset join
+    # executes once per side
     cur = rn.select(F.col("key"), F.col("rn"))
     nxt = rn.select(F.col("key").alias("next_key"), (F.col("rn") - 1).alias("rn"))
     gaps = (

@@ -633,7 +633,9 @@ def stat_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").cast("bigint").alias("n"),
             F.sum(F.col("c") * F.col("avg_rank")).alias("r"),
         )
-    )
+    ).cache()  # k rows; consumed by tot AND both sides of the pairwise
+    # join — uncached, the midrank window join above it executed three
+    # times (the round-8 probe's 50-Exchange plan)
     ties = vals.agg(
         F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
         .cast("double")
@@ -1272,7 +1274,9 @@ def stat_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("a"),
             F.count(F.lit(1)).cast("bigint").alias("n_g"),
         )
-    )
+    ).cache()  # k rows; consumed by pool AND x2 — uncached, the orders
+    # scan and the broadcast median subtree (a full cumulative-window
+    # pass) execute once per consumer
     pool = g.agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),
         F.sum("a").cast("bigint").alias("at"),

@@ -1367,12 +1367,17 @@ def stat_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("z").cast("decimal(18,0)") * F.col("z").cast("decimal(18,0)"))
         .cast("double")
         .alias("ss"),
-    )
+    ).cache()  # k rows; consumed by tot, ss_agg AND (via tot) the final
+    # join — uncached, the whole z/median/window subtree above executes
+    # once per consumer (the 8 MiB window exchange materialized 2-3x and
+    # the med broadcast built twice in the round-8 stage probe; ~15%
+    # of the query's wall). Same caller-owned lifecycle as every other
+    # in-query cache.
     tot = cells.agg(
         F.sum("n").cast("bigint").alias("nn"),
         F.sum("s").cast("bigint").alias("st"),
         F.count(F.lit(1)).cast("bigint").alias("k"),
-    )
+    ).cache()  # 1 row; consumed by ss_agg and the final join
     zbar_g = F.col("s") * F.lit(1.0) / F.col("n")
     zbar = F.col("st") * F.lit(1.0) / F.col("nn")
     ss_agg = (

@@ -675,20 +675,20 @@ def stat_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr("((n - 1) * 90) div 100") + 1).alias("khi"),
     )
     cr = cum.join(F.broadcast(ranks), "pri")
-    lo = (
-        cr.where(F.col("cw") >= F.col("klo"))
-        .groupBy("pri")
-        .agg(F.min("cents").alias("lo_cents"))
-    )
-    hi = (
-        cr.where(F.col("cw") >= F.col("khi"))
-        .groupBy("pri")
-        .agg(F.min("cents").alias("hi_cents"))
+    # both order statistics in ONE pass over the cumulative frame:
+    # min over a conditional is min over the filtered subset, and the
+    # rank thresholds are always satisfiable (cw reaches n >= klo, khi),
+    # so this is value- and join-cardinality-identical to two filtered
+    # passes — but the windowed `cum` subtree executes once, not twice
+    # (it is the expensive part: sort + bucket exchange over every
+    # distinct cents value).
+    loh = cr.groupBy("pri").agg(
+        F.min(F.when(F.col("cw") >= F.col("klo"), F.col("cents"))).alias("lo_cents"),
+        F.min(F.when(F.col("cw") >= F.col("khi"), F.col("cents"))).alias("hi_cents"),
     )
     return (
         o.join(F.broadcast(ranks), "pri")
-        .join(F.broadcast(lo), "pri")
-        .join(F.broadcast(hi), "pri")
+        .join(F.broadcast(loh), "pri")
         .groupBy(F.col("pri").alias("o_orderpriority"), "n", "lo_cents", "hi_cents")
         .agg(
             F.round(

@@ -80,7 +80,11 @@ def stat_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c") * F.col("avg_rank")).alias("rank_sum"),
         )
     )
-    tot = agg.agg(F.sum("n").cast("bigint").alias("ntot"))
+    # total n from the CACHED (variant, value, count) frame, not from
+    # `agg` — agg's lineage includes the midrank window join, and a
+    # second consumer would execute that whole subtree again just to
+    # add two numbers (sum of per-variant counts == sum of all counts).
+    tot = g.agg(F.sum("c").cast("bigint").alias("ntot"))
     u = F.col("rank_sum") - F.col("n") * (F.col("n") + 1) / F.lit(2.0)
     mu = F.col("n") * (F.col("ntot") - F.col("n")) / F.lit(2.0)
     sigma = F.sqrt(
@@ -403,10 +407,16 @@ def stat_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     gp = s.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
     rq = avg_ranks(gq, "q", "c").select("q", F.col("avg_rank").alias("rank_q"))
     rp = avg_ranks(gp, "p", "c").select("p", F.col("avg_rank").alias("rank_p"))
-    rr = s.join(F.broadcast(rq), "q").join(rp, "p").select("rank_q", "rank_p")
+    # both rank dimensions broadcast: distinct price values are a
+    # bounded vocabulary (a price grid), and without the hint the second
+    # join fell to sort-merge — shuffling and sorting the whole fact
+    # frame by price just to attach ~|distinct| rank rows.
+    rr = s.join(F.broadcast(rq), "q").join(F.broadcast(rp), "p").select("rank_q", "rank_p")
     # midranks of 1..n always sum to n(n+1)/2, so both means are exactly
-    # (n+1)/2 — no means pass over the rank frame is needed
-    tot = s.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # (n+1)/2 — no means pass over the rank frame is needed. n comes
+    # from the (value, count) frame rankstats already cached, not a
+    # fourth scan of the fact table (sum of per-value counts == n).
+    tot = gq.agg(F.sum("c").cast("bigint").alias("n"))
     mean = (F.col("n") + 1) / F.lit(2.0)
     dq = F.col("rank_q") - mean
     dp = F.col("rank_p") - mean
@@ -533,7 +543,10 @@ def stat_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
     )
     r = bucketed_row_number(c, "cents", ["o_orderkey"], out_col="rn")
-    tot = r.agg(F.count(F.lit(1)).cast("bigint").alias("n")).withColumn(
+    # count from `c` (cached by the rank plan) — row_number adds no
+    # rows, and `tot` is consumed twice (trim filter + final join), so
+    # counting over `r` would execute the rank subtree twice more
+    tot = c.agg(F.count(F.lit(1)).cast("bigint").alias("n")).withColumn(
         "cut", F.floor(F.col("n") / 10).cast("bigint")
     )
     kept = (
