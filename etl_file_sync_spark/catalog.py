@@ -27,13 +27,37 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Memo of the UNRESOLVED table DataFrames (logical plans), keyed on
+# (session, path, file identity). This caches METADATA only — the
+# parquet footer schema sniff + file listing that spark.read.parquet
+# performs on the driver (~0.1-0.3 s per call) and the sanitize
+# projection built on top. No row data is cached or persisted: every
+# action on the returned frame still scans the parquet files. A build
+# sweep measured 150 s of the 239 s sf0.1 bench total inside query
+# build(), a large slice of it these repeated per-query loads of the
+# same ten tables. The file's (mtime, size) is part of the key so a
+# tier tool rewriting a table in place gets a fresh listing.
+_TABLE_MEMO: dict[tuple, DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        st = os.stat(path)
+        key = (id(spark.sparkContext), os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None  # missing/odd path: no memo, let the reader raise as before
+    if key is not None and key in _TABLE_MEMO:
+        return _TABLE_MEMO[key]
     if name == "events":
-        return _sanitize_doubles(_load_events(spark, sf_dir))
-    return _sanitize_doubles(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+        df = _sanitize_doubles(_load_events(spark, sf_dir))
+    else:
+        df = _sanitize_doubles(spark.read.parquet(path))
+    if key is not None:
+        _TABLE_MEMO[key] = df
+    return df
 
 
 def _sanitize_doubles(df: DataFrame) -> DataFrame:

@@ -477,17 +477,23 @@ def minhash_signatures(
     whole MinHash→LSH pipeline becomes value-exact oracle-checkable).
     """
     sh = shingles(df, id_col, text_col, n)
+    # one F.expr per permutation (not nested Column ops): the 64-perm
+    # Column spelling cost ~500+ py4j round trips per build; the SQL
+    # strings parse to the identical expressions (xxhash64 with an INT
+    # seed literal / conv-substring-md5 over concat_ws with a string
+    # literal), so signatures are bit-identical.
     if hash_fn == "xxhash":
-        hexp = lambda p: F.xxhash64(F.col("shingle"), F.lit(p))  # noqa: E731
+        hexp = lambda p: f"xxhash64(shingle, {p})"  # noqa: E731
     elif hash_fn == "md5":
-        hexp = lambda p: F.conv(  # noqa: E731
-            F.substring(F.md5(F.concat_ws(":", F.col("shingle"), F.lit(str(p)))), 1, 8), 16, 10
-        ).cast("bigint")
+        hexp = lambda p: (  # noqa: E731
+            f"CAST(conv(substring(md5(concat_ws(':', shingle, '{p}')), 1, 8), 16, 10) AS BIGINT)"
+        )
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
-    aggs = [F.min(hexp(p)).alias(f"h{p}") for p in range(num_perm)]
+    aggs = [F.expr(f"min({hexp(p)})").alias(f"h{p}") for p in range(num_perm)]
     sig = sh.groupBy("id").agg(*aggs)
-    return sig.select("id", F.array(*[F.col(f"h{p}") for p in range(num_perm)]).alias("sig"))
+    arr = ", ".join(f"h{p}" for p in range(num_perm))
+    return sig.select("id", F.expr(f"array({arr})").alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -500,19 +506,25 @@ def minhash_lsh_candidates(
     """
     num_perm = bands * rows_per_band
     # hash the band's signature elements directly as numeric columns —
-    # no string concat in the hot path
+    # no string concat in the hot path. One F.expr per band (the
+    # per-element getItem Column spelling cost bands*rows_per_band py4j
+    # round trips per build — 192 for the SRP layout); `sig[i]` parses
+    # to the identical zero-based getItem.
     band_cols = [
-        F.xxhash64(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]).alias(
-            f"band{b}"
-        )
+        F.expr(
+            "xxhash64("
+            + ", ".join(f"sig[{b * rows_per_band + r}]" for r in range(rows_per_band))
+            + ")"
+        ).alias(f"band{b}")
         for b in range(bands)
     ]
     banded = sig_df.select("id", *band_cols)
+    structs = ", ".join(
+        f"named_struct('band', {b}, 'bhash', band{b})" for b in range(bands)
+    )
     stacked = banded.select(
         "id",
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bhash")) for b in range(bands)])
-        ).alias("bb"),
+        F.expr(f"explode(array({structs}))").alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
     a = stacked.alias("a")
     b = stacked.alias("b")
@@ -703,19 +715,34 @@ def simhash(
         )
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    # one F.expr per aggregate (and ONE for the bit recombination) —
+    # the Column-op spelling of this 60-64-term tree cost ~10k py4j
+    # round trips ≈ 2.5 s of driver time PER BUILD (cProfile; bench
+    # times include build). The SQL strings parse to the identical
+    # Catalyst expressions: CASE WHEN (shiftright(th,i) & 1) = 1 THEN 1
+    # ELSE -1 END under sum, and the left-associative Add chain of
+    # CASE WHEN b_i > 0 THEN shiftleft(1L,i) ELSE 0L END terms.
     bit_aggs = [
-        F.sum(F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{i}")
+        F.expr(
+            f"sum(CASE WHEN (shiftright(th, {i}) & 1) = 1 THEN 1 ELSE -1 END)"
+        ).alias(f"b{i}")
         for i in range(bits)
     ]
     votes = h.groupBy("id").agg(*bit_aggs)
-    sim = None
-    for i in range(bits):
-        term = F.when(
-            F.col(f"b{i}") > 0,
-            F.shiftleft(F.lit(1).cast("bigint"), i) if i < 63 else F.lit(-(2**63)),
-        ).otherwise(F.lit(0).cast("bigint"))
-        sim = term if sim is None else sim + term
-    return votes.select("id", sim.alias("simhash"))
+    terms = [
+        (
+            f"(CASE WHEN b{i} > 0 THEN shiftleft(CAST(1 AS BIGINT), {i}) "
+            "ELSE CAST(0 AS BIGINT) END)"
+            if i < 63
+            else
+            # Long.MIN_VALUE spelled as an expression: the bare literal
+            # -9223372036854775808 would parse as (- DECIMAL) and overflow
+            f"(CASE WHEN b{i} > 0 THEN CAST(-9223372036854775807 AS BIGINT) - CAST(1 AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END)"
+        )
+        for i in range(bits)
+    ]
+    return votes.select("id", F.expr(" + ".join(terms)).alias("simhash"))
 
 
 def simhash_near_pairs(sim_df: DataFrame, max_hamming: int = 3) -> DataFrame:

@@ -53,32 +53,52 @@ def logistic_irls(
     import numpy as np
 
     k = len(feature_cols) + 1
-    xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in feature_cols]
-    y = F.col(label_col).cast("double")
+    # Project to the k+1 columns the fit reads and CACHE: every Newton
+    # step re-aggregates this frame, and uncached each of the 8 passes
+    # re-ran the full upstream lineage (for the quality classifier: the
+    # text scan + tokenize/distinct/stoplist feature computation — 8
+    # scans for 1). The cached frame is k+1 doubles per row (what MLlib's
+    # LogisticRegression caches as its instances RDD); unpersisted before
+    # return. Cached partitioning is identical across steps, so the
+    # double-sum partial order (and hence the documented ~1e-12 jitter
+    # envelope) is unchanged.
+    proj = df.select(
+        *[F.col(c).cast("double").alias(c) for c in feature_cols],
+        F.col(label_col).cast("double").alias("__y"),
+    ).cache()
+    xs = ["CAST(1.0 AS DOUBLE)"] + [f"`{c}`" for c in feature_cols]
     beta = np.zeros(k)
-    for _ in range(iters):
-        z = F.lit(float(beta[0]))
-        for i in range(1, k):
-            z = z + F.lit(float(beta[i])) * xs[i]
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-        w = p * (F.lit(1.0) - p)
-        aggs = []
-        for i in range(k):
-            aggs.append(F.sum(xs[i] * (y - p)).alias(f"g{i}"))
-            for j in range(i, k):
-                aggs.append(F.sum(w * xs[i] * xs[j]).alias(f"h{i}_{j}"))
-        # ONE cluster pass per iteration; the collected row is k + k(k+1)/2
-        # doubles of aggregate metadata, not data
-        row = df.agg(*aggs).collect()[0]
-        if row["g0"] is None:  # empty/all-NULL input: no gradient, no fit
-            return np.full(k, np.nan)
-        G = np.array([row[f"g{i}"] for i in range(k)])
-        H = np.zeros((k, k))
-        for i in range(k):
-            for j in range(i, k):
-                H[i, j] = H[j, i] = row[f"h{i}_{j}"]
-        H += ridge * np.eye(k)
-        beta = beta + np.linalg.solve(H, G)
+    try:
+        for _ in range(iters):
+            # one F.expr per aggregate (the nested-Column spelling cost
+            # ~300 py4j round trips per step x 8 steps of driver time);
+            # the strings parse to the same doubles algebra, with beta
+            # entering as exact repr literals (decimal literal -> nearest
+            # double == the original float, the repr round-trip property)
+            z = f"CAST({float(beta[0])!r} AS DOUBLE)"
+            for i in range(1, k):
+                z += f" + CAST({float(beta[i])!r} AS DOUBLE) * {xs[i]}"
+            p = f"(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-({z}))))"
+            w = f"({p} * (CAST(1.0 AS DOUBLE) - {p}))"
+            aggs = []
+            for i in range(k):
+                aggs.append(F.expr(f"sum({xs[i]} * (`__y` - {p}))").alias(f"g{i}"))
+                for j in range(i, k):
+                    aggs.append(F.expr(f"sum({w} * {xs[i]} * {xs[j]})").alias(f"h{i}_{j}"))
+            # ONE cluster pass per iteration; the collected row is k + k(k+1)/2
+            # doubles of aggregate metadata, not data
+            row = proj.agg(*aggs).collect()[0]
+            if row["g0"] is None:  # empty/all-NULL input: no gradient, no fit
+                return np.full(k, np.nan)
+            G = np.array([row[f"g{i}"] for i in range(k)])
+            H = np.zeros((k, k))
+            for i in range(k):
+                for j in range(i, k):
+                    H[i, j] = H[j, i] = row[f"h{i}_{j}"]
+            H += ridge * np.eye(k)
+            beta = beta + np.linalg.solve(H, G)
+    finally:
+        proj.unpersist()
     return beta
 
 

@@ -49,14 +49,33 @@ def _boundaries(df: DataFrame, order_col: str, n_buckets: int) -> list[float]:
 
 def _bucket_expr(order_col: str, bounds: list[float]) -> Column:
     """Bucket id = number of boundaries strictly below the value; equal
-    keys always share a bucket."""
+    keys always share a bucket.
+
+    Built as ONE F.expr string rather than a Python reduce of Column
+    ops: the per-boundary spelling cost ~5 py4j round trips per bound
+    per call site (~150 per rankstats call, 54 call sites across the
+    query modules — pure driver build overhead counted in every bench
+    run). ``repr(float)`` round-trips exactly (the nearest double to
+    the printed decimal IS the original float), so the parsed literal
+    compares identically to the old F.lit boundary.
+    """
+    import math
+
     if not bounds:
         return F.lit(0)
-    return reduce(
-        lambda acc, b: acc + (F.col(order_col).cast("double") > F.lit(b)).cast("int"),
-        bounds,
-        F.lit(0),
+    if not all(math.isfinite(b) for b in bounds):
+        # non-finite boundary (pathological input): keep the Column
+        # spelling, which handles inf literals
+        return reduce(
+            lambda acc, b: acc + (F.col(order_col).cast("double") > F.lit(b)).cast("int"),
+            bounds,
+            F.lit(0),
+        )
+    terms = " + ".join(
+        f"CAST(CAST(`{order_col}` AS DOUBLE) > CAST({b!r} AS DOUBLE) AS INT)"
+        for b in bounds
     )
+    return F.expr(f"0 + {terms}")
 
 
 def bucketed_cumsums(

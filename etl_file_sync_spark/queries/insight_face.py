@@ -1096,19 +1096,23 @@ def layout_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("day"),
     ).cache()  # two rankings + the join reuse this frame
     n = o.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # carry each dim's source column THROUGH its rank frame, so the final
+    # frame is rx JOIN ry on the order key — the old spelling joined the
+    # cached order frame a third time just to re-attach (o_custkey, day)
+    # that the rank frames already had (one whole join of the fact frame
+    # removed; identical rows by key equality)
     rx = (
         bucketed_row_number(o.select("o_orderkey", "o_custkey"), "o_custkey", ["o_orderkey"], out_col="rn")
         .crossJoin(F.broadcast(n))
-        .select("o_orderkey", F.expr("((rn - 1) * 65536) div n").alias("x"))
+        .select("o_orderkey", "o_custkey", F.expr("((rn - 1) * 65536) div n").alias("x"))
     )
     ry = (
         bucketed_row_number(o.select("o_orderkey", "day"), "day", ["o_orderkey"], out_col="rn")
         .crossJoin(F.broadcast(n))
-        .select(F.col("o_orderkey").alias("ok2"), F.expr("((rn - 1) * 65536) div n").alias("y"))
+        .select(F.col("o_orderkey").alias("ok2"), "day", F.expr("((rn - 1) * 65536) div n").alias("y"))
     )
     z = (
-        o.join(rx, "o_orderkey")
-        .join(ry, F.col("o_orderkey") == F.col("ok2"))
+        rx.join(ry, F.col("o_orderkey") == F.col("ok2"))
         .select(
             "o_custkey",
             "day",

@@ -263,8 +263,11 @@ def agg_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the only centroid build that doesn't multiply the scan."""
     e = t(spark, sf_dir, "embeddings")
     dim = 64
+    # one F.expr per dimension — the Column-op spelling paid ~5 py4j
+    # round trips per dim per build; `embedding[i]` parses to the same
+    # zero-based getItem + CAST + avg
     aggs = [
-        F.avg(F.col("embedding")[i].cast("double")).alias(f"c{i}") for i in range(dim)
+        F.expr(f"avg(CAST(embedding[{i}] AS DOUBLE))").alias(f"c{i}") for i in range(dim)
     ] + [F.count(F.lit(1)).alias("n")]
     wide = e.groupBy("label").agg(*aggs)
     stack = ", ".join(f"{i}, c{i}" for i in range(dim))

@@ -75,13 +75,27 @@ def get_spark(app_name: str = "etl_file_sync_spark", cpus: int | None = None) ->
     return spark
 
 
+_PREPPED: set[int] = set()
+
+
 def prep(spark: SparkSession) -> SparkSession:
     """Apply runtime-mutable engine settings to an externally-built session.
 
     The correctness driver supplies its own SparkSession; these settings are
     the ones that affect result *values* (timezone) or plan quality (AQE)
     and are safe to set per-session at runtime.
+
+    Idempotent per session and MEMOIZED on the context id: prep() runs at
+    the top of every registered query build (hundreds of times per bench
+    run), and each conf.set is a py4j round trip. External code that
+    deliberately flips one of these confs mid-session owns putting it
+    back — the same contract as before, since prep() always set the same
+    constants anyway.
     """
+    key = id(spark.sparkContext)
+    if key in _PREPPED:
+        return spark
+    _PREPPED.add(key)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     # oracle-parity division semantics (x/0 -> NULL, like DuckDB); see
