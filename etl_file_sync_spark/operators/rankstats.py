@@ -299,6 +299,91 @@ def bucketed_row_number(
     )
 
 
+def bucketed_row_numbers(
+    df: DataFrame,
+    specs: list[tuple[str, list[str], str]],
+    n_buckets: int = 32,
+    return_count: bool = False,
+):
+    """Several global row_numbers over the SAME frame, layered without
+    re-joining: ``specs`` is a list of (order_col, tiebreak_cols,
+    out_col); the result is ``df`` plus every out_col.
+
+    Output-identical to calling :func:`bucketed_row_number` once per
+    spec and equi-joining the results back on a unique key, but:
+    - ONE approxQuantile probe (multi-column) and ONE per-bucket counts
+      aggregation replace a probe + counts job per ranking (driver
+      actions scale O(1), not O(#rankings));
+    - the rankings are layered as successive windows on one cached
+      frame, so the per-ranking equi-joins (a shuffle of the frame per
+      ranking at scale) disappear entirely.
+    Boundaries still affect only partitioning, never arithmetic (the
+    bucket-count independence property), so per-ranking outputs equal
+    the single-ranking operator's exactly.
+
+    ``return_count=True`` returns ``(frame, n_rows)`` — the exact row
+    count the counts pass already computed — so callers that need the
+    total (quintile = ((rn-1)*k) div n) spell it as a literal instead
+    of paying their own count action + broadcast-join dimension.
+    """
+    src = df.cache()
+    order_cols = [o for o, _, _ in specs]
+    keyed = src.select(
+        *[F.col(c).cast("double").alias(f"__rs_key{i}") for i, c in enumerate(order_cols)]
+    )
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    if n_buckets < 2:
+        all_bounds: list[list[float]] = [[] for _ in specs]
+    else:
+        raw = keyed.stat.approxQuantile(
+            [f"__rs_key{i}" for i in range(len(order_cols))], probs, 0.001
+        )
+        all_bounds = [sorted(set(b)) for b in raw]
+
+    b = src
+    for i, (order_col, _, _) in enumerate(specs):
+        b = b.withColumn(f"{_BUCKET}{i}", _bucket_expr(order_col, all_bounds[i]))
+
+    # ONE pass: per-ranking per-bucket counts as conditional sums
+    count_exprs = [
+        F.expr(f"sum(CAST(`{_BUCKET}{i}` = {bk} AS INT))").alias(f"c_{i}_{bk}")
+        for i in range(len(specs))
+        for bk in range(len(all_bounds[i]) + 1)
+    ] + [F.count(F.lit(1)).alias("__n")]
+    row = b.agg(*count_exprs).collect()[0]
+    n_rows = row["__n"]
+    if n_rows == 0:  # empty input: every ranking degenerates to 1
+        out = df
+        for _, _, out_col in specs:
+            out = out.withColumn(out_col, F.lit(1))
+        return (out, 0) if return_count else out
+
+    out = b
+    for i, (order_col, tiebreak_cols, out_col) in enumerate(specs):
+        nb = len(all_bounds[i]) + 1
+        counts = [(bk, row[f"c_{i}_{bk}"] or 0) for bk in range(nb)]
+        # NULL order keys never reach a bucket column (the bucket expr
+        # yields NULL) and would silently drop at the offsets join —
+        # refuse, like bucketed_row_number
+        if sum(c for _, c in counts) != n_rows:
+            raise ValueError(
+                f"rankstats: NULL values in order column {order_col!r}; filter them first"
+            )
+        offsets, acc = [], 0
+        for bk, c in counts:
+            offsets.append((bk, acc))
+            acc += c
+        off_df = b.sparkSession.createDataFrame(offsets, [f"{_BUCKET}{i}", "__off"])
+        win = Window.partitionBy(f"{_BUCKET}{i}").orderBy(order_col, *tiebreak_cols)
+        out = (
+            out.join(F.broadcast(off_df), f"{_BUCKET}{i}")
+            .withColumn(out_col, F.row_number().over(win) + F.col("__off"))
+            .drop("__off")
+        )
+    out = out.drop(*[f"{_BUCKET}{i}" for i in range(len(specs))])
+    return (out, n_rows) if return_count else out
+
+
 def avg_ranks(
     df: DataFrame, value_col: str, count_col: str, n_buckets: int = 32
 ) -> DataFrame:

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from etl_file_sync_spark.operators.rankstats import (
     bucketed_row_number,
+    bucketed_row_numbers,
     grouped_bucketed_cumsum,
 )
 from etl_file_sync_spark.queries.registry import register, t
@@ -565,24 +566,25 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "m",
         )
     )
-    cc = c.cache()  # three rankings + totals reuse the customer frame
-    n = cc.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    # negative key => descending recency rank without a desc order path
-    rr = bucketed_row_number(
-        cc.withColumn("neg_r", -F.col("r_days")), "neg_r", ["o_custkey"], out_col="rn_r"
-    ).select("o_custkey", "rn_r")
-    rf = bucketed_row_number(cc, "f", ["o_custkey"], out_col="rn_f").select(
-        "o_custkey", "rn_f"
-    )
-    rm = bucketed_row_number(cc, "m", ["o_custkey"], out_col="rn_m").select(
-        "o_custkey", "rn_m"
+    # All three rankings LAYERED on one frame (negative key => descending
+    # recency rank without a desc order path): one quantile probe + one
+    # counts pass instead of three of each, and the three per-ranking
+    # equi-joins back on o_custkey (a shuffle of the customer frame per
+    # ranking at scale) disappear — output-identical by the rankstats
+    # bucket-independence property. The customer count rides out of the
+    # same counts pass as an exact literal (no extra count action, no
+    # broadcast dimension, no caller-side cache — the operator caches).
+    ranked, n_rows = bucketed_row_numbers(
+        c.withColumn("neg_r", -F.col("r_days")),
+        [
+            ("neg_r", ["o_custkey"], "rn_r"),
+            ("f", ["o_custkey"], "rn_f"),
+            ("m", ["o_custkey"], "rn_m"),
+        ],
+        return_count=True,
     )
     sc = (
-        cc.select("o_custkey", "m")
-        .join(rr, "o_custkey")
-        .join(rf, "o_custkey")
-        .join(rm, "o_custkey")
-        .crossJoin(F.broadcast(n))
+        ranked.withColumn("n", F.lit(n_rows).cast("bigint"))
         .select(
             "m",
             (F.expr("((rn_r - 1) * 5) div n") + 1).cast("bigint").alias("r_score"),
@@ -1094,25 +1096,30 @@ def layout_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
         .cast("bigint")
         .alias("day"),
-    ).cache()  # two rankings + the join reuse this frame
-    n = o.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    # carry each dim's source column THROUGH its rank frame, so the final
-    # frame is rx JOIN ry on the order key — the old spelling joined the
-    # cached order frame a third time just to re-attach (o_custkey, day)
-    # that the rank frames already had (one whole join of the fact frame
-    # removed; identical rows by key equality)
-    rx = (
-        bucketed_row_number(o.select("o_orderkey", "o_custkey"), "o_custkey", ["o_orderkey"], out_col="rn")
-        .crossJoin(F.broadcast(n))
-        .select("o_orderkey", "o_custkey", F.expr("((rn - 1) * 65536) div n").alias("x"))
     )
-    ry = (
-        bucketed_row_number(o.select("o_orderkey", "day"), "day", ["o_orderkey"], out_col="rn")
-        .crossJoin(F.broadcast(n))
-        .select(F.col("o_orderkey").alias("ok2"), "day", F.expr("((rn - 1) * 65536) div n").alias("y"))
+    # Both dimension rankings LAYERED on one frame (no per-dimension
+    # equi-join back on the order key at all — the old spelling shuffled
+    # the fact frame once per dimension to reassemble (x, y)): one
+    # quantile probe + one counts pass, output-identical by the
+    # rankstats bucket-independence property. The row count rides out of
+    # the counts pass as an exact literal (no count action, no broadcast
+    # dimension, no caller cache — the operator caches internally).
+    ranked, n_rows = bucketed_row_numbers(
+        o,
+        [
+            ("o_custkey", ["o_orderkey"], "rn_x"),
+            ("day", ["o_orderkey"], "rn_y"),
+        ],
+        return_count=True,
     )
     z = (
-        rx.join(ry, F.col("o_orderkey") == F.col("ok2"))
+        ranked.withColumn("n", F.lit(n_rows).cast("bigint"))
+        .select(
+            "o_custkey",
+            "day",
+            F.expr("((rn_x - 1) * 65536) div n").alias("x"),
+            F.expr("((rn_y - 1) * 65536) div n").alias("y"),
+        )
         .select(
             "o_custkey",
             "day",

@@ -51,6 +51,16 @@ def get_spark(app_name: str = "etl_file_sync_spark", cpus: int | None = None) ->
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE re-plan partitioning when reading CACHED frames
+        # (off by default): operator-internal caches (rankstats value
+        # frames, shingle/signature frames) otherwise pin every
+        # downstream stage to the static shuffle-partition count, so
+        # tiny k-row cached aggregates fan out 32 near-empty tasks per
+        # consumer. Scale-correct at any size: AQE picks counts from
+        # runtime bytes, exactly as it does for uncached exchanges.
+        # Interleaved A/B at sf0.1: rfm 5.18->3.56 s, kaplan 3.16->2.22,
+        # brown-forsythe 3.53->2.92; no query measured worse.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # Non-ANSI arithmetic: x/0 -> NULL, matching the DuckDB oracle
         # (DuckDB: SELECT 1/0 IS NULL) and the pipeline posture a 100-TB
@@ -98,6 +108,7 @@ def prep(spark: SparkSession) -> SparkSession:
     _PREPPED.add(key)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     # oracle-parity division semantics (x/0 -> NULL, like DuckDB); see
     # get_spark — ansi.enabled is runtime-mutable so it applies to the
     # driver's externally-built session too

@@ -178,3 +178,43 @@ def test_cumsums_double_weights_keep_fractional_offsets(spark):
     g = {r["v"]: r["cum_w"] for r in got.collect()}
     e = {r["v"]: r["cum_w"] for r in want.collect()}
     assert g == pytest.approx(e, abs=1e-9)
+
+
+def test_multi_row_numbers_match_single_calls(spark):
+    """bucketed_row_numbers (the layered multi-ranking spelling, r8) must
+    equal one bucketed_row_number per spec — ties, skewed tail and all."""
+    from etl_file_sync_spark.operators.rankstats import bucketed_row_numbers
+
+    rows = [(float(i % 17), float((i * 7) % 23), i) for i in range(500)] + [
+        (999.5, -3.25, 10_000 + i) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, ["a", "b", "id"])
+    got = bucketed_row_numbers(
+        df, [("a", ["id"], "rn_a"), ("b", ["id"], "rn_b")], n_buckets=8
+    )
+    g = {r["id"]: (r["rn_a"], r["rn_b"]) for r in got.collect()}
+    ra = {
+        r["id"]: r["rn"]
+        for r in bucketed_row_number(df, "a", ["id"], out_col="rn", n_buckets=8).collect()
+    }
+    rb = {
+        r["id"]: r["rn"]
+        for r in bucketed_row_number(df, "b", ["id"], out_col="rn", n_buckets=8).collect()
+    }
+    assert g == {i: (ra[i], rb[i]) for i in ra}
+
+
+def test_multi_row_numbers_empty_and_null(spark):
+    from etl_file_sync_spark.operators.rankstats import bucketed_row_numbers
+
+    empty = spark.createDataFrame([], "a double, b double, id long")
+    out = bucketed_row_numbers(empty, [("a", ["id"], "rn_a"), ("b", ["id"], "rn_b")])
+    assert out.count() == 0 and {"rn_a", "rn_b"} <= set(out.columns)
+
+    withnull = spark.createDataFrame(
+        [(1.0, 1.0, 1), (None, 2.0, 2)], "a double, b double, id long"
+    )
+    import pytest
+
+    with pytest.raises(Exception, match="NULL values in order column"):
+        bucketed_row_numbers(withnull, [("a", ["id"], "rn_a")]).collect()
