@@ -110,6 +110,28 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def estimated_scan_tasks(sf_dir: str, name: str) -> int:
+    """Estimated scan-task count for a table: file bytes over the
+    default 128 MB ``spark.sql.files.maxPartitionBytes`` split size.
+
+    Used to make CPU-heavy narrow projections SCALE-ADAPTIVE: a query
+    whose per-row work dominates (JSON parse, decode, DP kernels) only
+    repartitions when the scan itself cannot feed enough tasks (small/
+    single-row-group files — the bench testdata shape). At cluster
+    scale the same table scans as thousands of splits and the
+    repartition never fires, so no payload shuffle is added where the
+    scan already parallelizes. os.stat only — no Spark job, no RDD
+    conversion (df.rdd.getNumPartitions() costs ~1.5 s of planning).
+    On stat failure, returns a large count so callers never add a
+    shuffle on unknown layouts.
+    """
+    try:
+        size = os.stat(f"{sf_dir}/{name}.parquet").st_size
+    except OSError:
+        return 1 << 20
+    return max(1, -(-size // (128 * 1024 * 1024)))
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (for the SQL face)."""
     for name in TABLES:

@@ -84,18 +84,29 @@ def bucketed_cumsums(
     weight_cols: list[str],
     inclusive: bool = True,
     n_buckets: int = 32,
-) -> DataFrame:
+    bounds: list[float] | None = None,
+    return_bounds: bool = False,
+):
     """Global running sum of each weight column over rows ordered by
     ``order_col`` (ascending, keys assumed distinct — aggregate first),
     as new columns ``cum_<w>``. ``inclusive=False`` gives the exclusive
-    prefix (sum over strictly-smaller keys)."""
+    prefix (sum over strictly-smaller keys).
+
+    ``bounds``/``return_bounds``: callers that chain TWO cumsum passes
+    over the SAME order column and row set (the survival-curve shape:
+    at-risk counts first, hazard terms second) can reuse the first
+    pass's quantile boundaries for the second — one approxQuantile
+    driver action instead of two. Boundaries affect only partitioning,
+    never arithmetic (the bucket-independence property), so any bounds
+    list yields identical output values."""
     # cache BEFORE the quantile probe: approxQuantile, the totals collect
     # below, and the final plan all consume this frame — uncached, the
     # upstream lineage (often a groupBy over the raw table) would run
     # three times. Callers/bench own clearCache(), the same lifecycle
     # convention as the dedup shingle caches.
     src = df.cache()
-    bounds = _boundaries(src, order_col, n_buckets)
+    if bounds is None:
+        bounds = _boundaries(src, order_col, n_buckets)
     b = src.withColumn(_BUCKET, _bucket_expr(order_col, bounds))
 
     # per-bucket totals: <= n_buckets rows — a k-row driver pull, not data
@@ -108,7 +119,7 @@ def bucketed_cumsums(
         out = df
         for w in weight_cols:
             out = out.withColumn(f"cum_{w}", F.col(w) if inclusive else F.lit(0))
-        return out
+        return (out, bounds) if return_bounds else out
     if any(row[_BUCKET] is None for row in totals):
         # a NULL key would silently drop at the offsets join — refuse
         raise ValueError(f"rankstats: NULL values in order column {order_col!r}; filter them first")
@@ -143,7 +154,8 @@ def bucketed_cumsums(
             f"cum_{w}",
             F.coalesce(F.sum(w).over(win), F.lit(0)) + F.col(f"__off_{w}"),
         )
-    return out.drop(_BUCKET, *[f"__off_{w}" for w in weight_cols])
+    out = out.drop(_BUCKET, *[f"__off_{w}" for w in weight_cols])
+    return (out, bounds) if return_bounds else out
 
 
 def grouped_bucketed_cumsum(

@@ -220,11 +220,14 @@ def eval_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = toks.select(F.col("doc_id").alias("r_id"), F.col("tk").alias("rt"))
     # repartition BEFORE the Python DP: the single-file source would
     # otherwise feed mapInPandas one task (the JW-blocking lesson —
-    # measured 3.4s -> ~1s at sf0.1 on local[32])
+    # measured 3.4s -> ~1s at sf0.1 on local[32]). Partition count is
+    # the session's parallelism, NOT a literal 32 — the driver also
+    # benches at lower core counts, and a hard-coded constant would pin
+    # the DP stage's task count regardless of cluster size.
     pair = (
         toks.join(ref, F.col("r_id") == F.expr("doc_id ^ 1"))
         .select("doc_id", F.col("tk").alias("ct"), "rt")
-        .repartition(32, "doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
 
     def lcs_batches(it):

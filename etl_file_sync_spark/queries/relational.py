@@ -706,7 +706,19 @@ def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/numcast.py), not the engine-native cast, so both
     engines agree at the edges ('1e3' -> 1000, '1d'/junk -> NULL).
     """
-    e = t(spark, sf_dir, "events")
+    from etl_file_sync_spark.catalog import estimated_scan_tasks
+
+    e = t(spark, sf_dir, "events").select("event_type", "props")
+    # The JSON parse + grammar regex is per-row CPU; when the scan
+    # cannot feed enough tasks (single-row-group bench files), spread
+    # the 2-column projection across the cores first. Conditional on
+    # the ESTIMATED scan split count, so at cluster scale (thousands
+    # of splits) no shuffle is ever added. Interleaved A/B at sf0.1:
+    # 1.26 -> 0.44 s min-of-4. Aggregation values are order-exact
+    # (integer counts/max; one avg division at the end).
+    cpus = spark.sparkContext.defaultParallelism
+    if estimated_scan_tasks(sf_dir, "events") < cpus:
+        e = e.repartition(cpus)
     k = num_str_int(F.get_json_object("props", "$.k"))
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
