@@ -51,12 +51,22 @@ _TOPK_SCHEMA = "query_id long, neighbor_id long, cosine double, nn_rank int"
 def _degenerate_ann_input(corpus: DataFrame, queries: DataFrame, vec_col: str) -> bool:
     """True when either side has no non-NULL vectors — ANN is undefined
     and callers return an empty (query_id, neighbor_id, cosine, nn_rank)
-    frame instead of crashing codebook/centroid training. Two 1-row
-    limit-probes; negligible next to training."""
-    return (
-        corpus.where(vec_ok(F.col(vec_col))).limit(1).count() == 0
-        or queries.where(vec_ok(F.col(vec_col))).limit(1).count() == 0
-    )
+    frame instead of crashing codebook/centroid training. ONE driver
+    action (a union of two 1-row limit-probes) instead of two — these
+    ANN paths are driver-action-bound locally (~200 ms of scheduling per
+    action at any data size), so probe jobs are fused wherever the
+    semantics allow."""
+    sides = {
+        r.side
+        for r in (
+            corpus.where(vec_ok(F.col(vec_col))).select(F.lit(1).alias("side")).limit(1)
+            .unionAll(
+                queries.where(vec_ok(F.col(vec_col))).select(F.lit(2).alias("side")).limit(1)
+            )
+            .collect()
+        )
+    }
+    return not (1 in sides and 2 in sides)
 
 
 def pq_train(
@@ -294,6 +304,7 @@ def ivfpq_topk(
     """
     from etl_file_sync_spark.operators.similarity import (
         QuerySideTooLarge,
+        _centroid_matrix,
         cosine_expr,
         ivf_assign,
         kmeans_centroids,
@@ -307,11 +318,15 @@ def ivfpq_topk(
         cents = kmeans_centroids(corpus, every, kmeans_iters, id_col, vec_col).cache()
     else:
         cents = make_centroids(corpus, every, id_col, vec_col).cache()
+    # collect the centroid matrix ONCE — the assign pass and the probe
+    # selection below share it (these ANN paths are driver-action-bound
+    # locally, ~200 ms scheduling per action; was two identical collects)
+    cmat = _centroid_matrix(cents)
     # (id_col, v, centroid_id); cached — both the PQ encode pass and the
     # centroid_id join below consume it, and uncached the Arrow assign
     # GEMM pass would run once per consumer (at 100 TB the corpus is
     # WRITTEN partitioned by centroid_id instead, see docstring)
-    assigned = ivf_assign(corpus, cents, id_col, vec_col).cache()
+    assigned = ivf_assign(corpus, cents, id_col, vec_col, cmat=cmat).cache()
 
     C = pq_train(corpus, m, kcent, iters, id_col, vec_col)
     codes = pq_encode(assigned.select(id_col, F.col("v").alias(vec_col)), C, id_col, vec_col)
@@ -331,9 +346,7 @@ def ivfpq_topk(
     Q = np.array([list(r.qv) for r in qrows], dtype=np.float64)
     Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
 
-    from etl_file_sync_spark.operators.similarity import _centroid_matrix
-
-    cids, Cn = _centroid_matrix(cents)
+    cids, Cn = cmat
     npr = min(nprobe, len(cids))
     top_cells = np.argsort(-(Q @ Cn.T), axis=1, kind="stable")[:, :npr]  # (nq, npr)
     probes = spark.createDataFrame(

@@ -175,8 +175,14 @@ def ivf_assign(
     vec_col: str = "embedding",
     round_decimals: int | None = None,
     with_score: bool = False,
+    cmat: tuple | None = None,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (IVF coarse quantizer).
+
+    ``cmat``: an already-collected ``_centroid_matrix(centroids)`` tuple.
+    ivf_topk/ivfpq_topk need the same matrix for their probe selection,
+    so they collect once and pass it here — one driver action instead of
+    two identical collects of the cached centroid frame.
 
     One Arrow-batched GEMM per batch against the broadcast normalized
     centroid matrix — a NARROW map stage, zero shuffle, BLAS throughput.
@@ -200,7 +206,7 @@ def ivf_assign(
     import numpy as np
     import pandas as pd
 
-    cids, Cn = _centroid_matrix(centroids)
+    cids, Cn = cmat if cmat is not None else _centroid_matrix(centroids)
     if len(cids) == 0:  # empty centroid set: nothing assignable
         schema = f"{id_col} bigint, v array<double>, centroid_id bigint"
         if with_score:
@@ -421,14 +427,17 @@ def ivf_topk(
         cents = kmeans_centroids(corpus, every, kmeans_iters, id_col, vec_col).cache()
     else:
         cents = make_centroids(corpus, every, id_col, vec_col).cache()
-    assigned = ivf_assign(corpus, cents, id_col, vec_col)  # (vec_id, v, centroid_id)
+    # collect the centroid matrix ONCE; the assign pass and the probe
+    # selection below share it (one driver action, not two)
+    cmat = _centroid_matrix(cents)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col, cmat=cmat)  # (vec_id, v, centroid_id)
 
     # probe selection: same Arrow GEMM shape as ivf_assign, top-nprobe
     # cells per query (stable argsort keeps ties on the lower centroid_id)
     import numpy as np
     import pandas as pd
 
-    cids, Cn = _centroid_matrix(cents)
+    cids, Cn = cmat
     bq = corpus.sparkSession.sparkContext.broadcast((cids, Cn))
     npr = min(nprobe, len(cids))
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from etl_file_sync_spark.operators.dedup import jaccard_oracle_ctes
 from etl_file_sync_spark.queries.registry import register, t
@@ -524,8 +525,17 @@ def text_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     c12 = bi.groupBy("source", "w1", "w2").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
-    c1 = c12.groupBy("source", "w1").agg(F.sum("c").cast("bigint").alias("c1"))
-    j = c12.join(c1, ["source", "w1"])
+    # c1 as a WINDOW over (source, w1) rather than a re-aggregate + join:
+    # the join spelling shuffled the bigram-vocab frame twice more (both
+    # SMJ sides re-exchanged on (source, w1)) and re-executed the c12
+    # subtree for the c1 input; the window needs ONE exchange on the same
+    # key and no join. Each row's c1 is a SUM OF BIGINTs — exact in any
+    # accumulation order — so every entropy term is bit-identical to the
+    # join spelling's.
+    j = c12.withColumn(
+        "c1",
+        F.sum("c").over(W.partitionBy("source", "w1")).cast("bigint"),
+    )
     ent = -F.sum(F.col("c") * F.log(F.col("c") * 1.0 / F.col("c1"))) / F.sum("c")
     return (
         j.groupBy("source")
