@@ -486,26 +486,44 @@ def agg_share_of_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mba_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules: the 20 part pairs with the
     highest lift among pairs co-ordered at least twice, with support
-    and confidence. The pair space comes from a SELF-JOIN of the
-    per-order item set on the order key — co-partitioned (one shuffle
-    key for both sides) and bounded: a TPC-H order holds <= 7 items,
-    so pair fan-out is C(7,2) per order, never quadratic in the table.
-    Item counts join back per pair side (shuffle-hash on part at
-    scale), the order total is a 1-row broadcast, and the top-20 is
-    TakeOrderedAndProject. Lift ties order deterministically by
-    (part_a, part_b) in both engines; all ratios are integer-derived
-    doubles, so the engines compute identical sort keys."""
-    items = (
-        t(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
+    and confidence. The pair space comes from per-order BASKETS — one
+    shuffle on the order key into a sorted distinct item set, pairs
+    enumerated INSIDE the array (a TPC-H order holds <= 7 items, so
+    fan-out is C(7,2) per basket, never quadratic in the table). The
+    round-8 respell: the previous items-frame self-join consumed the
+    distinct (ok, pk) lineage three times (runtime probe: 3 lineitem
+    scans + a 600k-row broadcast for the self-join); the basket shape
+    derives pairs, per-item counts, and the basket total from ONE
+    grouped frame, identical counts by construction (sort_array makes
+    part_a < part_b; collect_set = DISTINCT; a basket's combination
+    count = the self-join's a.pk < b.pk count). Item counts join back
+    per pair side (shuffle-hash on part at scale), the order total is
+    a 1-row broadcast, and the top-20 is TakeOrderedAndProject. Lift
+    ties order deterministically by (part_a, part_b) in both engines;
+    all ratios are integer-derived doubles, so the engines compute
+    identical sort keys."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     )
-    n_ord = items.agg(F.countDistinct("ok").cast("bigint").alias("n"))
-    item_n = items.groupBy("pk").agg(F.count(F.lit(1)).cast("bigint").alias("n_item"))
-    a, b = items.alias("a"), items.alias("b")
+    baskets = li.groupBy("ok").agg(F.sort_array(F.collect_set("pk")).alias("pks"))
+    n_ord = baskets.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    item_n = (
+        baskets.select(F.explode("pks").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_item"))
+    )
     pair_n = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .groupBy(F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b"))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(pks, (x, i) ->"
+                    " transform(slice(pks, i + 2, size(pks)),"
+                    " y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
         .filter(F.col("n_ab") >= 2)
     )
