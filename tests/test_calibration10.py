@@ -349,6 +349,20 @@ def _close(got, ref, dp, msg=""):
     ), (msg, got, ref)
 
 
+def _close_floor(got, ref, dp, msg=""):
+    """Closeness under the FLOOR reporting grain (the round-8 Markov
+    convention, behavior.py grain(): floor(x*10^dp)/10^dp — chosen over
+    round because Python round is half-even and DuckDB round is
+    half-away-from-zero). got is the floor of an engine double that
+    matches ref to fp precision, so it sits up to one full grain BELOW
+    ref and never meaningfully above it — the round-half _close bound of
+    0.51 grains is wrong by construction for values just under a grain
+    boundary (e.g. a base conversion of 1.0 - 2e-16 floors to 0.999999)."""
+    g, r = float(got), float(ref)
+    slack = 5e-9 * max(1.0, abs(r))
+    assert r - 10**-dp - slack <= g <= r + slack, (msg, got, ref)
+
+
 @pytest.fixture(scope="module")
 def ev_pd(sf_dir):
     return pd.read_parquet(f"{sf_dir}/events.parquet")
@@ -371,9 +385,9 @@ class TestTierAgreement10:
         ex = exact_absorption(kernel, states, "error", "purchase")
         assert set(got.index) == set(states)
         for s in states:
-            # round(6) output vs exact solve: the 80-step Jacobi residual
-            # is far below the rounding grain
-            _close(got.loc[s, "p_error_before_purchase"], ex[s], 6, s)
+            # floor-grain output vs exact solve: the 80-step Jacobi
+            # residual is far below the reporting grain
+            _close_floor(got.loc[s, "p_error_before_purchase"], ex[s], 6, s)
 
     def test_markov_attribution_vs_linear_solve(self, spark, sf_dir, ev_pd):
         got = _q(spark, sf_dir, "behavior_markov_attribution").set_index("channel")
@@ -414,11 +428,11 @@ class TestTierAgreement10:
         assert sorted(got.index) == chans
         for c in chans:
             row = got.loc[c]
-            _close(row["base_conversion"], base, 6, c)
-            _close(row["conversion_without"], without[c], 6, c)
-            _close(row["removal_effect"], eff[c], 6, c)
+            _close_floor(row["base_conversion"], base, 6, c)
+            _close_floor(row["conversion_without"], without[c], 6, c)
+            _close_floor(row["removal_effect"], eff[c], 6, c)
             if te > 0:
-                _close(row["attribution_share"], eff[c] / te, 6, c)
+                _close_floor(row["attribution_share"], eff[c] / te, 6, c)
 
     def test_mcc(self, spark, sf_dir):
         import etl_file_sync_spark.queries.eval_face as EF
