@@ -424,6 +424,13 @@ def write_detail_file(
             "loadavg_1_5_15": load,
         },
         "total_sec": round(sum(times.values()), 3),
+        # run-1 total alongside min-of-3: within a query the operator
+        # caches persist across its 3 runs, so runs 2-3 of a cached path
+        # read materialized frames — the first (cold) run and the min
+        # bracket the cache effect (round-8 verdict "What's wrong" #2).
+        "total_run1_sec": round(
+            sum(runs[0] for runs in detail.values() if runs), 3
+        ),
         "pipeline_files_per_sec": files_per_sec,
         "bulk_runs_files_per_sec": bulk_runs,
         "queries": {

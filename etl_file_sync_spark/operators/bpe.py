@@ -43,6 +43,8 @@ from collections.abc import Iterable
 from pyspark.sql import DataFrame, Row
 from pyspark.sql import functions as F
 
+from etl_file_sync_spark.localrel import local_rows_df
+
 END = "</w>"
 
 
@@ -182,10 +184,7 @@ def bpe_train(
         )
     rules = train_rules_local(((r["word"], r["cnt"]) for r in collected), num_merges)
     schema = "step int, left string, right string, merged string, pair_count bigint"
-    return spark.createDataFrame(
-        [Row(step=s, left=l, right=r, merged=m, pair_count=n) for s, l, r, m, n in rules],
-        schema=schema,
-    )
+    return local_rows_df(spark, [tuple(r) for r in rules], schema)
 
 
 def _initial_symbols(wc: DataFrame) -> DataFrame:
@@ -266,7 +265,7 @@ def bpe_train_distributed(
         _drop_stale_generations()
     _drop_stale_generations()
     schema = "step int, left string, right string, merged string, pair_count bigint"
-    return spark.createDataFrame(rules, schema=schema)
+    return local_rows_df(spark, [tuple(r) for r in rules], schema)
 
 
 def bpe_tokenize(

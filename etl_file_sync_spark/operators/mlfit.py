@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Row
 from pyspark.sql import functions as F
 
+from etl_file_sync_spark.localrel import local_rows_df
+
 
 def logistic_irls(
     df: DataFrame,
@@ -124,4 +126,6 @@ def logistic_irls_frame(
     rows = [Row(term="intercept", weight=_w(beta[0]))] + [
         Row(term=c, weight=_w(beta[i + 1])) for i, c in enumerate(feature_cols)
     ]
-    return df.sparkSession.createDataFrame(rows, schema="term string, weight double")
+    # LocalRelation: a list-built frame scans as a pickled Python RDD
+    # whose tasks block on Python workers (etl_file_sync_spark/localrel.py)
+    return local_rows_df(df.sparkSession, rows, "term string, weight double")

@@ -29,11 +29,15 @@ Citation for the judge: the reference has no vector surface at all
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 import numpy as np
 import pandas as pd
+from pyspark import inheritable_thread_target
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_file_sync_spark.localrel import local_rows_df
 from etl_file_sync_spark.operators.similarity import vec_ok
 from pyspark.sql import Window as W
 
@@ -207,18 +211,49 @@ def pq_topk(
     from etl_file_sync_spark.operators.similarity import QuerySideTooLarge, cosine_expr
 
     spark = corpus.sparkSession
-    if _degenerate_ann_input(corpus, queries, vec_col):
-        return spark.createDataFrame([], _TOPK_SCHEMA)
-    C = pq_train(corpus, m, kcent, iters, id_col, vec_col)
-    codes = pq_encode(corpus, C, id_col, vec_col)
-
-    qrows = (
-        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv"))
-        .limit(max_queries + 1)
-        .collect()
-    )
+    # The build runs several INDEPENDENT bounded driver actions (the
+    # degenerate probe, the pq_train count/seed/Lloyd chain, the query
+    # collect). Serially each pays the ~200 ms/action scheduling floor;
+    # submitted from a small thread pool they overlap (guide §2.6) —
+    # inheritable_thread_target propagates the caller's job group /
+    # description thread-locals into the pool threads. Results are
+    # bit-identical: the same actions run, only their wall overlap
+    # changes.
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_degen = pool.submit(
+            inheritable_thread_target(
+                lambda: _degenerate_ann_input(corpus, queries, vec_col)
+            )
+        )
+        f_train = pool.submit(
+            inheritable_thread_target(
+                lambda: pq_train(corpus, m, kcent, iters, id_col, vec_col)
+            )
+        )
+        f_q = pool.submit(
+            inheritable_thread_target(
+                lambda: (
+                    queries.select(
+                        F.col(id_col).alias("qid"),
+                        F.col(vec_col).cast("array<double>").alias("qv"),
+                    )
+                    .limit(max_queries + 1)
+                    .collect()
+                )
+            )
+        )
+        if f_degen.result():
+            # degenerate input may legitimately crash the concurrent
+            # train/collect (e.g. an empty codebook seed) — absorb them;
+            # the sequential spelling never ran them at all
+            f_train.exception()
+            f_q.exception()
+            return spark.createDataFrame([], _TOPK_SCHEMA)
+        C = f_train.result()
+        qrows = f_q.result()
     if len(qrows) > max_queries:
         raise QuerySideTooLarge(f"pq_topk query side exceeds max_queries={max_queries}")
+    codes = pq_encode(corpus, C, id_col, vec_col)
     qids = np.array([r.qid for r in qrows], dtype=np.int64)
     Q = np.array([list(r.qv) for r in qrows], dtype=np.float64)
     Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
@@ -312,36 +347,67 @@ def ivfpq_topk(
     )
 
     spark = corpus.sparkSession
-    if _degenerate_ann_input(corpus, queries, vec_col):
-        return spark.createDataFrame([], _TOPK_SCHEMA)
     if kmeans_iters > 0:
-        cents = kmeans_centroids(corpus, every, kmeans_iters, id_col, vec_col).cache()
+        cents = kmeans_centroids(corpus, every, kmeans_iters, id_col, vec_col)
     else:
-        cents = make_centroids(corpus, every, id_col, vec_col).cache()
-    # collect the centroid matrix ONCE — the assign pass and the probe
-    # selection below share it (these ANN paths are driver-action-bound
-    # locally, ~200 ms scheduling per action; was two identical collects)
-    cmat = _centroid_matrix(cents)
+        cents = make_centroids(corpus, every, id_col, vec_col)
+    # Four INDEPENDENT bounded driver actions open this build — the
+    # degenerate probe, the centroid-matrix collect, the pq_train
+    # count/seed/Lloyd chain, and the query collect — overlapped from a
+    # small thread pool (guide §2.6) instead of paying the ~200 ms/action
+    # scheduling floor serially (see pq_topk). Bit-identical results:
+    # the same actions run, only their wall overlap changes.
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_degen = pool.submit(
+            inheritable_thread_target(
+                lambda: _degenerate_ann_input(corpus, queries, vec_col)
+            )
+        )
+        # collect the centroid matrix ONCE — the assign pass and the
+        # probe selection below share it. cents is consumed exactly once
+        # (this collect) since the cmat fusion, so it is deliberately
+        # NOT cached (round-8 ADVICE).
+        f_cmat = pool.submit(inheritable_thread_target(lambda: _centroid_matrix(cents)))
+        f_train = pool.submit(
+            inheritable_thread_target(
+                lambda: pq_train(corpus, m, kcent, iters, id_col, vec_col)
+            )
+        )
+        # the query side is contract-small, like pq_topk
+        f_q = pool.submit(
+            inheritable_thread_target(
+                lambda: (
+                    queries.select(
+                        F.col(id_col).alias("qid"),
+                        F.col(vec_col).cast("array<double>").alias("qv"),
+                    )
+                    .limit(max_queries + 1)
+                    .collect()
+                )
+            )
+        )
+        if f_degen.result():
+            # degenerate input may legitimately crash the concurrent
+            # builds (empty codebook seed) — absorb; the sequential
+            # spelling never ran them at all
+            f_cmat.exception()
+            f_train.exception()
+            f_q.exception()
+            return spark.createDataFrame([], _TOPK_SCHEMA)
+        cmat = f_cmat.result()
+        C = f_train.result()
+        qrows = f_q.result()
+    if len(qrows) > max_queries:
+        raise QuerySideTooLarge(f"ivfpq_topk query side exceeds max_queries={max_queries}")
     # (id_col, v, centroid_id); cached — both the PQ encode pass and the
     # centroid_id join below consume it, and uncached the Arrow assign
     # GEMM pass would run once per consumer (at 100 TB the corpus is
     # WRITTEN partitioned by centroid_id instead, see docstring)
     assigned = ivf_assign(corpus, cents, id_col, vec_col, cmat=cmat).cache()
-
-    C = pq_train(corpus, m, kcent, iters, id_col, vec_col)
     codes = pq_encode(assigned.select(id_col, F.col("v").alias(vec_col)), C, id_col, vec_col)
     coded = codes.join(
         assigned.select(F.col(id_col).alias("id"), "centroid_id"), "id"
     )  # (id, v, codes, centroid_id)
-
-    # probe selection + LUTs: the query side is contract-small, like pq_topk
-    qrows = (
-        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv"))
-        .limit(max_queries + 1)
-        .collect()
-    )
-    if len(qrows) > max_queries:
-        raise QuerySideTooLarge(f"ivfpq_topk query side exceeds max_queries={max_queries}")
     qids = np.array([r.qid for r in qrows], dtype=np.int64)
     Q = np.array([list(r.qv) for r in qrows], dtype=np.float64)
     Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
@@ -349,7 +415,8 @@ def ivfpq_topk(
     cids, Cn = cmat
     npr = min(nprobe, len(cids))
     top_cells = np.argsort(-(Q @ Cn.T), axis=1, kind="stable")[:, :npr]  # (nq, npr)
-    probes = spark.createDataFrame(
+    probes = local_rows_df(
+        spark,
         [(int(q), int(c)) for qi, q in enumerate(qids) for c in cids[top_cells[qi]]],
         "query_id long, centroid_id long",
     )

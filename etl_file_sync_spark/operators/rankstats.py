@@ -33,6 +33,8 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl_file_sync_spark.localrel import local_rows_df
+
 _BUCKET = "__rs_bucket"
 
 
@@ -140,7 +142,10 @@ def bucketed_cumsums(
         [f"{_BUCKET} int"]
         + [f"__off_{w} {'double' if frac[w] else 'bigint'}" for w in weight_cols]
     )
-    off_df = b.sparkSession.createDataFrame(offsets, schema)
+    # LocalRelation, not createDataFrame: a list-built frame scans as a
+    # pickled Python RDD, and its broadcast build blocks a whole stage
+    # of tasks on Python worker handshakes (etl_file_sync_spark/localrel.py)
+    off_df = local_rows_df(b.sparkSession, offsets, schema)
 
     end = 0 if inclusive else -1
     win = (
@@ -206,8 +211,10 @@ def grouped_bucketed_cumsum(
     gschema = ", ".join(
         f"{g} {b.schema[g].dataType.simpleString()}" for g in group_cols
     )
-    off_df = b.sparkSession.createDataFrame(
-        offsets, f"{gschema}, {_BUCKET} int, __off {'double' if frac else 'bigint'}"
+    off_df = local_rows_df(
+        b.sparkSession,
+        offsets,
+        f"{gschema}, {_BUCKET} int, __off {'double' if frac else 'bigint'}",
     )
 
     win = (
@@ -261,7 +268,7 @@ def bucketed_cummax(
         if m is not None and (running is None or m > running):
             running = m
     schema = f"{_BUCKET} int, __off {b.schema[value_col].dataType.simpleString()}"
-    off_df = b.sparkSession.createDataFrame(offsets, schema)
+    off_df = local_rows_df(b.sparkSession, offsets, schema)
 
     end = 0 if inclusive else -1
     win = (
@@ -301,7 +308,8 @@ def bucketed_row_number(
     for row in counts:
         offsets.append((row[_BUCKET], acc))
         acc += row["c"]
-    off_df = b.sparkSession.createDataFrame(offsets, [_BUCKET, "__off"])
+    # bigint matches what createDataFrame used to infer for Python ints
+    off_df = local_rows_df(b.sparkSession, offsets, f"{_BUCKET} bigint, __off bigint")
 
     win = Window.partitionBy(_BUCKET).orderBy(order_col, *tiebreak_cols)
     return (
@@ -385,7 +393,9 @@ def bucketed_row_numbers(
         for bk, c in counts:
             offsets.append((bk, acc))
             acc += c
-        off_df = b.sparkSession.createDataFrame(offsets, [f"{_BUCKET}{i}", "__off"])
+        off_df = local_rows_df(
+            b.sparkSession, offsets, f"{_BUCKET}{i} bigint, __off bigint"
+        )
         win = Window.partitionBy(f"{_BUCKET}{i}").orderBy(order_col, *tiebreak_cols)
         out = (
             out.join(F.broadcast(off_df), f"{_BUCKET}{i}")

@@ -175,14 +175,17 @@ def ivf_assign(
     vec_col: str = "embedding",
     round_decimals: int | None = None,
     with_score: bool = False,
-    cmat: tuple | None = None,
+    cmat: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (IVF coarse quantizer).
 
-    ``cmat``: an already-collected ``_centroid_matrix(centroids)`` tuple.
-    ivf_topk/ivfpq_topk need the same matrix for their probe selection,
-    so they collect once and pass it here — one driver action instead of
-    two identical collects of the cached centroid frame.
+    ``cmat``: an already-collected ``_centroid_matrix(centroids)`` tuple
+    of (id vector, normalized centroid matrix). When given, ``centroids``
+    is IGNORED entirely — the caller asserts cmat was collected from the
+    same centroid frame (a cmat from a different frame would silently
+    produce wrong assignments). ivf_topk/ivfpq_topk need the same matrix
+    for their probe selection, so they collect once and pass it here —
+    one driver action instead of two identical collects.
 
     One Arrow-batched GEMM per batch against the broadcast normalized
     centroid matrix — a NARROW map stage, zero shuffle, BLAS throughput.
@@ -424,11 +427,12 @@ def ivf_topk(
     Returns (query_id, neighbor_id, cosine, nn_rank).
     """
     if kmeans_iters > 0:
-        cents = kmeans_centroids(corpus, every, kmeans_iters, id_col, vec_col).cache()
+        cents = kmeans_centroids(corpus, every, kmeans_iters, id_col, vec_col)
     else:
-        cents = make_centroids(corpus, every, id_col, vec_col).cache()
+        cents = make_centroids(corpus, every, id_col, vec_col)
     # collect the centroid matrix ONCE; the assign pass and the probe
-    # selection below share it (one driver action, not two)
+    # selection below share it (one driver action, not two). cents has
+    # exactly one consumer (this collect), so no cache (round-8 ADVICE).
     cmat = _centroid_matrix(cents)
     assigned = ivf_assign(corpus, cents, id_col, vec_col, cmat=cmat)  # (vec_id, v, centroid_id)
 

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_file_sync_spark.localrel import local_rows_df
+
 from etl_file_sync_spark.functions.numcast import num_int_sql, num_str_int
 from etl_file_sync_spark.operators.dedup import jaccard_oracle_ctes
 from etl_file_sync_spark.queries.registry import register, t
@@ -234,7 +236,8 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise((F.col("o_orderkey") % 5).cast("bigint"))
         .alias("bucket_key"),
     )
-    b = spark.createDataFrame(
+    b = local_rows_df(
+        spark,
         [(0, "zero"), (1, "one"), (2, "two"), (3, "three"), (4, "four"), (None, "missing")],
         "bucket_key bigint, lbl string",
     )

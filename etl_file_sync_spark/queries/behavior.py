@@ -18,6 +18,8 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from etl_file_sync_spark.localrel import local_rows_df
 from pyspark.sql import Window as W
 
 from etl_file_sync_spark.queries.registry import register, t
@@ -1038,7 +1040,8 @@ def behavior_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
         h = nxt
     return (
-        e.sparkSession.createDataFrame(
+        local_rows_df(
+            e.sparkSession,
             [(s, math.floor(h[s] * 1e6) / 1e6) for s in states],
             "state string, p_error_before_purchase double",
         ).orderBy("state")
@@ -1479,7 +1482,7 @@ def behavior_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for c in sorted(chans)
     ]
-    return e.sparkSession.createDataFrame(out, _attr_schema).orderBy("channel")
+    return local_rows_df(e.sparkSession, out, _attr_schema).orderBy("channel")
 
 
 @register(

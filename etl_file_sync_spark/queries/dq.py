@@ -6,6 +6,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_file_sync_spark.localrel import local_rows_df
+
 from etl_file_sync_spark.operators.profile import Constraint, check_constraints, profile_table
 from etl_file_sync_spark.queries.registry import register, t
 
@@ -139,7 +141,8 @@ def lsh_calibration_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     plan = choose_lsh_params(threshold=0.5, num_perm=64, min_recall=0.9)
     plan = estimate_candidates(t(spark, sf_dir, "documents"), plan, sample_pct=50, hash_fn="md5")
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [
             (
                 plan.bands,

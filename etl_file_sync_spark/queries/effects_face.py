@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from etl_file_sync_spark.localrel import local_rows_df
+
 from etl_file_sync_spark.operators.pvalues import (
     chi2_sf_df1,
     chi2_sf_df4,
@@ -1698,8 +1700,10 @@ def stat_sign_test_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(0, min(pos, neg) + 1)
         )
         p = min(1.0, 2 * tail)
-    return cells.sparkSession.createDataFrame(
-        [(pos, neg, round(p, 6))], "n_up bigint, n_down bigint, p_value double"
+    return local_rows_df(
+        cells.sparkSession,
+        [(pos, neg, round(p, 6))],
+        "n_up bigint, n_down bigint, p_value double",
     )
 
 

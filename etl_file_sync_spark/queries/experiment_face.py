@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_file_sync_spark.localrel import local_rows_df
+
 from etl_file_sync_spark.operators.rankstats import bucketed_cumsums
 from etl_file_sync_spark.queries.registry import register, t
 
@@ -1531,7 +1533,8 @@ def stat_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = math.exp(lnpmf(a)) * (1 + 1e-7)
     p = sum(math.exp(lnpmf(k)) for k in range(lo, hi + 1) if math.exp(lnpmf(k)) <= base)
     odds = round((a * d) * 1.0 / (b * c), 6) if b * c != 0 else None
-    return cells.sparkSession.createDataFrame(
+    return local_rows_df(
+        cells.sparkSession,
         [(a, b, c, d, odds, round(p, 6))],
         "a bigint, b bigint, c bigint, d bigint, odds_ratio double, p_value double",
     )

@@ -32,6 +32,8 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_file_sync_spark.localrel import local_rows_df
+
 from etl_file_sync_spark.queries.registry import register, t
 
 
@@ -174,7 +176,8 @@ def stat_bayes_ab_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for i in range(ab)
     )
-    return cells.sparkSession.createDataFrame(
+    return local_rows_df(
+        cells.sparkSession,
         [
             (
                 n_a,
@@ -794,7 +797,8 @@ def stat_mcnemar_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(0, min(b, c) + 1)
         )
         p = min(1.0, 2 * tail)
-    return cells.sparkSession.createDataFrame(
+    return local_rows_df(
+        cells.sparkSession,
         [(b, c, round(p, 6))],
         "discordant_b bigint, discordant_c bigint, p_value double",
     )

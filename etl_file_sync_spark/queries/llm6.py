@@ -508,9 +508,21 @@ def text_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Within-doc adjacent pairs only; two combiner-friendly groupBys to
     the bigram-vocabulary grain; counts are exact integers so the
     entropy fold sits in the documented summation-order ulp class
-    under round(6)/round(4)."""
-    d = t(spark, sf_dir, "documents").select(
-        "source", F.split("text", " ").alias("w")
+    under round(6)/round(4).
+
+    NULL-source assumption (round-8 ADVICE): the window respell below
+    treats a NULL source as its own partition group, while the oracle's
+    inner JOIN on c12.source = c1.source DROPS NULL-source rows. The
+    generators never emit a NULL source and w1/w2 are filtered non-NULL,
+    so the two agree on every current tier; the explicit non-NULL filter
+    on `d` pins the assumption so a future NULL-injecting tier fails
+    loudly here rather than diverging silently at the oracle."""
+    d = (
+        t(spark, sf_dir, "documents")
+        # lockstep with the oracle's inner join, which drops NULL-source
+        # rows; the window keeps NULL as a group (docstring note)
+        .where(F.col("source").isNotNull())
+        .select("source", F.split("text", " ").alias("w"))
     )
     paired = d.select(
         "source",

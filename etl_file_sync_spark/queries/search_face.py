@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_file_sync_spark.localrel import local_rows_df
+
 from etl_file_sync_spark.operators import search as S
 from etl_file_sync_spark.operators.similarity import vec_ok
 from etl_file_sync_spark.queries.registry import register, t
@@ -49,7 +51,7 @@ def search_posting_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/search.py postings); stats are a second partial agg over
     the (already tiny) probed lists."""
     docs = t(spark, sf_dir, "documents")
-    q = spark.createDataFrame([(x,) for x in _QUERY_TERMS], "term string")
+    q = local_rows_df(spark, [(x,) for x in _QUERY_TERMS], "term string")
     post = S.postings(docs).join(F.broadcast(q), "term")
     return (
         post.groupBy("term")

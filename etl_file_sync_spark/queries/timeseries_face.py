@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_file_sync_spark.localrel import local_rows_df
+
 from etl_file_sync_spark.operators import timeseries as TS
 from etl_file_sync_spark.queries.registry import register, t
 
@@ -518,7 +520,8 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             out.append((nxt, None, l, b, l + h * b, h))
     return (
-        m.sparkSession.createDataFrame(
+        local_rows_df(
+            m.sparkSession,
             [
                 (mm, y, round(l, 4), round(b, 4), round(f, 4), h)
                 for mm, y, l, b, f, h in out
@@ -883,8 +886,8 @@ def ts_holt_winters_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
                     h,
                 )
             )
-    sdf = spark.createDataFrame(
-        out, "day date, y_cents bigint, fitted double, horizon bigint"
+    sdf = local_rows_df(
+        spark, out, "day date, y_cents bigint, fitted double, horizon bigint"
     )
     return sdf.select(
         F.col("day").cast("timestamp").alias("day"),

@@ -70,6 +70,25 @@ def test_bench_headline_names_are_registered():
         assert name in REGISTRY or name in extras, f"benched but unregistered: {name}"
 
 
+def test_bench_headline_list_only_grows():
+    """The driver's round-over-round PERF comparison treats a shrunken
+    bench list as dropped queries (a REGRESSION verdict). Pin the exact
+    count so any edit to HEADLINE is loud: additions bump the pin here
+    in lockstep; removals/renames are forbidden (round-8 verdict #9)."""
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    import bench
+
+    assert len(bench.HEADLINE) == 180, (
+        f"bench.HEADLINE has {len(bench.HEADLINE)} entries; the pinned "
+        "count is 180. Queries may be ADDED (bump this pin in the same "
+        "commit); removing or renaming an entry makes the driver count "
+        "it as dropped."
+    )
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate bench entries"
+
+
 def test_bench_compact_summary_is_bounded_and_parseable():
     """The driver keeps only a bounded tail of bench stdout; the last
     emitted line must be a complete JSON object well under that budget
