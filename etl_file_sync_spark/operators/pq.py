@@ -52,6 +52,35 @@ def _normalized_matrix_stream(df: DataFrame, id_col: str, vec_col: str) -> DataF
 _TOPK_SCHEMA = "query_id long, neighbor_id long, cosine double, nn_rank int"
 
 
+def _make_pq_codes():
+    """PQ codes of already-normalized vectors: per-subspace argmin of
+    squared distance to the codewords (ties -> lowest codeword id).
+    The single spelling shared by pq_encode and the fused scan passes
+    in pq_topk/ivfpq_topk — fusing must not fork the arithmetic.
+
+    Defined inside a factory so the function's qualname contains
+    '<locals>' and cloudpickle serializes it BY VALUE into the Arrow
+    UDF closures that call it: a module-level reference would make
+    those UDFs importable-by-name only, which breaks in the driver's
+    sys.path-only setup whenever session.prep() has not shipped the
+    package zip (the Data-Source pickle-by-value lesson, verify notes).
+    """
+
+    def _pq_codes(Vn: np.ndarray, C: np.ndarray) -> np.ndarray:
+        mm, kk, ss = C.shape
+        codes = np.empty((len(Vn), mm), dtype=np.int32)
+        for j in range(mm):
+            X = Vn[:, j * ss : (j + 1) * ss]
+            d2 = ((X[:, None, :] - C[j][None, :, :]) ** 2).sum(-1)
+            codes[:, j] = np.argmin(d2, axis=1)
+        return codes
+
+    return _pq_codes
+
+
+_pq_codes = _make_pq_codes()
+
+
 def _degenerate_ann_input(corpus: DataFrame, queries: DataFrame, vec_col: str) -> bool:
     """True when either side has no non-NULL vectors — ANN is undefined
     and callers return an empty (query_id, neighbor_id, cosine, nn_rank)
@@ -171,17 +200,12 @@ def pq_encode(
 
     def enc(batches):
         Cm = bC.value
-        mm, kk, ss = Cm.shape
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             V = np.array(pdf["v"].tolist(), dtype=np.float64)
             V = V / np.linalg.norm(V, axis=1, keepdims=True)
-            codes = np.empty((len(V), mm), dtype=np.int32)
-            for j in range(mm):
-                X = V[:, j * ss : (j + 1) * ss]
-                d2 = ((X[:, None, :] - Cm[j][None, :, :]) ** 2).sum(-1)
-                codes[:, j] = np.argmin(d2, axis=1)
+            codes = _pq_codes(V, Cm)
             yield pd.DataFrame({"id": pdf["id"].values, "v": list(V), "codes": list(codes)})
 
     v = _normalized_matrix_stream(df, id_col, vec_col)
@@ -253,23 +277,32 @@ def pq_topk(
         qrows = f_q.result()
     if len(qrows) > max_queries:
         raise QuerySideTooLarge(f"pq_topk query side exceeds max_queries={max_queries}")
-    codes = pq_encode(corpus, C, id_col, vec_col)
     qids = np.array([r.qid for r in qrows], dtype=np.int64)
     Q = np.array([list(r.qv) for r in qrows], dtype=np.float64)
     Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     mm, kk, ss = C.shape
     # ADC lookup tables: (n_queries, m, k) inner products
     lut = np.einsum("qms,mks->qmk", Q.reshape(len(Q), mm, ss), C)
-    blut = spark.sparkContext.broadcast((qids, lut))
+    blut = spark.sparkContext.broadcast((qids, lut, C))
     top_b = shortlist
 
-    def adc(batches):
-        q_ids, L = blut.value
+    # ONE fused Arrow pass: encode + LUT-score + per-batch shortlist.
+    # The old shape chained TWO mapInPandas stages (pq_encode, then adc
+    # over its output), shipping each vector's 512 B float payload
+    # across the JVM<->Python boundary twice and its codes once more;
+    # fused, the payload crosses once and only shortlist rows come back
+    # (guide §4.1: control how many columns cross). Arithmetic is
+    # unchanged (_pq_codes is the shared spelling), so codes and scores
+    # are bit-identical to the two-pass plan.
+    def enc_adc(batches):
+        q_ids, L, Cm = blut.value
         nq = len(q_ids)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            codes_m = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (n, m)
+            V = np.array(pdf["v"].tolist(), dtype=np.float64)
+            V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            codes_m = _pq_codes(V, Cm).astype(np.int64)  # (n, m)
             n = len(codes_m)
             scores = np.zeros((nq, n))
             for j in range(L.shape[1]):
@@ -285,7 +318,8 @@ def pq_topk(
                 }
             )
 
-    scored = codes.mapInPandas(adc, "query_id long, neighbor_id long, pq_score double")
+    v = _normalized_matrix_stream(corpus, id_col, vec_col)
+    scored = v.mapInPandas(enc_adc, "query_id long, neighbor_id long, pq_score double")
     w = W.partitionBy("query_id").orderBy(F.col("pq_score").desc(), F.col("neighbor_id"))
     cand = (
         scored.filter(F.col("query_id") != F.col("neighbor_id"))
@@ -341,7 +375,6 @@ def ivfpq_topk(
         QuerySideTooLarge,
         _centroid_matrix,
         cosine_expr,
-        ivf_assign,
         kmeans_centroids,
         make_centroids,
     )
@@ -399,20 +432,49 @@ def ivfpq_topk(
         qrows = f_q.result()
     if len(qrows) > max_queries:
         raise QuerySideTooLarge(f"ivfpq_topk query side exceeds max_queries={max_queries}")
-    # (id_col, v, centroid_id); cached — both the PQ encode pass and the
-    # centroid_id join below consume it, and uncached the Arrow assign
-    # GEMM pass would run once per consumer (at 100 TB the corpus is
-    # WRITTEN partitioned by centroid_id instead, see docstring)
-    assigned = ivf_assign(corpus, cents, id_col, vec_col, cmat=cmat).cache()
-    codes = pq_encode(assigned.select(id_col, F.col("v").alias(vec_col)), C, id_col, vec_col)
-    coded = codes.join(
-        assigned.select(F.col(id_col).alias("id"), "centroid_id"), "id"
-    )  # (id, v, codes, centroid_id)
+    # ONE fused Arrow pass over the corpus: IVF assign + PQ encode,
+    # emitting only (id, centroid_id, codes). The old shape ran
+    # ivf_assign (cached), a SECOND mapInPandas over its output for the
+    # PQ codes, and an id-keyed join to re-attach centroid_id — the
+    # vector payload crossed the Python boundary twice and the id join
+    # was a full corpus shuffle at scale (guide §4.1/§2.4). Arithmetic
+    # is unchanged: the same normalized matrix feeds the same centroid
+    # argmax (ivf_assign's raw fast path) and the same _pq_codes, so
+    # assignments and codes are bit-identical; the rerank still reads
+    # raw vectors from `corpus`, never from this pass. (At 100 TB the
+    # corpus is WRITTEN partitioned by centroid_id instead — docstring.)
+    cids, Cn = cmat
+    if len(cids) == 0:
+        # no centroids (no id divisible by `every`): nothing assignable,
+        # same empty candidate set the ivf_assign path produced
+        coded = spark.createDataFrame([], "id bigint, centroid_id bigint, codes array<int>")
+    else:
+        b_ae = spark.sparkContext.broadcast((cids, Cn, C))
+
+        def assign_encode(batches):
+            ids_, Cm, CB = b_ae.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.array(pdf["v"].tolist(), dtype=np.float64)
+                Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+                best = np.argmax(Vn @ Cm.T, axis=1)  # ties -> lowest centroid_id
+                codes = _pq_codes(Vn, CB)
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"].values,
+                        "centroid_id": ids_[best],
+                        "codes": list(codes),
+                    }
+                )
+
+        coded = _normalized_matrix_stream(corpus, id_col, vec_col).mapInPandas(
+            assign_encode, "id bigint, centroid_id bigint, codes array<int>"
+        )
     qids = np.array([r.qid for r in qrows], dtype=np.int64)
     Q = np.array([list(r.qv) for r in qrows], dtype=np.float64)
     Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
 
-    cids, Cn = cmat
     npr = min(nprobe, len(cids))
     top_cells = np.argsort(-(Q @ Cn.T), axis=1, kind="stable")[:, :npr]  # (nq, npr)
     probes = local_rows_df(
