@@ -941,12 +941,26 @@ def srp_near_dup_pairs(
             norm_sq > 0, F.sha2(F.concat_ws(",", F.col(vec_col).cast("array<string>")), 256)
         ).otherwise(F.concat(F.lit("_s"), F.col(id_col).cast("string")))
         reps, membership = exact_collapse(df, id_col, key)
+        # localCheckpoint (the r6 phash lesson): reps feeds THREE
+        # consumers (the signature GEMM and both exact-verify sides) and
+        # membership three more (expand's ma/mb/intra) — without the
+        # checkpoint each broadcast-subtree job re-executes the collapse
+        # shuffle + per-row sha digest (stage probe: ~9 broadcast jobs
+        # re-running the shared lineage, most of this query's CPU).
+        # Exchange reuse does not fire across these subtrees because the
+        # broadcast sides re-plan the lineage without an exchange.
+        reps = reps.localCheckpoint(eager=True)
+        membership = membership.localCheckpoint(eager=True)
         rep_pairs = srp_near_dup_pairs(
             reps, id_col, vec_col, threshold, n_planes, bands, seed, collapse_exact=False
         )
         return expand_pairs(rep_pairs, membership, "cosine", 1.0, max_group_pairs)
 
-    sig = srp_signatures(df, id_col, vec_col, n_planes, seed)
+    # both band sides of the candidate self-join consume the signatures;
+    # checkpointing runs the SRP GEMM once instead of once per side
+    # (measured interleaved: 6.1 -> 4.7 s min-of-4 with the collapse
+    # checkpoints above; outputs frame-equal)
+    sig = srp_signatures(df, id_col, vec_col, n_planes, seed).localCheckpoint(eager=True)
     cand = minhash_lsh_candidates(sig, bands, n_planes // bands)
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
     va = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))

@@ -1235,7 +1235,12 @@ def sim_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = []
     for qid in sorted(queries):
         qr = queries[qid]
-        qdv = F.array(*[F.lit(float(x)) for x in qr["dv"]])
+        # ONE F.expr literal array per arm instead of 64 F.lit py4j
+        # round trips x 5 arms (driver build tax, family-B pattern);
+        # repr(float) round-trips to the identical double
+        qdv = F.expr(
+            "array(" + ",".join(f"CAST({float(x)!r} AS DOUBLE)" for x in qr["dv"]) + ")"
+        )
         cos = F.aggregate(
             F.zip_with(F.col("dv"), qdv, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
         ) / (F.col("nrm") * F.lit(float(qr["nrm"])))
