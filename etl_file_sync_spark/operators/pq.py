@@ -125,18 +125,51 @@ def pq_train(
     """
     spark = df.sparkSession
     v = _normalized_matrix_stream(df, id_col, vec_col)
-    n = v.count()
+    # The count (sampling decision) and the seed collect are BOTH full
+    # actions that open training, each paying the ~200 ms scheduling
+    # floor serially. When the optimizer's size estimate says the input
+    # is small (metadata only — parquet footer stats, no job), run them
+    # CONCURRENTLY on the unsampled frame (guide §2.6): if the count
+    # then proves sampling unnecessary — the overwhelmingly common case
+    # under the estimate gate — the speculative seed IS the seed the
+    # sequential code computed. If sampling does fire, the speculative
+    # seed is discarded and re-collected from the sampled frame, so the
+    # training set and seed are identical to the sequential spelling at
+    # every size. Above the gate (any real-scale corpus) the sequential
+    # path runs unchanged — no speculative full-corpus scan, no
+    # full-corpus cache.
+    try:
+        est_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        est_bytes = 1 << 62
+    speculate = max_train is not None and est_bytes < (64 << 20)
+    if speculate:
+        v = v.cache()
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_n = pool.submit(inheritable_thread_target(v.count))
+            f_seed = pool.submit(
+                inheritable_thread_target(lambda: v.orderBy("id").limit(k).collect())
+            )
+            n = f_n.result()
+            seed_rows = f_seed.result()
+    else:
+        n = v.count()
+        seed_rows = None
     # max_train=None reproduces the unbounded pre-r3 training (see
     # DEVIATIONS.md behavior-change history)
     if max_train is not None and n > max_train:
         rate = -(-n // max_train)  # ceil division
+        if speculate:
+            v.unpersist()
         v = v.filter(F.pmod(F.xxhash64(F.col("id")), F.lit(rate)) == 0)
+        seed_rows = None
     # the training sample is BOUNDED (<= ~max_train rows by the hash
-    # sample above), so caching it is scale-safe — and the seed collect
-    # plus every Lloyd round below re-reads it; uncached, each pass
-    # re-scans and re-filters the full corpus
-    v = v.cache()
-    seed_rows = v.orderBy("id").limit(k).collect()  # k rows — tiny by design
+    # sample above OR the estimate gate), so caching it is scale-safe —
+    # and the seed collect plus every Lloyd round below re-reads it;
+    # uncached, each pass re-scans and re-filters the full corpus
+    if seed_rows is None:
+        v = v.cache()
+        seed_rows = v.orderBy("id").limit(k).collect()  # k rows — tiny by design
     S0 = np.array([list(r.v) for r in seed_rows], dtype=np.float64)
     S0 = S0 / np.linalg.norm(S0, axis=1, keepdims=True)
     d = S0.shape[1]

@@ -14,6 +14,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
+from etl_file_sync_spark.localrel import local_rows_df
 from etl_file_sync_spark.pipeline.schemas import SERVER_SCHEMA
 
 DEFAULT_DLQ_SUFFIX = "-dlq"
@@ -84,7 +85,15 @@ def servers_dataframe(
     rows = [
         (s.hostname.upper(), s.type, s.host, s.port, s.username, s.password, s.base_path) for s in servers
     ]
-    return spark.createDataFrame(rows, SERVER_SCHEMA)
+    # LocalRelation, not createDataFrame: this dimension is broadcast-
+    # joined into EVERY manifest batch, and a list-built frame scans as
+    # a pickled Python RDD whose broadcast build blocks a stage of tasks
+    # on Python workers (etl_file_sync_spark/localrel.py)
+    return local_rows_df(
+        spark,
+        rows,
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in SERVER_SCHEMA.fields),
+    )
 
 
 def get_dlq_topic(topic: str, suffix: str | None = None) -> str:
